@@ -1,13 +1,140 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed done in SURVEY.md §2 has a `queries` entry here
+  * and (where SQL-expressible) a DuckDB oracle in `oracleSql`. Column
+  * names are aliased identically on both sides — the driver's compare
+  * sorts columns by name before hashing values.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q2JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q1_agg" -> Relational.q1Agg _,
+    "rel_q2_join_agg" -> Relational.q2JoinAgg _,
+    "rel_q3_star_join" -> Relational.q3StarJoin _,
+    "rel_q4_semi_join" -> Relational.q4SemiJoin _,
+    "rel_q5_anti_join" -> Relational.q5AntiJoin _,
+    "rel_q6_count_distinct" -> Relational.q6CountDistinct _,
+    "rel_q7_topn" -> Relational.q7TopN _,
+    "rel_q8_window" -> Relational.q8Window _,
+    "rel_q9_scalar_subquery" -> Relational.q9ScalarSubquery _,
+    "rel_q10_cte_self_join" -> Relational.q10CteSelfJoin _,
+    "rel_q11_set_ops" -> Relational.q11SetOps _,
+    "rel_q12_explode" -> Relational.q12Explode _,
+    "rel_q13_offset" -> Relational.q13Offset _,
+    "rel_q14_theta_join" -> Relational.q14ThetaJoin _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "rel_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_q2_join_agg" ->
+      """SELECT c_mktsegment,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(*) AS num_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "rel_q3_star_join" ->
+      """SELECT r_name,
+         count(*) AS num_suppliers,
+         round(sum(s_acctbal), 2) AS total_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "rel_q4_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         GROUP BY 1 ORDER BY 1""",
+    "rel_q5_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 450000)
+         GROUP BY 1 ORDER BY 1""",
+    "rel_q6_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS distinct_parts,
+         count(DISTINCT l_suppkey) AS distinct_supps
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "rel_q7_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "rel_q8_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn = 1 ORDER BY o_custkey""",
+    "rel_q9_scalar_subquery" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+    "rel_q10_cte_self_join" ->
+      """WITH monthly AS (
+           SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+                  round(sum(o_totalprice), 2) AS rev
+           FROM orders GROUP BY 1)
+         SELECT c.mi, c.rev, p.rev AS prev_rev,
+                round(c.rev - p.rev, 2) AS delta
+         FROM monthly c JOIN monthly p ON c.mi = p.mi + 1
+         ORDER BY c.mi""",
+    "rel_q11_set_ops" ->
+      """SELECT
+           (SELECT count(*) FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT c_custkey FROM customer WHERE c_acctbal > 0) u)
+             AS union_cnt,
+           (SELECT count(*) FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 0) i)
+             AS intersect_cnt,
+           (SELECT count(*) FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 0) e)
+             AS except_cnt""",
+    "rel_q12_explode" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents) t
+         GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""",
+    "rel_q13_offset" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 10 OFFSET 10""",
+    "rel_q14_theta_join" ->
+      """SELECT win_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
+         FROM events e JOIN (VALUES
+             (1, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+             (2, TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+             (3, TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+             (4, TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29'))
+           AS w(win_id, lo, hi)
+           ON e.ts >= w.lo AND e.ts < w.hi
+         GROUP BY win_id ORDER BY win_id""",
+  )
 }

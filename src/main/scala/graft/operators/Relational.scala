@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Relational/dataflow operator coverage (SURVEY.md §2.1).
+  *
+  * The reference inherits all relational operators from DuckDB; our parity
+  * comes from Catalyst. Each query here exercises one operator family
+  * observed in the reference's BerlinMOD workload
+  * (`benchmark/BerlinMOD/sql/queries/`, explain outputs) and has an
+  * exact DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes (100 TB design):
+  *  - dimension joins (region/nation/customer) are explicitly
+  *    `broadcast()`ed — no shuffle of the fact side;
+  *  - aggregates are declarative groupBy/agg → Catalyst plans partial
+  *    (map-side) + final HashAggregate, so the shuffle carries only
+  *    per-group partials;
+  *  - top-N is `orderBy().limit()` → TakeOrderedAndProject (no global sort);
+  *  - all float aggregates are rounded in BOTH engines so the hash compare
+  *    is insensitive to summation order across partitions.
+  */
+object Relational {
+
+  /** GROUP BY hash aggregate (ref: query_8.sql SUM..GROUP BY; explain
+    * HASH_JOIN/PERFECT_HASH_GROUP_BY). TPC-H Q1 shape. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Inner equi hash join + aggregate (ref explain: HASH_JOIN VehicleId). */
+  def q2JoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("num_orders"))
+      .orderBy("c_mktsegment")
+
+  /** Multi-way dimension join, all broadcast (star-schema pattern). */
+  def q3StarJoin(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("num_suppliers"),
+        round(sum("s_acctbal"), 2).as("total_acctbal"))
+      .orderBy("r_name")
+
+  /** Left-semi join (ref explain: HASH_JOIN Join Type: SEMI for EXISTS). */
+  def q4SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no very large order. */
+  def q5AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+
+  /** COUNT(DISTINCT) two-phase aggregate (ref: query_2.sql, query_17.sql). */
+  def q6CountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("distinct_parts"),
+        countDistinct("l_suppkey").as("distinct_supps"))
+      .orderBy("l_returnflag")
+
+  /** ORDER BY + LIMIT top-N (ref explain: TOP_N) →
+    * TakeOrderedAndProject, no global sort. */
+  def q7TopN(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Window function: best order per customer (ref: query_7.sql `<= ALL`
+    * rewritten as window-min per SURVEY §2.1). */
+  def q8Window(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** Scalar subquery (ref: query_17.sql `= (SELECT MAX ...)`). */
+  def q9ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    // scalar agg is a 1-row broadcast, not a driver-side collect
+    val avgPrice = o.agg(avg("o_totalprice").as("a"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("a"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  /** CTE + self-join: month-over-month revenue (ref: query_5/12 CTE
+    * self-join pattern). Joins on an integer month index so Spark/DuckDB
+    * date arithmetic differences cannot bite. */
+  def q10CteSelfJoin(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .withColumn("mi",
+        year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .groupBy("mi")
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val cur = monthly.select(col("mi"), col("rev"))
+    val prev = monthly.select(
+      (col("mi") + 1).as("mi"), col("rev").as("prev_rev"))
+    cur.join(prev, "mi")
+      .select(col("mi"), col("rev"), col("prev_rev"),
+        round(col("rev") - col("prev_rev"), 2).as("delta"))
+      .orderBy("mi")
+  }
+
+  /** Set operators: UNION / INTERSECT / EXCEPT over key sets. */
+  def q11SetOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 0).select("c_custkey")
+    val union = a.union(b).distinct.count()
+    val inter = a.intersect(b).count()
+    val minus = a.except(b).count()
+    import s.implicits._
+    Seq((union, inter, minus)).toDF("union_cnt", "intersect_cnt", "except_cnt")
+  }
+
+  /** UNNEST/explode (ref: SetUnnest table function, set.cpp:1542-1654):
+    * top-20 tokens across documents. */
+  def q12Explode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  /** ORDER BY + LIMIT + OFFSET (ref: Licences2 view LIMIT 10 OFFSET 10). */
+  def q13Offset(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(10)
+      .limit(10)
+
+  /** Theta (non-equi range) join: events joined to month windows derived
+    * from orders (ref explain: BLOCKWISE_NL_JOIN Trip && Period).
+    * The small side is broadcast → BroadcastNestedLoopJoin, which is the
+    * right physical plan when one side is tiny. */
+  def q14ThetaJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("tu"))
+    // 4 fixed week-long windows over Jan 2024 (events start 2024-01-01)
+    import s.implicits._
+    val windows = Seq(
+      (1, "2024-01-01", "2024-01-08"),
+      (2, "2024-01-08", "2024-01-15"),
+      (3, "2024-01-15", "2024-01-22"),
+      (4, "2024-01-22", "2024-01-29"))
+      .toDF("win_id", "lo", "hi")
+      .select(col("win_id"),
+        unix_micros(to_timestamp(col("lo"))).as("lo_u"),
+        unix_micros(to_timestamp(col("hi"))).as("hi_u"))
+    e.join(broadcast(windows),
+        col("tu") >= col("lo_u") && col("tu") < col("hi_u"))
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("win_id")
+  }
+}
