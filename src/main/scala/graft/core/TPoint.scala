@@ -1,0 +1,381 @@
+package graft.core
+
+/** Temporal geometry points (TGEOMPOINT, ref src/geo/tgeompoint.cpp:18-28)
+  * as parallel coordinate arrays, plus the planar spatiotemporal algebra
+  * the reference delegates to MEOS (length, trajectory, atGeometry,
+  * eDwithin/tDwithin/aDisjoint — ref tgeompoint.cpp:234-311).
+  */
+case class TPointSeq(xs: Array[Double], ys: Array[Double], ts: Array[Long],
+                     lInc: Boolean, uInc: Boolean) {
+  def n: Int = ts.length
+  def startT: Long = ts(0)
+  def endT: Long = ts(ts.length - 1)
+}
+
+case class TPoint(subtype: Byte, interp: Byte, srid: Int, seqs: Array[TPointSeq])
+
+object TPointAlg {
+
+  def instant(x: Double, y: Double, t: Long, srid: Int = 0): TPoint =
+    TPoint(Subtype.Instant, Interp.None, srid,
+      Array(TPointSeq(Array(x), Array(y), Array(t), lInc = true, uInc = true)))
+
+  def sequence(xs: Array[Double], ys: Array[Double], ts: Array[Long],
+               interp: Byte, lInc: Boolean = true, uInc: Boolean = true,
+               srid: Int = 0): TPoint = {
+    require(ts.nonEmpty && xs.length == ts.length && ys.length == ts.length)
+    var i = 1
+    while (i < ts.length) {
+      require(ts(i) > ts(i - 1), s"timestamps not strictly ascending at $i")
+      i += 1
+    }
+    val (li, ui) =
+      if (interp == Interp.Discrete || ts.length == 1) (true, true) else (lInc, uInc)
+    TPoint(Subtype.Sequence, interp, srid, Array(TPointSeq(xs, ys, ts, li, ui)))
+  }
+
+  def sequenceSet(seqs: Array[TPointSeq], interp: Byte, srid: Int): TPoint = {
+    val sorted = seqs.sortBy(_.startT)
+    TPoint(Subtype.SequenceSet, interp, srid, sorted)
+  }
+
+  def numInstants(t: TPoint): Int = t.seqs.map(_.n).sum
+  def startTimestamp(t: TPoint): Long = t.seqs.head.startT
+  def endTimestamp(t: TPoint): Long = t.seqs.last.endT
+
+  def timeSpan(t: TPoint): SpanL = {
+    val inc0 = if (t.interp == Interp.Discrete) true else t.seqs.head.lInc
+    val inc1 = if (t.interp == Interp.Discrete) true else t.seqs.last.uInc
+    SpanL(startTimestamp(t), endTimestamp(t), inc0, inc1)
+  }
+
+  def duration(t: TPoint, boundSpan: Boolean): Long =
+    if (boundSpan) endTimestamp(t) - startTimestamp(t)
+    else if (t.interp == Interp.Discrete || t.subtype == Subtype.Instant) 0L
+    else t.seqs.map(s => s.endT - s.startT).sum
+
+  /** Spatiotemporal bounding box (ref tgeompoint→STBOX cast,
+    * tgeompoint.cpp:44-52). */
+  def stbox(t: TPoint): STBox = {
+    var xmin = Double.MaxValue; var xmax = Double.MinValue
+    var ymin = Double.MaxValue; var ymax = Double.MinValue
+    for (s <- t.seqs; i <- 0 until s.n) {
+      if (s.xs(i) < xmin) xmin = s.xs(i); if (s.xs(i) > xmax) xmax = s.xs(i)
+      if (s.ys(i) < ymin) ymin = s.ys(i); if (s.ys(i) > ymax) ymax = s.ys(i)
+    }
+    val ts = timeSpan(t)
+    STBox(xmin, xmax, ymin, ymax, 0, 0, ts.lower, ts.upper, ts.lowerInc, ts.upperInc,
+      t.srid, geodetic = false, hasX = true, hasZ = false, hasT = true)
+  }
+
+  /** Position at timestamp (linear interpolation); None outside domain
+    * (ref valueAtTimestamp, tgeompoint.cpp:220-228 — BerlinMOD q3/q11/q12/q14). */
+  def valueAt(t: TPoint, at: Long): Option[(Double, Double)] = {
+    for (s <- t.seqs) {
+      if (t.interp == Interp.Discrete || t.subtype == Subtype.Instant) {
+        var i = 0
+        while (i < s.n) { if (s.ts(i) == at) return Some((s.xs(i), s.ys(i))); i += 1 }
+      } else if (at >= s.startT && at <= s.endT) {
+        if ((at == s.startT && !s.lInc && s.n > 1) || (at == s.endT && !s.uInc && s.n > 1)) ()
+        else {
+          var i = 0
+          while (i < s.n - 1 && s.ts(i + 1) < at) i += 1
+          if (s.ts(i) == at) return Some((s.xs(i), s.ys(i)))
+          if (i < s.n - 1 && s.ts(i + 1) == at) return Some((s.xs(i + 1), s.ys(i + 1)))
+          if (i < s.n - 1) {
+            val f = (at - s.ts(i)).toDouble / (s.ts(i + 1) - s.ts(i))
+            return Some(
+              if (t.interp == Interp.Linear)
+                (s.xs(i) + (s.xs(i + 1) - s.xs(i)) * f, s.ys(i) + (s.ys(i + 1) - s.ys(i)) * f)
+              else (s.xs(i), s.ys(i)))
+          }
+        }
+      }
+    }
+    None
+  }
+
+  /** Clip to a time span with interpolated boundary positions (ref atTime,
+    * tgeompoint.cpp:200-218 — BerlinMOD q8/q9/q13/q15/q16). */
+  def atTimeSpan(t: TPoint, w: SpanL): Option[TPoint] = {
+    if (t.subtype == Subtype.Instant || t.interp == Interp.Discrete) {
+      val kept = for {
+        s <- t.seqs; i <- 0 until s.n
+        if SpanAlg.containsValue(w, s.ts(i))
+      } yield (s.xs(i), s.ys(i), s.ts(i))
+      if (kept.isEmpty) None
+      else if (t.subtype == Subtype.Instant) {
+        val (x, y, ts) = kept.head; Some(instant(x, y, ts, t.srid))
+      } else Some(TPoint(Subtype.Sequence, Interp.Discrete, t.srid, Array(
+        TPointSeq(kept.map(_._1), kept.map(_._2), kept.map(_._3), lInc = true, uInc = true))))
+    } else {
+      val clipped = t.seqs.flatMap(clipSeq(_, t.interp, w))
+      if (clipped.isEmpty) None
+      else if (clipped.length == 1) Some(TPoint(Subtype.Sequence, t.interp, t.srid, clipped))
+      else Some(TPoint(Subtype.SequenceSet, t.interp, t.srid, clipped))
+    }
+  }
+
+  private def clipSeq(s: TPointSeq, interp: Byte, w: SpanL): Option[TPointSeq] = {
+    val dom = SpanL(s.startT, s.endT, s.lInc, s.uInc)
+    val ix = SpanAlg.intersection(dom, w).getOrElse(return None)
+    if (ix.lower == ix.upper && !(ix.lowerInc && ix.upperInc)) return None
+    def posAt(at: Long): (Double, Double) = {
+      var i = 0
+      while (i < s.n - 1 && s.ts(i + 1) < at) i += 1
+      if (s.ts(i) == at) (s.xs(i), s.ys(i))
+      else if (i < s.n - 1 && s.ts(i + 1) == at) (s.xs(i + 1), s.ys(i + 1))
+      else if (i < s.n - 1) {
+        val f = (at - s.ts(i)).toDouble / (s.ts(i + 1) - s.ts(i))
+        if (interp == Interp.Linear)
+          (s.xs(i) + (s.xs(i + 1) - s.xs(i)) * f, s.ys(i) + (s.ys(i + 1) - s.ys(i)) * f)
+        else (s.xs(i), s.ys(i))
+      } else (s.xs(i), s.ys(i))
+    }
+    val xsB = scala.collection.mutable.ArrayBuffer[Double]()
+    val ysB = scala.collection.mutable.ArrayBuffer[Double]()
+    val tsB = scala.collection.mutable.ArrayBuffer[Long]()
+    val p0 = posAt(ix.lower)
+    xsB += p0._1; ysB += p0._2; tsB += ix.lower
+    var i = 0
+    while (i < s.n) {
+      if (s.ts(i) > ix.lower && s.ts(i) < ix.upper) {
+        xsB += s.xs(i); ysB += s.ys(i); tsB += s.ts(i)
+      }
+      i += 1
+    }
+    if (ix.upper > ix.lower) {
+      val p1 = posAt(ix.upper)
+      xsB += p1._1; ysB += p1._2; tsB += ix.upper
+    }
+    Some(TPointSeq(xsB.toArray, ysB.toArray, tsB.toArray, ix.lowerInc, ix.upperInc))
+  }
+
+  def atTimeSpanSet(t: TPoint, ws: Array[SpanL]): Option[TPoint] = {
+    val parts = ws.flatMap(w => atTimeSpan(t, w))
+    if (parts.isEmpty) None
+    else {
+      val allSeqs = parts.flatMap(_.seqs)
+      if (allSeqs.length == 1) Some(TPoint(Subtype.Sequence, t.interp, t.srid, allSeqs))
+      else Some(TPoint(Subtype.SequenceSet, t.interp, t.srid, allSeqs))
+    }
+  }
+
+  /** Planar trajectory length: sum of segment lengths over linear
+    * sequences (ref length, tgeompoint.cpp:234-242 — BerlinMOD q8/q9). */
+  def length(t: TPoint): Double = {
+    if (t.interp != Interp.Linear) return 0.0
+    var total = 0.0
+    for (s <- t.seqs) {
+      var i = 0
+      while (i < s.n - 1) {
+        total += math.hypot(s.xs(i + 1) - s.xs(i), s.ys(i + 1) - s.ys(i))
+        i += 1
+      }
+    }
+    total
+  }
+
+  /** Trajectory geometry: Point for a single position, LineString of the
+    * instants otherwise, consecutive duplicates removed (ref trajectory,
+    * tgeompoint.cpp:244-253 — BerlinMOD q4/q7/q13-17). Returns WKB. */
+  def trajectory(t: TPoint): Array[Byte] = {
+    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (s <- t.seqs; i <- 0 until s.n) {
+      val p = (s.xs(i), s.ys(i))
+      if (pts.isEmpty || pts.last != p) pts += p
+    }
+    if (pts.length == 1) Wkb.writePoint(pts.head._1, pts.head._2)
+    else Wkb.writeLineString(pts.toArray)
+  }
+
+  /** Speed at the end of segment math: average speed = length/duration.
+    * Units: coordinate units per second. */
+  def avgSpeed(t: TPoint): Double = {
+    val d = duration(t, boundSpan = false)
+    if (d == 0) 0.0 else length(t) / (d.toDouble / 1e6)
+  }
+
+  // ---- two-trajectory analytics ----
+
+  /** Synchronized segment pairs of two single-sequence linear temporals
+    * over their common time domain: (t0, t1, p0, p1, q0, q1). */
+  private[core] def syncSegments(a: TPoint, b: TPoint):
+      Array[(Long, Long, (Double, Double), (Double, Double), (Double, Double), (Double, Double))] = {
+    val sa = timeSpan(a); val sb = timeSpan(b)
+    val ix = SpanAlg.intersection(sa, sb).getOrElse(return Array.empty)
+    val times = (a.seqs.flatMap(_.ts) ++ b.seqs.flatMap(_.ts))
+      .filter(x => x >= ix.lower && x <= ix.upper).distinct.sorted
+    if (times.length < 2) {
+      if (times.length == 1) {
+        val t0 = times(0)
+        (valueAt(a, t0), valueAt(b, t0)) match {
+          case (Some(p), Some(q)) => return Array((t0, t0, p, p, q, q))
+          case _ => return Array.empty
+        }
+      }
+      return Array.empty
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, (Double, Double), (Double, Double), (Double, Double), (Double, Double))]()
+    var i = 0
+    while (i < times.length - 1) {
+      val (t0, t1) = (times(i), times(i + 1))
+      (valueAt(a, t0), valueAt(a, t1), valueAt(b, t0), valueAt(b, t1)) match {
+        case (Some(p0), Some(p1), Some(q0), Some(q1)) => out += ((t0, t1, p0, p1, q0, q1))
+        case _ => ()
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Squared distance between the moving points over one synchronized
+    * segment, as quadratic d2(u) = A u^2 + B u + C with u ∈ [0,1]. */
+  private def distQuadratic(p0: (Double, Double), p1: (Double, Double),
+                            q0: (Double, Double), q1: (Double, Double)): (Double, Double, Double) = {
+    val dx0 = p0._1 - q0._1; val dy0 = p0._2 - q0._2
+    val dvx = (p1._1 - q1._1) - dx0; val dvy = (p1._2 - q1._2) - dy0
+    val A = dvx * dvx + dvy * dvy
+    val B = 2 * (dx0 * dvx + dy0 * dvy)
+    val C = dx0 * dx0 + dy0 * dy0
+    (A, B, C)
+  }
+
+  /** "Ever within distance d" (ref eDwithin, tgeompoint.cpp:289-297 —
+    * BerlinMOD q6): true iff min over the synchronized domain of the
+    * distance is <= d. */
+  def eDwithin(a: TPoint, b: TPoint, d: Double): Boolean = {
+    val segs = syncSegments(a, b)
+    val d2 = d * d
+    segs.exists { case (_, _, p0, p1, q0, q1) =>
+      val (qa, qb, qc) = distQuadratic(p0, p1, q0, q1)
+      minOnUnit(qa, qb, qc) <= d2 + 1e-9
+    }
+  }
+
+  /** "Always disjoint" (ref aDisjoint, tgeompoint.cpp:279-287 — q16):
+    * positions never coincide over the synchronized domain. */
+  def aDisjoint(a: TPoint, b: TPoint): Boolean = {
+    val segs = syncSegments(a, b)
+    if (segs.isEmpty) return true // empty common domain: vacuously disjoint
+    segs.forall { case (_, _, p0, p1, q0, q1) =>
+      val (qa, qb, qc) = distQuadratic(p0, p1, q0, q1)
+      minOnUnit(qa, qb, qc) > 1e-18
+    }
+  }
+
+  private def minOnUnit(a: Double, b: Double, c: Double): Double = {
+    var m = math.min(c, a + b + c) // u=0, u=1
+    if (a > 0) {
+      val u = -b / (2 * a)
+      if (u > 0 && u < 1) m = math.min(m, a * u * u + b * u + c)
+    }
+    m
+  }
+
+  /** Temporal within-distance (ref tDwithin, tgeompoint.cpp:303-311 —
+    * BerlinMOD q10): step TBOOL that is true exactly when dist <= d.
+    * Solves the per-segment quadratic d2(u) <= d^2 (SURVEY §7 "hard parts"). */
+  def tDwithin(a: TPoint, b: TPoint, d: Double): Option[TNum] = {
+    val segs = syncSegments(a, b)
+    if (segs.isEmpty) return None
+    val d2 = d * d
+    val trueSpans = scala.collection.mutable.ArrayBuffer[SpanL]()
+    for ((t0, t1, p0, p1, q0, q1) <- segs) {
+      val (qa, qb, qc) = distQuadratic(p0, p1, q0, q1)
+      // solve qa u^2 + qb u + qc - d2 <= 0 on [0,1]
+      val ivs: Array[(Double, Double)] =
+        if (qa < 1e-24) {
+          if (math.abs(qb) < 1e-24) { if (qc <= d2) Array((0.0, 1.0)) else Array.empty }
+          else {
+            val u = (d2 - qc) / qb
+            if (qb > 0) { if (u >= 0) Array((0.0, math.min(u, 1.0))) else Array.empty }
+            else { if (u <= 1) Array((math.max(u, 0.0), 1.0)) else Array.empty }
+          }
+        } else {
+          val disc = qb * qb - 4 * qa * (qc - d2)
+          if (disc < 0) Array.empty
+          else {
+            val sq = math.sqrt(disc)
+            val u0 = (-qb - sq) / (2 * qa); val u1 = (-qb + sq) / (2 * qa)
+            val lo = math.max(u0, 0.0); val hi = math.min(u1, 1.0)
+            if (lo <= hi) Array((lo, hi)) else Array.empty
+          }
+        }
+      for ((u0, u1) <- ivs) {
+        val s0 = t0 + (u0 * (t1 - t0)).round
+        val s1 = t0 + (u1 * (t1 - t0)).round
+        trueSpans += SpanL(s0, math.max(s1, s0), lowerInc = true, upperInc = true)
+      }
+    }
+    val merged = SpanSetAlg.normalize(trueSpans.toArray)
+    // Build a step TBOOL over the full synchronized domain as a sequence
+    // set so closed true-interval bounds are representable (a single step
+    // sequence cannot express value change AT its last instant).
+    val domLo = segs.head._1; val domHi = segs.last._2
+    if (domLo == domHi)
+      return Some(TNumAlg.instant(if (SpanSetAlg.contains(merged, domLo)) 1.0 else 0.0, domLo))
+    val seqs = scala.collection.mutable.ArrayBuffer[TNumSeq]()
+    def falseSeq(a: Long, b: Long, lInc: Boolean, uInc: Boolean): Unit =
+      if (a < b || (a == b && lInc && uInc))
+        seqs += (if (a == b) TNumSeq(Array(0.0), Array(a), true, true)
+                 else TNumSeq(Array(0.0, 0.0), Array(a, b), lInc, uInc))
+    var cursor = domLo
+    var cursorInc = true
+    for (sp <- merged) {
+      falseSeq(cursor, sp.lower, cursorInc, uInc = false)
+      seqs += (if (sp.lower == sp.upper) TNumSeq(Array(1.0), Array(sp.lower), true, true)
+               else TNumSeq(Array(1.0, 1.0), Array(sp.lower, sp.upper), true, true))
+      cursor = sp.upper
+      cursorInc = false
+    }
+    falseSeq(cursor, domHi, cursorInc, uInc = true)
+    if (seqs.length == 1) Some(TNum(Subtype.Sequence, Interp.Step, seqs.toArray))
+    else Some(TNum(Subtype.SequenceSet, Interp.Step, seqs.toArray))
+  }
+
+  /** Minimum distance ever between two temporals (ref the disabled
+    * `distance_gs` semantics used by BerlinMOD q5, tgeompoint.cpp:351-379). */
+  def minDistance(a: TPoint, b: TPoint): Double = {
+    val segs = syncSegments(a, b)
+    if (segs.isEmpty) return Double.NaN
+    math.sqrt(segs.map { case (_, _, p0, p1, q0, q1) =>
+      val (qa, qb, qc) = distQuadratic(p0, p1, q0, q1)
+      minOnUnit(qa, qb, qc)
+    }.min)
+  }
+
+  /** Restrict to the portion inside a polygon (ref atGeometry,
+    * tgeompoint.cpp:265-273): per linear segment, find parameter
+    * intervals inside the polygon (crossing params + midpoint test). */
+  def atGeometry(t: TPoint, poly: Array[(Double, Double)]): Option[TPoint] = {
+    val inside = scala.collection.mutable.ArrayBuffer[SpanL]()
+    for (s <- t.seqs) {
+      if (s.n == 1) {
+        if (Geo.pointInPolygon(s.xs(0), s.ys(0), poly))
+          inside += SpanL(s.ts(0), s.ts(0), lowerInc = true, upperInc = true)
+      } else {
+        var i = 0
+        while (i < s.n - 1) {
+          val cuts = (0.0 +: Geo.segPolyCrossings(
+            s.xs(i), s.ys(i), s.xs(i + 1), s.ys(i + 1), poly) :+ 1.0).distinct.sorted
+          var j = 0
+          while (j < cuts.length - 1) {
+            val mid = (cuts(j) + cuts(j + 1)) / 2
+            val mx = s.xs(i) + (s.xs(i + 1) - s.xs(i)) * mid
+            val my = s.ys(i) + (s.ys(i + 1) - s.ys(i)) * mid
+            if (Geo.pointInPolygon(mx, my, poly)) {
+              val t0 = s.ts(i) + (cuts(j) * (s.ts(i + 1) - s.ts(i))).round
+              val t1 = s.ts(i) + (cuts(j + 1) * (s.ts(i + 1) - s.ts(i))).round
+              inside += SpanL(t0, math.max(t1, t0), lowerInc = true, upperInc = true)
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    if (inside.isEmpty) None
+    else atTimeSpanSet(t, SpanSetAlg.normalize(inside.toArray))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registers every mobility function name as a [[MobCall]] builder in the
+  * session's function registry — the Spark equivalent of the reference's
+  * `RegisterScalarFunction` block (ref src/mobilityduck_extension.cpp:102-138).
+  * Call `GraftFunctions.register(spark)` once per session; then
+  * `spark.sql("SELECT asText(atTime(tgeompoint '...', tstzspan '...'))")`
+  * and `functions.call_function("attime", col, col)` both work.
+  */
+object GraftFunctions {
+
+  /** Every registered function name (dispatch in [[MobRuntime]]). */
+  val names: Seq[String] = Seq(
+    // constructors / parsers
+    "tint", "tbool", "tfloat", "ttext", "tgeompoint",
+    "intspan", "bigintspan", "floatspan", "datespan", "tstzspan", "period",
+    "intset", "bigintset", "floatset", "textset", "dateset", "tstzset",
+    "intspanset", "bigintspanset", "floatspanset", "datespanset", "tstzspanset",
+    "spanset", "set", "tbox", "stbox",
+    "tintseq", "tboolseq", "tfloatseq", "tintseqset", "tboolseqset",
+    "tfloatseqset", "tgeompointseq", "tgeompointseqset",
+    // output
+    "astext", "asewkt", "st_astext", "tempsubtype", "interp",
+    // accessors
+    "memsize", "numvalues", "numinstants", "numtimestamps",
+    "startvalue", "endvalue", "minvalue", "maxvalue", "valuen", "getvalue",
+    "getvalues", "mininstant", "maxinstant", "instantn", "startinstant",
+    "endinstant", "gettimestamp", "starttimestamp", "endtimestamp",
+    "gettime", "duration", "timespan", "valuespan", "valueset",
+    "sequences", "numsequences", "sequencen", "startsequence", "endsequence",
+    "lower", "upper", "lowerinc", "upperinc", "width", "numspans",
+    "startspan", "endspan", "spann",
+    "hasx", "hast", "hasz", "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+    "xmininc", "xmaxinc", "tmin", "tmax", "tmininc", "tmaxinc",
+    "area", "isgeodetic", "srid",
+    // transforms
+    "shift", "scale", "shiftscale", "round", "floor", "ceil",
+    "shiftvalue", "scalevalue", "shiftscalevalue", "shifttime", "scaletime",
+    "expandvalue", "expandtime", "expandspace", "setsrid", "transform",
+    "setinterp",
+    // restriction
+    "attime", "atvalues", "valueattimestamp", "atgeometry", "whentrue",
+    // spatial
+    "length", "speed", "trajectory", "edwithin", "adisjoint", "tdwithin",
+    "mindistance", "st_point", "st_transform",
+    // topological operators (SQL spellings && / @> / <@ are rewritten to
+    // these names by the query translation layer — SURVEY §2.2 note)
+    "op_overlaps", "op_contains", "op_contained", "op_adjacent",
+    // casts (:: rewrites)
+    "to_stbox", "to_tbox", "to_tstzspan", "to_intspan", "to_bigintspan",
+    "to_datespan", "to_floatspan", "to_tstzspanset", "to_intspanset",
+    "to_bigintspanset", "to_datespanset", "to_floatspanset", "to_tfloat",
+    "to_tstzset", "to_intset")
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    names.foreach { n =>
+      // In Spark 4 even the Column API (functions.round etc.) resolves
+      // through the session registry, so a name like `round`/`length`/
+      // `lower` must keep its builtin behavior for non-mobility inputs:
+      // dispatch to the builtin builder unless an argument is one of our
+      // struct schemas (the overload dispatch DuckDB does on type aliases).
+      val builtin = FunctionRegistry.builtin
+        .lookupFunctionBuilder(FunctionIdentifier(n))
+      registry.createOrReplaceTempFunction(
+        n,
+        (exprs: Seq[Expression]) => {
+          val anyMob = exprs.exists(e =>
+            scala.util.Try(MobSchemas.kindOf(e.dataType).isDefined)
+              .getOrElse(false))
+          if (anyMob || builtin.isEmpty) MobCall(n, exprs)
+          else builtin.get(exprs)
+        },
+        "scala_udf")
+    }
+  }
+}

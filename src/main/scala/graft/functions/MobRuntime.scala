@@ -1,0 +1,1163 @@
+package graft.functions
+
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.core.TextIO._
+
+/** Central dispatch for every registered mobility function: static return
+  * type from input schemas (bind time) + behavior (eval time). Function
+  * names and overload sets mirror the reference's registrations
+  * (SURVEY §2.2 tables); semantics come from graft.core.
+  */
+object MobRuntime {
+
+  import MobSchemas.{kindOf => kd}
+
+  private val S = MobSchemas
+
+  private def mob(dt: DataType): String = kd(dt).getOrElse("")
+
+  /** Static return type per (name, argument types). */
+  def retType(name0: String, ts: Seq[DataType]): DataType = {
+    val name = name0.toLowerCase
+    def t0 = ts.head
+    def k0 = mob(t0)
+    def k1 = if (ts.length > 1) mob(ts(1)) else ""
+    name match {
+      // ---- parse/make constructors ----
+      case "tint" | "tbool" | "tfloat" => S.tnum
+      case "ttext" => if (ts.length == 2) S.ttext else S.ttext
+      case "tgeompoint" => S.tpoint
+      case "intspan" | "bigintspan" | "datespan" | "tstzspan" | "period" => S.span
+      case "floatspan" => S.spanF
+      case "intset" | "bigintset" | "dateset" | "tstzset" => S.set
+      case "floatset" => S.setF
+      case "textset" => S.setS
+      case "intspanset" | "bigintspanset" | "datespanset" | "tstzspanset" => S.spanSet
+      case "floatspanset" => S.spanSetF
+      case "spanset" => if (k1 == "spanF" || k0 == "spanF") S.spanSetF else S.spanSet
+      case "set" => t0 match {
+        case ArrayType(DoubleType, _) => S.setF
+        case ArrayType(StringType, _) => S.setS
+        case _ => S.set
+      }
+      case "tbox" => S.tbox
+      case "stbox" => S.stbox
+      case "tintseq" | "tboolseq" | "tfloatseq" | "tintseqset" | "tboolseqset" |
+           "tfloatseqset" => S.tnum
+      case "ttextseq" | "ttextseqset" => S.ttext
+      case "tgeompointseq" | "tgeompointseqset" => S.tpoint
+      // ---- text output ----
+      case "astext" | "asewkt" | "tempsubtype" | "interp" | "st_astext" => StringType
+      case "asbinary" => BinaryType
+      // ---- accessors ----
+      case "memsize" | "numvalues" | "numinstants" | "numspans" | "numsequences" |
+           "numtimestamps" => IntegerType
+      case "startvalue" | "endvalue" | "minvalue" | "maxvalue" | "valuen" | "getvalue" =>
+        k0 match {
+          case "tnum" => DoubleType
+          case "ttext" => StringType
+          case "tpoint" => BinaryType
+          case "set" => LongType
+          case "setF" => DoubleType
+          case "setS" => StringType
+          case _ => DoubleType
+        }
+      case "getvalues" => k0 match {
+        case "tnum" => S.setF
+        case "ttext" => S.setS
+        case _ => S.setF
+      }
+      case "mininstant" | "maxinstant" | "instantn" | "startinstant" | "endinstant" =>
+        ts.head
+      case "gettimestamp" | "starttimestamp" | "endtimestamp" | "timestampn" =>
+        TimestampType
+      case "gettime" => S.spanSet
+      case "duration" | "timetointerval" => DayTimeIntervalType(0, 3)
+      case "timespan" => S.span
+      case "valuespan" => S.spanF
+      case "valueset" => if (k0 == "tnum") S.setF else S.setF
+      case "sequences" | "instants" => ArrayType(t0, containsNull = false)
+      case "sequencen" | "startsequence" | "endsequence" => t0
+      case "lower" | "upper" =>
+        k0 match {
+          case "span" | "spanSet" => LongType
+          case "spanF" | "spanSetF" => DoubleType
+          case _ => StringType // string lower/upper passthrough
+        }
+      case "lowerinc" | "upperinc" | "hasx" | "hast" | "hasz" | "xmininc" | "xmaxinc" |
+           "tmininc" | "tmaxinc" | "isgeodetic" => BooleanType
+      case "width" => k0 match {
+        case "span" | "spanSet" => LongType
+        case _ => DoubleType
+      }
+      case "startspan" | "endspan" | "spann" =>
+        if (k0 == "spanSetF") S.spanF else S.span
+      case "xmin" | "xmax" | "ymin" | "ymax" | "zmin" | "zmax" | "area" => DoubleType
+      case "tmin" | "tmax" => TimestampType
+      case "srid" => IntegerType
+      // ---- transforms ----
+      case "shift" | "scale" | "shiftscale" | "round" | "floor" | "ceil" |
+           "setsrid" | "transform" => t0
+      case "shiftvalue" | "scalevalue" | "shiftscalevalue" | "shifttime" |
+           "scaletime" | "shiftscaletime" | "expandvalue" | "expandtime" |
+           "expandspace" | "setinterp" => t0
+      // ---- restriction ----
+      case "attime" | "atvalues" | "atgeometry" | "minusvalues" | "attbox" => t0
+      case "valueattimestamp" => k0 match {
+        case "tpoint" => BinaryType
+        case "ttext" => StringType
+        case _ => DoubleType
+      }
+      case "whentrue" => S.spanSet
+      // ---- spatial ----
+      case "length" => if (k0 == "tpoint") DoubleType else IntegerType
+      case "speed" => DoubleType
+      case "trajectory" => BinaryType
+      case "edwithin" | "adisjoint" | "aintersects" | "edisjoint" | "eintersects" =>
+        BooleanType
+      case "tdwithin" => S.tnum
+      case "mindistance" => DoubleType
+      case "st_point" => BinaryType
+      case "st_transform" => BinaryType
+      // ---- topological ops ----
+      case "op_overlaps" | "op_contains" | "op_contained" | "op_adjacent" |
+           "op_same" => BooleanType
+      // ---- casts ----
+      case "to_stbox" => S.stbox
+      case "to_tbox" => S.tbox
+      case "to_tstzspan" | "to_intspan" | "to_bigintspan" | "to_datespan" => S.span
+      case "to_floatspan" => S.spanF
+      case "to_tstzspanset" | "to_intspanset" | "to_bigintspanset" |
+           "to_datespanset" => S.spanSet
+      case "to_floatspanset" => S.spanSetF
+      case "to_tfloat" => S.tnum
+      case "to_tstzset" | "to_intset" => S.set
+      case other =>
+        throw new IllegalArgumentException(s"unknown mobility function '$other'")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+
+  private def dom(name: String): Byte = {
+    if (name.startsWith("bigint")) Dom.Bigint
+    else if (name.startsWith("date")) Dom.Date
+    else if (name.startsWith("tstz") || name == "period") Dom.Tstz
+    else Dom.Int
+  }
+
+  private def tkindOf(name: String): Byte =
+    if (name.contains("bool")) Kind.Bool
+    else if (name.contains("float")) Kind.Float
+    else Kind.Int
+
+  private def textKind(k: Byte) = Kind.tkind(k)
+
+  private def asTNum(v: Any): VTNum = v.asInstanceOf[VTNum]
+
+  /** Merge the instants of an array of temporal numerics into one
+    * sequence (validating ascending order after a defensive sort). */
+  private def seqFromTNums(args: scala.collection.Seq[Any], interp: Byte,
+                           lInc: Boolean, uInc: Boolean): VTNum = {
+    val parts = args.map(asTNum)
+    val inst = parts.flatMap(p => TNumAlg.instants(p.t)).sortBy(_._2)
+    val k = parts.head.kind
+    if (interp == Interp.Discrete)
+      VTNum(TNum(Subtype.Sequence, Interp.Discrete, Array(TNumSeq(
+        inst.map(_._1).toArray, inst.map(_._2).toArray, lInc = true, uInc = true))), k)
+    else
+      VTNum(TNumAlg.sequence(inst.map(_._1).toArray, inst.map(_._2).toArray,
+        interp, lInc, uInc), k)
+  }
+
+  private def pointSeqFromTPoints(args: scala.collection.Seq[Any], interp: Byte,
+                                  lInc: Boolean, uInc: Boolean): VTPoint = {
+    val parts = args.map(_.asInstanceOf[VTPoint])
+    val inst = parts.flatMap(p => p.t.seqs.flatMap(s =>
+      (0 until s.n).map(i => (s.xs(i), s.ys(i), s.ts(i))))).sortBy(_._3)
+    val srid = parts.head.t.srid
+    if (interp == Interp.Discrete)
+      VTPoint(TPoint(Subtype.Sequence, Interp.Discrete, srid, Array(TPointSeq(
+        inst.map(_._1).toArray, inst.map(_._2).toArray, inst.map(_._3).toArray,
+        lInc = true, uInc = true))))
+    else
+      VTPoint(TPointAlg.sequence(inst.map(_._1).toArray, inst.map(_._2).toArray,
+        inst.map(_._3).toArray, interp, lInc, uInc, srid))
+  }
+
+  /** Runtime dispatch. `args` holds MobVal / TsVal / DateVal / IntervalVal /
+    * String / Long / Int / Double / Boolean / Array[Byte] / Array[Long] /
+    * Array[Double] / Array[String] / IndexedSeq[MobVal]. */
+  def eval(name0: String, args: IndexedSeq[Any]): Any = {
+    val name = name0.toLowerCase
+    def a0 = args(0)
+    def a1 = args(1)
+    def str0 = a0.asInstanceOf[String]
+    def asLong(x: Any): Long = x match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case d: Double => d.toLong
+    }
+    def asDouble(x: Any): Double = x match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+    }
+
+    name match {
+      // ================= constructors =================
+      case "tint" | "tfloat" | "tbool" =>
+        val k = tkindOf(name)
+        (a0, args.length) match {
+          case (s: String, 1) => VTNum(parseTNum(s, textKind(k)), k)
+          case (_, 2) =>
+            val v = if (k == Kind.Bool) (if (a0.asInstanceOf[Boolean]) 1.0 else 0.0)
+                    else asDouble(a0)
+            VTNum(TNumAlg.instant(v, a1.asInstanceOf[TsVal].us), k)
+          case _ => bad(name, args)
+        }
+      case "ttext" =>
+        (a0, args.length) match {
+          case (s: String, 1) => VTText(parseTText(s))
+          case (s: String, 2) => VTText(TText(Subtype.Instant, Interp.None,
+            Array(TTextSeq(Array(s), Array(a1.asInstanceOf[TsVal].us), true, true))))
+          case _ => bad(name, args)
+        }
+      case "tgeompoint" =>
+        (a0, args.length) match {
+          case (s: String, 1) => VTPoint(parseTPoint(s))
+          case (w: Array[Byte], 2) =>
+            val (_, pts) = Wkb.read(w)
+            VTPoint(TPointAlg.instant(pts.head._1, pts.head._2, a1.asInstanceOf[TsVal].us))
+          case _ => bad(name, args)
+        }
+      case "intspan" | "bigintspan" | "datespan" | "tstzspan" | "period" =>
+        val d = dom(name)
+        (args.length, a0) match {
+          case (1, s: String) => VSpan(parseSpanL(s, Dom.textDom(d)), d)
+          case (1, TsVal(us)) => VSpan(SpanL(us, us, true, true), d)
+          case (1, DateVal(dd)) => VSpan(SpanAlg.canonDiscrete(dd, dd, true, true), d)
+          case (1, v) =>
+            val x = asLong(v)
+            VSpan(if (Dom.isDiscrete(d)) SpanAlg.canonDiscrete(x, x, true, true)
+                  else SpanL(x, x, true, true), d)
+          case (2, _) =>
+            val (lo, hi) = (args(0), args(1)) match {
+              case (TsVal(x), TsVal(y)) => (x, y)
+              case (DateVal(x), DateVal(y)) => (x.toLong, y.toLong)
+              case (x, y) => (asLong(x), asLong(y))
+            }
+            VSpan(SpanAlg.makeL(lo, hi, lInc = true, uInc = false,
+              discrete = Dom.isDiscrete(d)), d)
+          case (4, _) =>
+            val (lo, hi) = (args(0), args(1)) match {
+              case (TsVal(x), TsVal(y)) => (x, y)
+              case (DateVal(x), DateVal(y)) => (x.toLong, y.toLong)
+              case (x, y) => (asLong(x), asLong(y))
+            }
+            VSpan(SpanAlg.makeL(lo, hi, args(2).asInstanceOf[Boolean],
+              args(3).asInstanceOf[Boolean], discrete = Dom.isDiscrete(d)), d)
+          case _ => bad(name, args)
+        }
+      case "floatspan" =>
+        (args.length, a0) match {
+          case (1, s: String) => VSpanF(parseSpanD(s))
+          case (1, v) => val x = asDouble(v); VSpanF(SpanD(x, x, true, true))
+          case (2, _) => VSpanF(SpanAlg.makeD(asDouble(args(0)), asDouble(args(1)),
+            lInc = true, uInc = false))
+          case (4, _) => VSpanF(SpanAlg.makeD(asDouble(args(0)), asDouble(args(1)),
+            args(2).asInstanceOf[Boolean], args(3).asInstanceOf[Boolean]))
+          case _ => bad(name, args)
+        }
+      case "intset" | "bigintset" | "dateset" | "tstzset" =>
+        val d = dom(name)
+        a0 match {
+          case s: String => VSet(parseSetL(s, Dom.textDom(d)), d)
+          case arr: Array[Long] => VSet(SetAlg.makeL(arr), d)
+          case TsVal(us) => VSet(Array(us), d)
+          case v => VSet(Array(asLong(v)), d)
+        }
+      case "floatset" => a0 match {
+        case s: String => VSetF(parseSetD(s))
+        case arr: Array[Double] => VSetF(SetAlg.makeD(arr))
+        case v => VSetF(Array(asDouble(v)))
+      }
+      case "textset" => a0 match {
+        case s: String if args.length == 1 && s.trim.startsWith("{") => VSetS(parseSetS(s))
+        case arr: Array[String] => VSetS(SetAlg.makeS(arr))
+        case s: String => VSetS(Array(s))
+      }
+      case "intspanset" | "bigintspanset" | "datespanset" | "tstzspanset" =>
+        val d = dom(name)
+        a0 match {
+          case s: String => VSpanSet(parseSpanSetL(s, Dom.textDom(d)), d)
+          case VSpan(sp, dd) => VSpanSet(Array(sp), dd)
+          case TsVal(us) => VSpanSet(Array(SpanL(us, us, true, true)), d)
+          case seq: IndexedSeq[_] =>
+            VSpanSet(SpanSetAlg.normalize(
+              seq.map(_.asInstanceOf[VSpan].s).toArray), d)
+          case _ => bad(name, args)
+        }
+      case "floatspanset" => a0 match {
+        case s: String => VSpanSetF(parseSpanSetD(s))
+        case VSpanF(sp) => VSpanSetF(Array(sp))
+        case _ => bad(name, args)
+      }
+      case "spanset" => a0 match {
+        case seq: IndexedSeq[_] if seq.nonEmpty => seq.head match {
+          case VSpan(_, d) =>
+            VSpanSet(SpanSetAlg.normalize(seq.map(_.asInstanceOf[VSpan].s).toArray), d)
+          case VSpanF(_) =>
+            val sps = seq.map(_.asInstanceOf[VSpanF].s).toArray.sortBy(x => (x.lower, x.upper))
+            val out = scala.collection.mutable.ArrayBuffer[SpanD]()
+            for (sp <- sps) {
+              if (out.nonEmpty && (SpanAlg.overlapsD(out.last, sp) ||
+                  (out.last.upper == sp.lower && (out.last.upperInc || sp.lowerInc)))) {
+                val l = out.last
+                out(out.length - 1) = SpanD(l.lower, math.max(l.upper, sp.upper), l.lowerInc,
+                  if (sp.upper >= l.upper) sp.upperInc else l.upperInc)
+              } else out += sp
+            }
+            VSpanSetF(out.toArray)
+          case _ => bad(name, args)
+        }
+        case _ => bad(name, args)
+      }
+      case "set" => a0 match {
+        case arr: Array[Long] => VSet(SetAlg.makeL(arr), Dom.Bigint)
+        case arr: Array[Double] => VSetF(SetAlg.makeD(arr))
+        case arr: Array[String] => VSetS(SetAlg.makeS(arr))
+        case _ => bad(name, args)
+      }
+      case "tbox" => evalTBoxCtor(args)
+      case "stbox" => evalSTBoxCtor(args)
+
+      // ---- sequence constructors ----
+      case "tintseq" | "tboolseq" | "tfloatseq" =>
+        val k = tkindOf(name)
+        val defInterp = if (k == Kind.Float) Interp.Linear else Interp.Step
+        a0 match {
+          case t: VTNum => // subtype conversion
+            val interp = if (args.length >= 2) Interp.parse(args(1).asInstanceOf[String])
+                         else defInterp
+            seqFromTNums(Seq(t), interp, lInc = true, uInc = true)
+          case seq: IndexedSeq[_] =>
+            val interp = if (args.length >= 2) Interp.parse(args(1).asInstanceOf[String])
+                         else defInterp
+            val lInc = if (args.length >= 3) args(2).asInstanceOf[Boolean] else true
+            val uInc = if (args.length >= 4) args(3).asInstanceOf[Boolean] else true
+            seqFromTNums(seq.asInstanceOf[IndexedSeq[Any]], interp, lInc, uInc)
+          case _ => bad(name, args)
+        }
+      case "tintseqset" | "tboolseqset" | "tfloatseqset" =>
+        val k = tkindOf(name)
+        a0 match {
+          case t: VTNum => VTNum(TNumAlg.sequenceSet(t.t.seqs,
+            if (t.t.interp == Interp.None || t.t.interp == Interp.Discrete)
+              (if (k == Kind.Float) Interp.Linear else Interp.Step) else t.t.interp), k)
+          case seq: IndexedSeq[_] =>
+            val parts = seq.map(_.asInstanceOf[VTNum])
+            val interp = parts.map(_.t.interp).max
+            VTNum(TNumAlg.sequenceSet(parts.flatMap(_.t.seqs).toArray,
+              if (interp <= Interp.Discrete)
+                (if (k == Kind.Float) Interp.Linear else Interp.Step) else interp), k)
+          case _ => bad(name, args)
+        }
+      case "tgeompointseq" =>
+        a0 match {
+          case t: VTPoint =>
+            val interp = if (args.length >= 2) Interp.parse(args(1).asInstanceOf[String])
+                         else Interp.Linear
+            pointSeqFromTPoints(Seq(t), interp, lInc = true, uInc = true)
+          case seq: IndexedSeq[_] =>
+            val interp = if (args.length >= 2) Interp.parse(args(1).asInstanceOf[String])
+                         else Interp.Linear
+            val lInc = if (args.length >= 3) args(2).asInstanceOf[Boolean] else true
+            val uInc = if (args.length >= 4) args(3).asInstanceOf[Boolean] else true
+            pointSeqFromTPoints(seq.asInstanceOf[IndexedSeq[Any]], interp, lInc, uInc)
+          case _ => bad(name, args)
+        }
+      case "tgeompointseqset" =>
+        a0 match {
+          case seq: IndexedSeq[_] =>
+            val parts = seq.map(_.asInstanceOf[VTPoint])
+            VTPoint(TPointAlg.sequenceSet(parts.flatMap(_.t.seqs).toArray,
+              Interp.Linear, parts.head.t.srid))
+          case t: VTPoint => VTPoint(TPointAlg.sequenceSet(t.t.seqs, Interp.Linear, t.t.srid))
+          case _ => bad(name, args)
+        }
+
+      // ================= output =================
+      case "astext" => a0 match {
+        case VTPoint(t) => printTPointText(t)
+        case VSetF(vs) if args.length == 2 => printSetD(vs, asLong(a1).toInt)
+        case VSpanF(s) if args.length == 2 => printSpanD(s, asLong(a1).toInt)
+        case VSpanSetF(ss) if args.length == 2 => printSpanSetD(ss, asLong(a1).toInt)
+        case m: MobVal => MobCodec.format(m)
+        case w: Array[Byte] => Wkb.asText(w)
+        case s: String => s
+        case _ => bad(name, args)
+      }
+      case "asewkt" => a0 match {
+        case VTPoint(t) => printTPointEwkt(t)
+        case m: MobVal => MobCodec.format(m)
+        case _ => bad(name, args)
+      }
+      case "st_astext" => Wkb.asText(a0.asInstanceOf[Array[Byte]])
+      case "tempsubtype" => a0 match {
+        case VTNum(t, _) => Subtype.name(t.subtype)
+        case VTText(t) => Subtype.name(t.subtype)
+        case VTPoint(t) => Subtype.name(t.subtype)
+        case _ => bad(name, args)
+      }
+      case "interp" => a0 match {
+        case VTNum(t, _) => Interp.name(t.interp)
+        case VTText(t) => Interp.name(t.interp)
+        case VTPoint(t) => Interp.name(t.interp)
+        case _ => bad(name, args)
+      }
+
+      // ================= accessors =================
+      case "memsize" => a0 match { // estimated serialized size (documented divergence)
+        case VSet(vs, _) => 16 + 8 * vs.length
+        case VSetF(vs) => 16 + 8 * vs.length
+        case VSetS(vs) => 16 + vs.map(_.length + 8).sum
+        case VSpan(_, _) | VSpanF(_) => 24
+        case VSpanSet(ss, _) => 16 + 24 * ss.length
+        case VSpanSetF(ss) => 16 + 24 * ss.length
+        case VTNum(t, _) => 24 + t.seqs.map(s => 16 + 16 * s.n).sum
+        case VTPoint(t) => 24 + t.seqs.map(s => 16 + 24 * s.n).sum
+        case _ => bad(name, args)
+      }
+      case "numvalues" => a0 match {
+        case VSet(vs, _) => vs.length
+        case VSetF(vs) => vs.length
+        case VSetS(vs) => vs.length
+        case VTNum(t, _) => TNumAlg.instants(t).map(_._1).distinct.length
+        case _ => bad(name, args)
+      }
+      case "numinstants" => a0 match {
+        case VTNum(t, _) => TNumAlg.numInstants(t)
+        case VTText(t) => t.seqs.map(_.ts.length).sum
+        case VTPoint(t) => TPointAlg.numInstants(t)
+        case _ => bad(name, args)
+      }
+      case "numtimestamps" => a0 match {
+        case VTNum(t, _) => TNumAlg.instants(t).map(_._2).distinct.length
+        case VTPoint(t) => t.seqs.flatMap(_.ts).distinct.length
+        case _ => bad(name, args)
+      }
+      case "startvalue" | "endvalue" | "minvalue" | "maxvalue" => a0 match {
+        case VTNum(t, k) =>
+          val v = name match {
+            case "startvalue" => TNumAlg.startValue(t)
+            case "endvalue" => TNumAlg.endValue(t)
+            case "minvalue" => TNumAlg.minValue(t)
+            case "maxvalue" => TNumAlg.maxValue(t)
+          }
+          v
+        case VTText(t) => name match {
+          case "startvalue" => t.seqs.head.vs.head
+          case "endvalue" => t.seqs.last.vs.last
+          case "minvalue" => t.seqs.flatMap(_.vs).min
+          case "maxvalue" => t.seqs.flatMap(_.vs).max
+        }
+        case VTPoint(t) => name match {
+          case "startvalue" => Wkb.writePoint(t.seqs.head.xs.head, t.seqs.head.ys.head)
+          case "endvalue" => Wkb.writePoint(t.seqs.last.xs.last, t.seqs.last.ys.last)
+          case _ => bad(name, args)
+        }
+        case VSet(vs, _) => name match {
+          case "startvalue" | "minvalue" => vs.head
+          case "endvalue" | "maxvalue" => vs.last
+        }
+        case VSetF(vs) => name match {
+          case "startvalue" | "minvalue" => vs.head
+          case "endvalue" | "maxvalue" => vs.last
+        }
+        case VSetS(vs) => name match {
+          case "startvalue" | "minvalue" => vs.head
+          case "endvalue" | "maxvalue" => vs.last
+        }
+        case _ => bad(name, args)
+      }
+      case "valuen" => a0 match {
+        case VTNum(t, _) => TNumAlg.valueN(t, asLong(a1).toInt).map(Double.box).orNull
+        case VSet(vs, _) =>
+          val n = asLong(a1).toInt
+          if (n >= 1 && n <= vs.length) vs(n - 1) else null
+        case VSetF(vs) =>
+          val n = asLong(a1).toInt
+          if (n >= 1 && n <= vs.length) vs(n - 1) else null
+        case VSetS(vs) =>
+          val n = asLong(a1).toInt
+          if (n >= 1 && n <= vs.length) vs(n - 1) else null
+        case _ => bad(name, args)
+      }
+      case "getvalue" => a0 match {
+        case VTNum(t, _) => t.seqs.head.vs.head
+        case VTText(t) => t.seqs.head.vs.head
+        case _ => bad(name, args)
+      }
+      case "getvalues" => a0 match {
+        case VTNum(t, _) => VSetF(SetAlg.makeD(TNumAlg.instants(t).map(_._1)))
+        case VTText(t) => VSetS(SetAlg.makeS(t.seqs.flatMap(_.vs)))
+        case _ => bad(name, args)
+      }
+      case "mininstant" | "maxinstant" => a0 match {
+        case VTNum(t, k) =>
+          VTNum(if (name == "mininstant") TNumAlg.minInstant(t) else TNumAlg.maxInstant(t), k)
+        case _ => bad(name, args)
+      }
+      case "instantn" | "startinstant" | "endinstant" => a0 match {
+        case VTNum(t, k) =>
+          val all = TNumAlg.instants(t)
+          val idx = name match {
+            case "startinstant" => 0
+            case "endinstant" => all.length - 1
+            case _ => asLong(a1).toInt - 1
+          }
+          if (idx < 0 || idx >= all.length) null
+          else VTNum(TNumAlg.instant(all(idx)._1, all(idx)._2), k)
+        case VTPoint(t) =>
+          val all = t.seqs.flatMap(s => (0 until s.n).map(i => (s.xs(i), s.ys(i), s.ts(i))))
+          val idx = name match {
+            case "startinstant" => 0
+            case "endinstant" => all.length - 1
+            case _ => asLong(a1).toInt - 1
+          }
+          if (idx < 0 || idx >= all.length) null
+          else VTPoint(TPointAlg.instant(all(idx)._1, all(idx)._2, all(idx)._3, t.srid))
+        case _ => bad(name, args)
+      }
+      case "gettimestamp" | "starttimestamp" => a0 match {
+        case VTNum(t, _) => TsVal(TNumAlg.startTimestamp(t))
+        case VTText(t) => TsVal(t.seqs.head.ts.head)
+        case VTPoint(t) => TsVal(TPointAlg.startTimestamp(t))
+        case _ => bad(name, args)
+      }
+      case "endtimestamp" => a0 match {
+        case VTNum(t, _) => TsVal(TNumAlg.endTimestamp(t))
+        case VTText(t) => TsVal(t.seqs.last.ts.last)
+        case VTPoint(t) => TsVal(TPointAlg.endTimestamp(t))
+        case _ => bad(name, args)
+      }
+      case "gettime" => a0 match {
+        case VTNum(t, _) => VSpanSet(TNumAlg.getTime(t), Dom.Tstz)
+        case VTPoint(t) => VSpanSet(SpanSetAlg.normalize(
+          t.seqs.map(s => SpanL(s.startT, s.endT, s.lInc, s.uInc))), Dom.Tstz)
+        case _ => bad(name, args)
+      }
+      case "duration" =>
+        val bound = if (args.length >= 2) a1.asInstanceOf[Boolean] else false
+        a0 match {
+          case VTNum(t, _) => IntervalVal(TNumAlg.duration(t, bound))
+          case VTPoint(t) => IntervalVal(TPointAlg.duration(t, bound))
+          case VSpan(s, d) if d == Dom.Tstz => IntervalVal(SpanAlg.widthL(s))
+          case VSpanSet(ss, d) if d == Dom.Tstz =>
+            IntervalVal(if (bound) ss.last.upper - ss.head.lower else SpanSetAlg.width(ss))
+          case _ => bad(name, args)
+        }
+      case "timespan" => a0 match {
+        case VTNum(t, _) => VSpan(TNumAlg.timeSpan(t), Dom.Tstz)
+        case VTPoint(t) => VSpan(TPointAlg.timeSpan(t), Dom.Tstz)
+        case VTBox(b) => VSpan(SpanL(b.tmin, b.tmax, b.tminInc, b.tmaxInc), Dom.Tstz)
+        case VSTBox(b) => VSpan(SpanL(b.tmin, b.tmax, b.tminInc, b.tmaxInc), Dom.Tstz)
+        case _ => bad(name, args)
+      }
+      case "valuespan" => a0 match {
+        case VTNum(t, _) => VSpanF(TNumAlg.valueSpan(t))
+        case _ => bad(name, args)
+      }
+      case "valueset" => a0 match {
+        case VTNum(t, _) => VSetF(SetAlg.makeD(TNumAlg.instants(t).map(_._1)))
+        case _ => bad(name, args)
+      }
+      case "sequences" => a0 match {
+        case VTNum(t, k) => TNumAlg.sequences(t).map(VTNum(_, k)).toSeq
+        case VTPoint(t) => t.seqs.map(s =>
+          VTPoint(TPoint(Subtype.Sequence, t.interp, t.srid, Array(s)))).toSeq
+        case _ => bad(name, args)
+      }
+      case "numsequences" => a0 match {
+        case VTNum(t, _) => t.seqs.length
+        case VTPoint(t) => t.seqs.length
+        case _ => bad(name, args)
+      }
+      case "sequencen" | "startsequence" | "endsequence" => a0 match {
+        case VTNum(t, k) =>
+          val idx = name match {
+            case "startsequence" => 0
+            case "endsequence" => t.seqs.length - 1
+            case _ => asLong(a1).toInt - 1
+          }
+          if (idx < 0 || idx >= t.seqs.length) null
+          else VTNum(TNum(Subtype.Sequence,
+            if (t.interp == Interp.None) Interp.Discrete else t.interp,
+            Array(t.seqs(idx))), k)
+        case _ => bad(name, args)
+      }
+      case "lower" => a0 match {
+        case VSpan(s, _) => s.lower
+        case VSpanF(s) => s.lower
+        case VSpanSet(ss, _) => ss.head.lower
+        case VSpanSetF(ss) => ss.head.lower
+        case s: String => s.toLowerCase
+        case _ => bad(name, args)
+      }
+      case "upper" => a0 match {
+        case VSpan(s, _) => s.upper
+        case VSpanF(s) => s.upper
+        case VSpanSet(ss, _) => ss.last.upper
+        case VSpanSetF(ss) => ss.last.upper
+        case s: String => s.toUpperCase
+        case _ => bad(name, args)
+      }
+      case "lowerinc" => a0 match {
+        case VSpan(s, _) => s.lowerInc
+        case VSpanF(s) => s.lowerInc
+        case VSpanSet(ss, _) => ss.head.lowerInc
+        case VSpanSetF(ss) => ss.head.lowerInc
+        case _ => bad(name, args)
+      }
+      case "upperinc" => a0 match {
+        case VSpan(s, _) => s.upperInc
+        case VSpanF(s) => s.upperInc
+        case VSpanSet(ss, _) => ss.last.upperInc
+        case VSpanSetF(ss) => ss.last.upperInc
+        case _ => bad(name, args)
+      }
+      case "width" =>
+        val bound = if (args.length >= 2) a1.asInstanceOf[Boolean] else false
+        a0 match {
+          case VSpan(s, _) => SpanAlg.widthL(s)
+          case VSpanF(s) => SpanAlg.widthD(s)
+          case VSpanSet(ss, _) =>
+            if (bound) ss.last.upper - ss.head.lower else SpanSetAlg.width(ss)
+          case VSpanSetF(ss) =>
+            if (bound) ss.last.upper - ss.head.lower else ss.map(SpanAlg.widthD).sum
+          case _ => bad(name, args)
+        }
+      case "numspans" => a0 match {
+        case VSpanSet(ss, _) => ss.length
+        case VSpanSetF(ss) => ss.length
+        case _ => bad(name, args)
+      }
+      case "startspan" | "endspan" | "spann" => a0 match {
+        case VSpanSet(ss, d) =>
+          val idx = name match {
+            case "startspan" => 0
+            case "endspan" => ss.length - 1
+            case _ => asLong(a1).toInt - 1
+          }
+          if (idx < 0 || idx >= ss.length) null else VSpan(ss(idx), d)
+        case VSpanSetF(ss) =>
+          val idx = name match {
+            case "startspan" => 0
+            case "endspan" => ss.length - 1
+            case _ => asLong(a1).toInt - 1
+          }
+          if (idx < 0 || idx >= ss.length) null else VSpanF(ss(idx))
+        case _ => bad(name, args)
+      }
+      case "hasx" => a0 match {
+        case VTBox(b) => b.hasX
+        case VSTBox(b) => b.hasX
+        case _ => bad(name, args)
+      }
+      case "hast" => a0 match {
+        case VTBox(b) => b.hasT
+        case VSTBox(b) => b.hasT
+        case _ => bad(name, args)
+      }
+      case "hasz" => a0 match {
+        case VSTBox(b) => b.hasZ
+        case _ => bad(name, args)
+      }
+      case "xmin" => a0 match {
+        case VTBox(b) => if (b.hasX) b.xmin else null
+        case VSTBox(b) => if (b.hasX) b.xmin else null
+        case _ => bad(name, args)
+      }
+      case "xmax" => a0 match {
+        case VTBox(b) => if (b.hasX) b.xmax else null
+        case VSTBox(b) => if (b.hasX) b.xmax else null
+        case _ => bad(name, args)
+      }
+      case "ymin" => a0 match { case VSTBox(b) => if (b.hasX) b.ymin else null; case _ => bad(name, args) }
+      case "ymax" => a0 match { case VSTBox(b) => if (b.hasX) b.ymax else null; case _ => bad(name, args) }
+      case "zmin" => a0 match { case VSTBox(b) => if (b.hasZ) b.zmin else null; case _ => bad(name, args) }
+      case "zmax" => a0 match { case VSTBox(b) => if (b.hasZ) b.zmax else null; case _ => bad(name, args) }
+      case "xmininc" => a0 match { case VTBox(b) => if (b.hasX) b.xminInc else null; case _ => bad(name, args) }
+      case "xmaxinc" => a0 match { case VTBox(b) => if (b.hasX) b.xmaxInc else null; case _ => bad(name, args) }
+      case "tmin" => a0 match {
+        case VTBox(b) => if (b.hasT) TsVal(b.tmin) else null
+        case VSTBox(b) => if (b.hasT) TsVal(b.tmin) else null
+        case _ => bad(name, args)
+      }
+      case "tmax" => a0 match {
+        case VTBox(b) => if (b.hasT) TsVal(b.tmax) else null
+        case VSTBox(b) => if (b.hasT) TsVal(b.tmax) else null
+        case _ => bad(name, args)
+      }
+      case "tmininc" => a0 match {
+        case VTBox(b) => if (b.hasT) b.tminInc else null
+        case VSTBox(b) => if (b.hasT) b.tminInc else null
+        case _ => bad(name, args)
+      }
+      case "tmaxinc" => a0 match {
+        case VTBox(b) => if (b.hasT) b.tmaxInc else null
+        case VSTBox(b) => if (b.hasT) b.tmaxInc else null
+        case _ => bad(name, args)
+      }
+      case "area" => a0 match { case VSTBox(b) => BoxAlg.area(b); case _ => bad(name, args) }
+      case "isgeodetic" => a0 match { case VSTBox(b) => b.geodetic; case _ => bad(name, args) }
+      case "srid" => a0 match {
+        case VSTBox(b) => b.srid
+        case VTPoint(t) => t.srid
+        case _ => bad(name, args)
+      }
+
+      // ================= transforms =================
+      case "shift" => (a0, a1) match {
+        case (VSet(vs, d), IntervalVal(us)) => VSet(vs.map(_ + us), d)
+        case (VSet(vs, d), v) => VSet(vs.map(_ + asLong(v)), d)
+        case (VSetF(vs), v) => VSetF(vs.map(_ + asDouble(v)))
+        case (VSpan(s, d), IntervalVal(us)) => VSpan(SpanAlg.shiftL(s, us), d)
+        case (VSpan(s, d), v) => VSpan(SpanAlg.shiftL(s, asLong(v)), d)
+        case (VSpanF(s), v) => VSpanF(SpanAlg.shiftD(s, asDouble(v)))
+        case (VSpanSet(ss, d), IntervalVal(us)) => VSpanSet(ss.map(SpanAlg.shiftL(_, us)), d)
+        case (VSpanSet(ss, d), v) => VSpanSet(ss.map(SpanAlg.shiftL(_, asLong(v))), d)
+        case (VSpanSetF(ss), v) => VSpanSetF(ss.map(SpanAlg.shiftD(_, asDouble(v))))
+        case _ => bad(name, args)
+      }
+      case "scale" => (a0, a1) match {
+        case (VSpan(s, d), IntervalVal(us)) => VSpan(SpanAlg.scaleL(s, us), d)
+        case (VSpan(s, d), v) => VSpan(SpanAlg.scaleL(s, asLong(v)), d)
+        case (VSpanF(s), v) => VSpanF(SpanAlg.scaleD(s, asDouble(v)))
+        case (VSet(vs, d), v) => // scale set width to v anchored at min
+          val w = a1 match { case IntervalVal(us) => us; case x => asLong(x) }
+          val (lo, hi) = (vs.head, vs.last)
+          VSet(if (hi == lo) vs else
+            vs.map(x => lo + ((x - lo).toDouble * w / (hi - lo)).round), d)
+        case _ => bad(name, args)
+      }
+      case "shiftscale" => (a0, args(1), args(2)) match {
+        case (VSpan(s, d), sh, sc) =>
+          val shv = sh match { case IntervalVal(us) => us; case x => asLong(x) }
+          val scv = sc match { case IntervalVal(us) => us; case x => asLong(x) }
+          VSpan(SpanAlg.scaleL(SpanAlg.shiftL(s, shv), scv), d)
+        case (VSpanF(s), sh, sc) =>
+          VSpanF(SpanAlg.scaleD(SpanAlg.shiftD(s, asDouble(sh)), asDouble(sc)))
+        case _ => bad(name, args)
+      }
+      case "round" =>
+        val digits = if (args.length >= 2) asLong(a1).toInt else 0
+        def r(v: Double) = BigDecimal(v).setScale(digits, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+        a0 match {
+          case VSetF(vs) => VSetF(SetAlg.makeD(vs.map(r)))
+          case VSpanF(s) => VSpanF(SpanD(r(s.lower), r(s.upper), s.lowerInc, s.upperInc))
+          case VSpanSetF(ss) => VSpanSetF(ss.map(s => SpanD(r(s.lower), r(s.upper), s.lowerInc, s.upperInc)))
+          case VTNum(t, k) => VTNum(TNum(t.subtype, t.interp,
+            t.seqs.map(s => s.copy(vs = s.vs.map(r)))), k)
+          case _ => bad(name, args)
+        }
+      case "floor" => a0 match {
+        case VSetF(vs) => VSetF(SetAlg.makeD(vs.map(math.floor)))
+        case _ => bad(name, args)
+      }
+      case "ceil" => a0 match {
+        case VSetF(vs) => VSetF(SetAlg.makeD(vs.map(math.ceil)))
+        case _ => bad(name, args)
+      }
+      case "shiftvalue" => a0 match {
+        case VTNum(t, k) => VTNum(TNumAlg.shiftValue(t, asDouble(a1)), k)
+        case VTBox(b) => VTBox(BoxAlg.shiftValueT(b, asDouble(a1)))
+        case _ => bad(name, args)
+      }
+      case "scalevalue" => a0 match {
+        case VTNum(t, k) => VTNum(TNumAlg.scaleValue(t, asDouble(a1)), k)
+        case _ => bad(name, args)
+      }
+      case "shiftscalevalue" => a0 match {
+        case VTNum(t, k) =>
+          VTNum(TNumAlg.scaleValue(TNumAlg.shiftValue(t, asDouble(a1)), asDouble(args(2))), k)
+        case _ => bad(name, args)
+      }
+      case "shifttime" =>
+        val d = a1 match { case IntervalVal(us) => us; case x => asLong(x) }
+        a0 match {
+          case VTNum(t, k) => VTNum(TNumAlg.shiftTime(t, d), k)
+          case VTBox(b) => VTBox(BoxAlg.shiftTimeT(b, d))
+          case VTPoint(t) => VTPoint(TPoint(t.subtype, t.interp, t.srid,
+            t.seqs.map(s => s.copy(ts = s.ts.map(_ + d)))))
+          case _ => bad(name, args)
+        }
+      case "scaletime" =>
+        val d = a1 match { case IntervalVal(us) => us; case x => asLong(x) }
+        a0 match {
+          case VTNum(t, k) => VTNum(TNumAlg.scaleTime(t, d), k)
+          case _ => bad(name, args)
+        }
+      case "expandvalue" => a0 match {
+        case VTBox(b) => VTBox(BoxAlg.expandValueT(b, asDouble(a1)))
+        case _ => bad(name, args)
+      }
+      case "expandtime" =>
+        val d = a1 match { case IntervalVal(us) => us; case x => asLong(x) }
+        a0 match {
+          case VTBox(b) => VTBox(BoxAlg.expandTimeT(b, d))
+          case VSTBox(b) => VSTBox(b.copy(tmin = b.tmin - d, tmax = b.tmax + d))
+          case _ => bad(name, args)
+        }
+      case "expandspace" => a0 match {
+        case VSTBox(b) => VSTBox(BoxAlg.expandSpace(b, asDouble(a1)))
+        case VTPoint(t) => VSTBox(BoxAlg.expandSpace(TPointAlg.stbox(t), asDouble(a1)))
+        case _ => bad(name, args)
+      }
+      case "setsrid" => a0 match {
+        case VSTBox(b) => VSTBox(b.copy(srid = asLong(a1).toInt))
+        case VTPoint(t) => VTPoint(t.copy(srid = asLong(a1).toInt))
+        case _ => bad(name, args)
+      }
+      case "transform" => // only 4326 -> 3857 (SURVEY §7: BerlinMOD's only use)
+        a0 match {
+          case VTPoint(t) =>
+            val target = asLong(a1).toInt
+            require(target == 3857 && (t.srid == 4326 || t.srid == 0),
+              s"only 4326->3857 supported, got ${t.srid}->$target")
+            VTPoint(TPoint(t.subtype, t.interp, 3857, t.seqs.map { s =>
+              val conv = (0 until s.n).map(i => Geo.lonLatToMercator(s.xs(i), s.ys(i)))
+              s.copy(xs = conv.map(_._1).toArray, ys = conv.map(_._2).toArray)
+            }))
+          case _ => bad(name, args)
+        }
+      case "setinterp" => a0 match {
+        case VTNum(t, k) => VTNum(t.copy(interp = Interp.parse(a1.asInstanceOf[String])), k)
+        case VTPoint(t) => VTPoint(t.copy(interp = Interp.parse(a1.asInstanceOf[String])))
+        case _ => bad(name, args)
+      }
+
+      // ================= restriction =================
+      case "attime" => (a0, a1) match {
+        case (VTNum(t, k), VSpan(w, _)) => TNumAlg.atTimeSpan(t, w).map(VTNum(_, k)).orNull
+        case (VTNum(t, k), VSpanSet(ws, _)) => TNumAlg.atTimeSpanSet(t, ws).map(VTNum(_, k)).orNull
+        case (VTNum(t, k), TsVal(us)) =>
+          TNumAlg.atTimeSpan(t, SpanL(us, us, true, true)).map(VTNum(_, k)).orNull
+        case (VTPoint(t), VSpan(w, _)) => TPointAlg.atTimeSpan(t, w).map(VTPoint).orNull
+        case (VTPoint(t), VSpanSet(ws, _)) => TPointAlg.atTimeSpanSet(t, ws).map(VTPoint).orNull
+        case (VTPoint(t), TsVal(us)) =>
+          TPointAlg.atTimeSpan(t, SpanL(us, us, true, true)).map(VTPoint).orNull
+        case _ => bad(name, args)
+      }
+      case "atvalues" => (a0, a1) match {
+        case (VTNum(t, k), v: Boolean) =>
+          TNumAlg.atValue(t, if (v) 1.0 else 0.0).map(VTNum(_, k)).orNull
+        case (VTNum(t, k), v) => TNumAlg.atValue(t, asDouble(v)).map(VTNum(_, k)).orNull
+        case (VTPoint(t), w: Array[Byte]) =>
+          val (_, pts) = Wkb.read(w)
+          // restrict to times the point is exactly at the given position
+          val spans = scala.collection.mutable.ArrayBuffer[SpanL]()
+          for (s <- t.seqs; i <- 0 until s.n
+               if s.xs(i) == pts.head._1 && s.ys(i) == pts.head._2)
+            spans += SpanL(s.ts(i), s.ts(i), true, true)
+          if (spans.isEmpty) null
+          else TPointAlg.atTimeSpanSet(t, SpanSetAlg.normalize(spans.toArray)).map(VTPoint).orNull
+        case _ => bad(name, args)
+      }
+      case "valueattimestamp" => (a0, a1) match {
+        case (VTNum(t, _), TsVal(us)) => TNumAlg.valueAt(t, us).map(Double.box).orNull
+        case (VTPoint(t), TsVal(us)) =>
+          TPointAlg.valueAt(t, us).map { case (x, y) => Wkb.writePoint(x, y) }.orNull
+        case _ => bad(name, args)
+      }
+      case "atgeometry" => (a0, a1) match {
+        case (VTPoint(t), w: Array[Byte]) =>
+          val (gt, pts) = Wkb.read(w)
+          require(gt == Wkb.PolygonType, "atGeometry expects a polygon")
+          TPointAlg.atGeometry(t, pts.dropRight(1)).map(VTPoint).orNull
+        case _ => bad(name, args)
+      }
+      case "whentrue" => a0 match {
+        case VTNum(t, _) =>
+          val spans = TNumAlg.whenTrue(t)
+          if (spans.isEmpty) null else VSpanSet(spans, Dom.Tstz)
+        case _ => bad(name, args)
+      }
+
+      // ================= spatial =================
+      case "length" => a0 match {
+        case VTPoint(t) => TPointAlg.length(t)
+        case s: String => s.length
+        case _ => bad(name, args)
+      }
+      case "speed" => a0 match {
+        case VTPoint(t) => TPointAlg.avgSpeed(t)
+        case _ => bad(name, args)
+      }
+      case "trajectory" => a0 match {
+        case VTPoint(t) => TPointAlg.trajectory(t)
+        case _ => bad(name, args)
+      }
+      case "edwithin" => (a0, a1) match {
+        case (VTPoint(a), VTPoint(b)) => TPointAlg.eDwithin(a, b, asDouble(args(2)))
+        case (VTPoint(a), w: Array[Byte]) =>
+          val (_, pts) = Wkb.read(w)
+          val b = TPointAlg.instant(pts.head._1, pts.head._2, TPointAlg.startTimestamp(a))
+          // static geometry: compare against every segment at all times
+          a.seqs.exists { s => (0 until s.n - 1).exists { i =>
+            val d = asDouble(args(2))
+            segPointMinDist(s.xs(i), s.ys(i), s.xs(i + 1), s.ys(i + 1),
+              pts.head._1, pts.head._2) <= d
+          } || (s.n == 1 && math.hypot(s.xs(0) - pts.head._1, s.ys(0) - pts.head._2) <= asDouble(args(2))) }
+        case _ => bad(name, args)
+      }
+      case "adisjoint" => (a0, a1) match {
+        case (VTPoint(a), VTPoint(b)) => TPointAlg.aDisjoint(a, b)
+        case _ => bad(name, args)
+      }
+      case "tdwithin" => (a0, a1) match {
+        case (VTPoint(a), VTPoint(b)) =>
+          TPointAlg.tDwithin(a, b, asDouble(args(2))).map(VTNum(_, Kind.Bool)).orNull
+        case _ => bad(name, args)
+      }
+      case "mindistance" => (a0, a1) match {
+        case (VTPoint(a), VTPoint(b)) =>
+          val d = TPointAlg.minDistance(a, b)
+          if (d.isNaN) null else d
+        case _ => bad(name, args)
+      }
+      case "st_point" => Wkb.writePoint(asDouble(a0), asDouble(a1))
+      case "st_transform" =>
+        val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        val conv = pts.map(p => Geo.lonLatToMercator(p._1, p._2))
+        gt match {
+          case Wkb.PointType => Wkb.writePoint(conv.head._1, conv.head._2)
+          case Wkb.LineStringType => Wkb.writeLineString(conv)
+          case Wkb.PolygonType => Wkb.writePolygon(conv)
+        }
+
+      // ================= topological ops =================
+      case "op_overlaps" => evalOverlaps(a0, a1)
+      case "op_contains" => evalContains(a0, a1)
+      case "op_contained" => evalContains(a1, a0)
+      case "op_adjacent" => (a0, a1) match {
+        case (VSpan(a, _), VSpan(b, _)) => SpanAlg.adjacent(a, b)
+        case _ => bad(name, args)
+      }
+
+      // ================= casts =================
+      case "to_stbox" => a0 match {
+        case VTPoint(t) => VSTBox(TPointAlg.stbox(t))
+        case s: String => VSTBox(parseSTBox(s))
+        case w: Array[Byte] => VSTBox(BoxAlg.stboxFromGeom(w))
+        case VSpan(s, d) if d == Dom.Tstz => VSTBox(BoxAlg.stboxFromTSpan(s))
+        case b: VSTBox => b
+        case _ => bad(name, args)
+      }
+      case "to_tbox" => a0 match {
+        case VTNum(t, k) =>
+          val b = BoxAlg.tboxOfTNum(t)
+          VTBox(if (k == Kind.Int)
+            b.copy(xmax = b.xmax + 1, xmaxInc = false, xInt = true) else b)
+        case s: String => VTBox(parseTBox(s))
+        case VSpan(s, d) if d != Dom.Tstz => VTBox(BoxAlg.tboxFromSpanD(
+          SpanD(s.lower, s.upper, s.lowerInc, s.upperInc), xInt = true))
+        case VSpanF(s) => VTBox(BoxAlg.tboxFromSpanD(s))
+        case TsVal(us) => VTBox(BoxAlg.tboxFromTs(us))
+        case b: VTBox => b
+        case _ => bad(name, args)
+      }
+      case "to_tstzspan" => a0 match {
+        case VTNum(t, _) => VSpan(TNumAlg.timeSpan(t), Dom.Tstz)
+        case VTPoint(t) => VSpan(TPointAlg.timeSpan(t), Dom.Tstz)
+        case VTBox(b) => VSpan(SpanL(b.tmin, b.tmax, b.tminInc, b.tmaxInc), Dom.Tstz)
+        case VSTBox(b) => VSpan(SpanL(b.tmin, b.tmax, b.tminInc, b.tmaxInc), Dom.Tstz)
+        case TsVal(us) => VSpan(SpanL(us, us, true, true), Dom.Tstz)
+        case VSet(vs, d) if d == Dom.Tstz => VSpan(SetAlg.spanOf(vs, discrete = false), Dom.Tstz)
+        case VSpanSet(ss, d) if d == Dom.Tstz => VSpan(SpanSetAlg.span(ss), Dom.Tstz)
+        case s: String => VSpan(parseSpanL(s, DomTs), Dom.Tstz)
+        case v: VSpan => v
+        case _ => bad(name, args)
+      }
+      case "to_intspan" | "to_bigintspan" | "to_datespan" =>
+        val d = dom(name.substring(3))
+        a0 match {
+          case VSet(vs, _) => VSpan(SetAlg.spanOf(vs, discrete = true), d)
+          case VSpanSet(ss, _) => VSpan(SpanSetAlg.span(ss), d)
+          case VSpanF(s) => VSpan(SpanAlg.canonDiscrete(
+            math.floor(s.lower).toLong, math.floor(s.upper).toLong,
+            s.lowerInc, s.upperInc), d)
+          case VSpan(s, _) => VSpan(s, d)
+          case DateVal(dd) => VSpan(SpanAlg.canonDiscrete(dd, dd, true, true), d)
+          case v => val x = asLong(v); VSpan(SpanAlg.canonDiscrete(x, x, true, true), d)
+        }
+      case "to_floatspan" => a0 match {
+        case VSpan(s, _) => VSpanF(SpanD(s.lower, s.upper, s.lowerInc, s.upperInc))
+        case VSetF(vs) => VSpanF(SpanD(vs.head, vs.last, true, true))
+        case VTNum(t, _) => VSpanF(TNumAlg.valueSpan(t))
+        case v => val x = asDouble(v); VSpanF(SpanD(x, x, true, true))
+      }
+      case "to_tstzspanset" => a0 match {
+        case VSpan(s, d) if d == Dom.Tstz => VSpanSet(Array(s), Dom.Tstz)
+        case TsVal(us) => VSpanSet(Array(SpanL(us, us, true, true)), Dom.Tstz)
+        case VSet(vs, d) if d == Dom.Tstz =>
+          VSpanSet(vs.map(v => SpanL(v, v, true, true)), Dom.Tstz)
+        case VTNum(t, _) => VSpanSet(TNumAlg.getTime(t), Dom.Tstz)
+        case v: VSpanSet => v
+        case _ => bad(name, args)
+      }
+      case "to_intspanset" | "to_bigintspanset" | "to_datespanset" =>
+        val d = dom(name.substring(3))
+        a0 match {
+          case VSpan(s, _) => VSpanSet(Array(s), d)
+          case VSet(vs, _) => VSpanSet(SpanSetAlg.normalize(
+            vs.map(v => SpanAlg.canonDiscrete(v, v, true, true))), d)
+          case v: VSpanSet => VSpanSet(v.ss, d)
+          case _ => bad(name, args)
+        }
+      case "to_floatspanset" => a0 match {
+        case VSpanF(s) => VSpanSetF(Array(s))
+        case _ => bad(name, args)
+      }
+      case "to_tfloat" => a0 match {
+        case VTNum(t, _) => VTNum(t, Kind.Float)
+        case _ => bad(name, args)
+      }
+      case "to_tstzset" => a0 match {
+        case TsVal(us) => VSet(Array(us), Dom.Tstz)
+        case VSet(vs, _) => VSet(vs, Dom.Tstz)
+        case _ => bad(name, args)
+      }
+      case "to_intset" => a0 match {
+        case VSet(vs, _) => VSet(vs, Dom.Int)
+        case _ => bad(name, args)
+      }
+
+      case other => throw new IllegalArgumentException(
+        s"unknown mobility function '$other'")
+    }
+  }
+
+  private def segPointMinDist(x0: Double, y0: Double, x1: Double, y1: Double,
+                              px: Double, py: Double): Double = {
+    val dx = x1 - x0; val dy = y1 - y0
+    val len2 = dx * dx + dy * dy
+    val u = if (len2 == 0) 0.0
+            else math.max(0.0, math.min(1.0, ((px - x0) * dx + (py - y0) * dy) / len2))
+    math.hypot(x0 + u * dx - px, y0 + u * dy - py)
+  }
+
+  private def evalOverlaps(a: Any, b: Any): Boolean = (a, b) match {
+    case (VSTBox(x), VSTBox(y)) => BoxAlg.overlapsST(x, y)
+    case (VTPoint(t), VSTBox(y)) => BoxAlg.overlapsST(TPointAlg.stbox(t), y)
+    case (VSTBox(y), VTPoint(t)) => BoxAlg.overlapsST(y, TPointAlg.stbox(t))
+    case (VTPoint(t), VSpan(s, _)) => SpanAlg.overlaps(TPointAlg.timeSpan(t), s)
+    case (VSpan(s, _), VTPoint(t)) => SpanAlg.overlaps(s, TPointAlg.timeSpan(t))
+    case (VTPoint(t), VTPoint(u)) =>
+      BoxAlg.overlapsST(TPointAlg.stbox(t), TPointAlg.stbox(u))
+    case (VTBox(x), VTBox(y)) => BoxAlg.overlapsT(x, y)
+    case (VTNum(t, _), VSpan(s, _)) => SpanAlg.overlaps(TNumAlg.timeSpan(t), s)
+    case (VSpan(s, _), VTNum(t, _)) => SpanAlg.overlaps(s, TNumAlg.timeSpan(t))
+    case (VTNum(t, _), VTBox(y)) => BoxAlg.overlapsT(BoxAlg.tboxOfTNum(t), y)
+    case (VSpan(x, _), VSpan(y, _)) => SpanAlg.overlaps(x, y)
+    case (VSpanF(x), VSpanF(y)) => SpanAlg.overlapsD(x, y)
+    case (VSpanSet(x, _), VSpan(y, _)) => SpanSetAlg.overlapsSpan(x, y)
+    case (VSpan(y, _), VSpanSet(x, _)) => SpanSetAlg.overlapsSpan(x, y)
+    case (VSpanSet(x, _), VSpanSet(y, _)) => y.exists(SpanSetAlg.overlapsSpan(x, _))
+    case (VSet(x, _), VSet(y, _)) => SetAlg.interL(x, y).nonEmpty
+    case _ => throw new IllegalArgumentException(
+      s"op_overlaps: unsupported (${a.getClass.getSimpleName}, ${b.getClass.getSimpleName})")
+  }
+
+  private def evalContains(a: Any, b: Any): Boolean = (a, b) match {
+    case (VSpan(s, _), TsVal(us)) => SpanAlg.containsValue(s, us)
+    case (VSpan(s, _), DateVal(d)) => SpanAlg.containsValue(s, d)
+    case (VSpan(s, _), VSpan(t, _)) => SpanAlg.containsSpan(s, t)
+    case (VSpanF(s), VSpanF(t)) => SpanAlg.containsSpanD(s, t)
+    case (VSpan(s, _), x: Long) => SpanAlg.containsValue(s, x)
+    case (VSpan(s, _), x: Int) => SpanAlg.containsValue(s, x.toLong)
+    case (VSpanF(s), x: Double) => SpanAlg.containsValueD(s, x)
+    case (VSpanSet(ss, _), TsVal(us)) => SpanSetAlg.contains(ss, us)
+    case (VSpanSet(ss, _), VSpan(t, _)) =>
+      SpanSetAlg.intersectionSpan(ss, t).map(SpanAlg.widthL).sum == SpanAlg.widthL(t)
+    case (VSTBox(x), VSTBox(y)) => BoxAlg.containsST(x, y)
+    case (VSTBox(x), VTPoint(t)) => BoxAlg.containsST(x, TPointAlg.stbox(t))
+    case (VTPoint(t), VSTBox(x)) => BoxAlg.containsST(TPointAlg.stbox(t), x)
+    case (VTBox(x), VTBox(y)) => BoxAlg.containsT(x, y)
+    case (VSet(x, _), VSet(y, _)) => y.forall(x.toSet)
+    case (VSpan(s, _), VSet(y, _)) => y.forall(SpanAlg.containsValue(s, _))
+    case _ => throw new IllegalArgumentException(
+      s"op_contains: unsupported (${a.getClass.getSimpleName}, ${b.getClass.getSimpleName})")
+  }
+
+  private def evalTBoxCtor(args: IndexedSeq[Any]): VTBox = {
+    def asD(x: Any): Double = x match {
+      case d: Double => d; case l: Long => l.toDouble; case i: Int => i.toDouble
+    }
+    def isIntLike(x: Any): Boolean = x match {
+      case _: Long | _: Int => true
+      case _ => false
+    }
+    args.toList match {
+      case (s: String) :: Nil => VTBox(parseTBox(s))
+      case v :: Nil if isIntLike(v) =>
+        VTBox(BoxAlg.tboxFromSpanD(SpanD(asD(v), asD(v) + 1, true, false), xInt = true))
+      case (v: Double) :: Nil =>
+        VTBox(BoxAlg.tboxFromSpanD(SpanD(v, v, true, true)))
+      case TsVal(us) :: Nil => VTBox(BoxAlg.tboxFromTs(us))
+      case v :: TsVal(us) :: Nil if isIntLike(v) =>
+        VTBox(BoxAlg.tbox(SpanD(asD(v), asD(v) + 1, true, false),
+          SpanL(us, us, true, true), xInt = true))
+      case (v: Double) :: TsVal(us) :: Nil =>
+        VTBox(BoxAlg.tbox(SpanD(v, v, true, true), SpanL(us, us, true, true)))
+      case v :: VSpan(t, d) :: Nil if isIntLike(v) && d == Dom.Tstz =>
+        VTBox(BoxAlg.tbox(SpanD(asD(v), asD(v) + 1, true, false), t, xInt = true))
+      case (v: Double) :: VSpan(t, d) :: Nil if d == Dom.Tstz =>
+        VTBox(BoxAlg.tbox(SpanD(v, v, true, true), t))
+      case VSpan(s, d) :: Nil if d != Dom.Tstz =>
+        VTBox(BoxAlg.tboxFromSpanD(SpanD(s.lower, s.upper, s.lowerInc, s.upperInc), xInt = true))
+      case VSpanF(s) :: Nil => VTBox(BoxAlg.tboxFromSpanD(s))
+      case VSpan(s, d) :: Nil if d == Dom.Tstz => VTBox(BoxAlg.tboxFromTSpan(s))
+      case VSpan(s, d) :: TsVal(us) :: Nil if d != Dom.Tstz =>
+        VTBox(BoxAlg.tbox(SpanD(s.lower, s.upper, s.lowerInc, s.upperInc),
+          SpanL(us, us, true, true), xInt = true))
+      case VSpanF(s) :: TsVal(us) :: Nil =>
+        VTBox(BoxAlg.tbox(s, SpanL(us, us, true, true)))
+      case VSpan(s, d) :: VSpan(t, dt) :: Nil if d != Dom.Tstz && dt == Dom.Tstz =>
+        VTBox(BoxAlg.tbox(SpanD(s.lower, s.upper, s.lowerInc, s.upperInc), t, xInt = true))
+      case VSpanF(s) :: VSpan(t, dt) :: Nil if dt == Dom.Tstz =>
+        VTBox(BoxAlg.tbox(s, t))
+      case VSet(vs, d) :: Nil if d != Dom.Tstz =>
+        VTBox(BoxAlg.tboxFromSpanD(SpanD(vs.head, vs.last + 1, true, false), xInt = true))
+      case VSet(vs, d) :: Nil if d == Dom.Tstz =>
+        VTBox(BoxAlg.tboxFromTSpan(SpanL(vs.head, vs.last, true, true)))
+      case VSetF(vs) :: Nil =>
+        VTBox(BoxAlg.tboxFromSpanD(SpanD(vs.head, vs.last, true, true)))
+      case _ => bad("tbox", args)
+    }
+  }
+
+  private def evalSTBoxCtor(args: IndexedSeq[Any]): VSTBox = {
+    args.toList match {
+      case (s: String) :: Nil => VSTBox(parseSTBox(s))
+      case (w: Array[Byte]) :: Nil => VSTBox(BoxAlg.stboxFromGeom(w))
+      case (w: Array[Byte]) :: TsVal(us) :: Nil => VSTBox(BoxAlg.stboxGeomTs(w, us))
+      case (w: Array[Byte]) :: VSpan(s, _) :: Nil => VSTBox(BoxAlg.stboxGeomSpan(w, s))
+      case VTPoint(t) :: Nil => VSTBox(TPointAlg.stbox(t))
+      case TsVal(us) :: Nil =>
+        VSTBox(BoxAlg.stboxFromTSpan(SpanL(us, us, true, true)))
+      case VSpan(s, d) :: Nil if d == Dom.Tstz => VSTBox(BoxAlg.stboxFromTSpan(s))
+      case _ => bad("stbox", args)
+    }
+  }
+
+  private def bad(name: String, args: Seq[Any]): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: unsupported argument combination (${args.map(_.getClass.getSimpleName).mkString(", ")})")
+}

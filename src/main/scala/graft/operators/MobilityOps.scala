@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Temporal/spatiotemporal operator coverage over the driver's `events`
+  * table (SURVEY §2.2), verified against plain-SQL DuckDB oracles that
+  * recompute the same semantics independently (interpolation via window
+  * functions, span-set merge via gaps-and-islands, trajectory length via
+  * lag+hypot).
+  *
+  * Per-user temporal values are built with the registered mobility
+  * functions (collect_list → *seq constructors — the same two-phase
+  * pipeline the reference's BerlinMOD loader uses,
+  * ref benchmark/BerlinMOD/sql/load/07_trips.sql:26-37).
+  *
+  * Scale notes: one groupBy(user_id) shuffle builds each per-user value;
+  * everything downstream is a map-side expression on the grouped row.
+  * At 100 TB the same plan holds — sequences are bounded per entity, the
+  * shuffle is the unavoidable entity-grouping one, and all filters on
+  * span/box bounds are plain column comparisons (prunable, codegen).
+  */
+object MobilityOps {
+
+  private def cf(name: String, cols: Column*): Column = call_function(name, cols: _*)
+
+  /** Per-user tfloat sequence of (value @ ts), linear interp. */
+  private def userSeq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy("user_id")
+      .agg(cf("tfloatseq",
+        collect_list(cf("tfloat", col("value"), col("ts"))),
+        lit("linear")).as("seq"))
+  }
+
+  /** timeSpan / numInstants accessors on per-user sequences. */
+  def q1TimeSpan(s: SparkSession, d: String): DataFrame =
+    userSeq(s, d)
+      .select(
+        col("user_id"),
+        cf("numinstants", col("seq")).cast("long").as("n_events"),
+        round((unix_micros(cf("endtimestamp", col("seq"))) -
+          unix_micros(cf("starttimestamp", col("seq")))) / 1000000.0, 6)
+          .as("width_s"))
+      .orderBy("user_id")
+
+  /** valueAtTimestamp with linear interpolation at a fixed probe time,
+    * restricted to users whose domain contains it (op_contains). */
+  def q2ValueAt(s: SparkSession, d: String): DataFrame = {
+    val probe = lit("2024-01-15 00:00:00").cast("timestamp")
+    userSeq(s, d)
+      .filter(cf("op_contains", cf("timespan", col("seq")), probe))
+      .select(
+        col("user_id"),
+        round(cf("valueattimestamp", col("seq"), probe), 6).as("v_at"))
+      .orderBy("user_id")
+  }
+
+  /** atTime restriction to a fixed window + duration of the clipped part. */
+  def q3AtTime(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = cf("tstzspan",
+      lit("2024-01-10 00:00:00").cast("timestamp"),
+      lit("2024-01-20 00:00:00").cast("timestamp"))
+    userSeq(s, d)
+      .withColumn("clipped", cf("attime", col("seq"), w))
+      .filter(col("clipped").isNotNull)
+      .select(
+        col("user_id"),
+        round((unix_micros(cf("endtimestamp", col("clipped"))) -
+          unix_micros(cf("starttimestamp", col("clipped")))) / 1000000.0, 6)
+          .as("dur_s"))
+      .orderBy("user_id")
+  }
+
+  /** Session spans: per-event [ts, ts+30min) spans merged through the
+    * span-set normalizer; oracle recomputes with gaps-and-islands SQL. */
+  def q4Sessions(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        cf("tstzspan", col("ts"),
+          col("ts") + expr("INTERVAL 30 MINUTES")).as("sp"))
+      .groupBy("user_id")
+      .agg(cf("spanset", collect_list(col("sp"))).as("ss"))
+      .select(
+        col("user_id"),
+        cf("numspans", col("ss")).cast("long").as("num_sessions"),
+        round(cf("width", col("ss"), lit(false)).cast("long") / 1000000.0, 6)
+          .as("total_s"))
+      .orderBy("user_id")
+  }
+
+  /** 2D trajectory length: x=value, y=props.k, linear tgeompoint per user. */
+  def q5TrajLength(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("y"))
+      .groupBy("user_id")
+      .agg(cf("tgeompointseq",
+        collect_list(cf("tgeompoint", cf("st_point", col("value"), col("y")), col("ts"))),
+        lit("linear")).as("traj"))
+      .select(col("user_id"),
+        round(cf("length", col("traj")), 2).as("traj_len"))
+      .orderBy("user_id")
+  }
+
+  /** Spatiotemporal bounding-box filter: users whose trajectory stbox
+    * overlaps a constant box (the reference's R-tree query pattern,
+    * rtree_optimize_scan.cpp — here a sargable predicate). */
+  def q6StboxFilter(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val boxDf = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("y"))
+      .groupBy("user_id")
+      .agg(cf("tgeompointseq",
+        collect_list(cf("tgeompoint", cf("st_point", col("value"), col("y")), col("ts"))),
+        lit("linear")).as("traj"))
+      .withColumn("box", cf("to_stbox", col("traj")))
+    val qbox = cf("stbox", lit("STBOX X((0,0),(120,40))"))
+    boxDf
+      .filter(cf("op_overlaps", col("box"), qbox))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(cf("area", col("box"))), 2).as("total_area"))
+  }
+
+  /** whenTrue over a step TBOOL (value > 150): total true-hold seconds. */
+  def q7WhenTrue(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), (col("value") > 150).as("hot"))
+      .groupBy("user_id")
+      .agg(cf("tboolseq",
+        collect_list(cf("tbool", col("hot"), col("ts"))),
+        lit("step")).as("seq"))
+      .withColumn("tt", cf("whentrue", col("seq")))
+      .select(
+        col("user_id"),
+        coalesce(cf("width", col("tt"), lit(false)).cast("long"), lit(0L)).as("true_us"))
+      .select(col("user_id"),
+        round(col("true_us") / 1000000.0, 6).as("true_s"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle SQL (DuckDB) — all wrapped in a micros-truncation CTE so both
+    * engines see identical timestamps (Spark reads the nanos parquet
+    * truncated to micros). */
+  private val E =
+    """WITH e AS (SELECT event_id, user_id, value, props,
+       CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts FROM events)"""
+
+  val oracles: Map[String, String] = Map(
+    "mob_q1_timespan" ->
+      s"""$E
+         SELECT user_id, count(*) AS n_events,
+           round(epoch(max(ts)) - epoch(min(ts)), 6) AS width_s
+         FROM e GROUP BY user_id ORDER BY user_id""",
+    "mob_q2_value_at" ->
+      s"""$E, b AS (
+           SELECT user_id,
+             max(CASE WHEN ts <= TIMESTAMP '2024-01-15' THEN ts END) AS t0,
+             min(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN ts END) AS t1
+           FROM e GROUP BY user_id
+           HAVING min(ts) <= TIMESTAMP '2024-01-15'
+              AND max(ts) >= TIMESTAMP '2024-01-15')
+         SELECT b.user_id,
+           round(CASE WHEN b.t0 = b.t1 THEN v0.value
+             ELSE v0.value + (v1.value - v0.value)
+               * (epoch(TIMESTAMP '2024-01-15') - epoch(b.t0))
+               / (epoch(b.t1) - epoch(b.t0)) END, 6) AS v_at
+         FROM b
+         JOIN e v0 ON v0.user_id = b.user_id AND v0.ts = b.t0
+         JOIN e v1 ON v1.user_id = b.user_id AND v1.ts = b.t1
+         ORDER BY b.user_id""",
+    "mob_q3_at_time" ->
+      s"""$E
+         SELECT user_id,
+           round(epoch(least(max(ts), TIMESTAMP '2024-01-20'))
+             - epoch(greatest(min(ts), TIMESTAMP '2024-01-10')), 6) AS dur_s
+         FROM e GROUP BY user_id
+         HAVING max(ts) >= TIMESTAMP '2024-01-10'
+            AND min(ts) <= TIMESTAMP '2024-01-20'
+         ORDER BY user_id""",
+    "mob_q4_sessions" ->
+      s"""$E, s AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         g AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM s),
+         per AS (
+           SELECT user_id, sid,
+             epoch(max(ts)) + 1800 - epoch(min(ts)) AS sess_s
+           FROM g GROUP BY user_id, sid)
+         SELECT user_id, count(*) AS num_sessions,
+           round(sum(sess_s), 6) AS total_s
+         FROM per GROUP BY user_id ORDER BY user_id""",
+    "mob_q5_traj_length" ->
+      s"""$E, p AS (
+           SELECT user_id, ts, value AS x,
+             CAST(json_extract_string(props, 'k') AS DOUBLE) AS y
+           FROM e),
+         seg AS (
+           SELECT user_id,
+             sqrt(power(x - lag(x) OVER w, 2) + power(y - lag(y) OVER w, 2)) AS len
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id, round(sum(len), 2) AS traj_len
+         FROM seg WHERE len IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+    "mob_q6_stbox_filter" ->
+      s"""$E, p AS (
+           SELECT user_id, value AS x,
+             CAST(json_extract_string(props, 'k') AS DOUBLE) AS y
+           FROM e),
+         box AS (
+           SELECT user_id, min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax
+           FROM p GROUP BY user_id)
+         SELECT count(*) AS n_users,
+           round(sum((xmax - xmin) * (ymax - ymin)), 2) AS total_area
+         FROM box
+         WHERE xmin <= 120 AND 0 <= xmax AND ymin <= 40 AND 0 <= ymax""",
+    "mob_q7_when_true" ->
+      s"""$E, s AS (
+           SELECT user_id, ts, value > 150 AS hot,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+           FROM e)
+         SELECT user_id,
+           round(coalesce(sum(CASE WHEN hot AND nxt IS NOT NULL
+             THEN epoch(nxt) - epoch(ts) END), 0), 6) AS true_s
+         FROM s GROUP BY user_id ORDER BY user_id""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mob_q1_timespan" -> (q1TimeSpan _),
+    "mob_q2_value_at" -> (q2ValueAt _),
+    "mob_q3_at_time" -> (q3AtTime _),
+    "mob_q4_sessions" -> (q4Sessions _),
+    "mob_q5_traj_length" -> (q5TrajLength _),
+    "mob_q6_stbox_filter" -> (q6StboxFilter _),
+    "mob_q7_when_true" -> (q7WhenTrue _))
+}
