@@ -11,6 +11,47 @@ object Wkb {
   val PointType = 1
   val LineStringType = 2
   val PolygonType = 3
+  val GeometryCollectionType = 7
+
+  /** GeometryCollection from already-encoded member WKBs. */
+  def writeCollection(members: Array[Array[Byte]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(9 + members.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(GeometryCollectionType).putInt(members.length)
+    members.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Member WKBs of a collection (or the geometry itself). */
+  def collectionMembers(wkb: Array[Byte]): Array[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(wkb)
+    bb.order(if (bb.get() == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    val gtype = bb.getInt() & 0xFF
+    if (gtype != GeometryCollectionType) return Array(wkb)
+    val n = bb.getInt()
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var pos = 9
+    var i = 0
+    while (i < n) {
+      val sub = java.nio.ByteBuffer.wrap(wkb, pos, wkb.length - pos)
+      sub.order(if (sub.get() == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+                else java.nio.ByteOrder.BIG_ENDIAN)
+      val st = sub.getInt() & 0xFF
+      val len = st match {
+        case PointType => 21
+        case LineStringType => 9 + 16 * sub.getInt()
+        case PolygonType => { val nr = sub.getInt(); var l = 13; var r = 0
+          // single ring assumption
+          l = 9 + 4 + 4 + 16 * sub.getInt(); l }
+        case _ => throw new IllegalArgumentException("nested collection")
+      }
+      out += java.util.Arrays.copyOfRange(wkb, pos, pos + len)
+      pos += len
+      i += 1
+    }
+    out.toArray
+  }
 
   def writePoint(x: Double, y: Double): Array[Byte] = {
     val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
@@ -56,7 +97,37 @@ object Wkb {
     }
   }
 
+  private val wktPointRe =
+    """(?i)\s*point\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*""".r
+
+  /** Parse WKT Point / LineString / Polygon (single ring) → WKB. */
+  def fromText(wkt0: String): Array[Byte] = {
+    val wkt = wkt0.trim
+    val up = wkt.toUpperCase
+    def coords(body: String): Array[(Double, Double)] =
+      body.split(",").map { p =>
+        val xy = p.trim.split("\\s+")
+        (xy(0).toDouble, xy(1).toDouble)
+      }
+    if (up.startsWith("POINT")) wkt match {
+      case wktPointRe(x, y) => writePoint(x.toDouble, y.toDouble)
+      case _ => throw new IllegalArgumentException(s"bad WKT '$wkt0'")
+    } else if (up.startsWith("LINESTRING")) {
+      if (up.contains("EMPTY")) return writeLineString(Array.empty)
+      val body = wkt.substring(wkt.indexOf('(') + 1, wkt.lastIndexOf(')'))
+      writeLineString(coords(body))
+    } else if (up.startsWith("POLYGON")) {
+      val inner = wkt.substring(wkt.indexOf('(') + 1, wkt.lastIndexOf(')')).trim
+      val ring = inner.substring(inner.indexOf('(') + 1, inner.lastIndexOf(')'))
+      writePolygon(coords(ring))
+    } else throw new IllegalArgumentException(s"unsupported WKT '$wkt0'")
+  }
+
   def asText(wkb: Array[Byte]): String = {
+    if (((java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .getInt(1)) & 0xFF) == GeometryCollectionType)
+      return collectionMembers(wkb).map(asText)
+        .mkString("GEOMETRYCOLLECTION(", ",", ")")
     val (t, pts) = read(wkb)
     def fmt(p: (Double, Double)) = s"${TimeFmt.printFloat(p._1)} ${TimeFmt.printFloat(p._2)}"
     t match {

@@ -111,7 +111,8 @@ object TPointAlg {
     } else {
       val clipped = t.seqs.flatMap(clipSeq(_, t.interp, w))
       if (clipped.isEmpty) None
-      else if (clipped.length == 1) Some(TPoint(Subtype.Sequence, t.interp, t.srid, clipped))
+      else if (clipped.length == 1 && t.subtype == Subtype.Sequence)
+        Some(TPoint(Subtype.Sequence, t.interp, t.srid, clipped))
       else Some(TPoint(Subtype.SequenceSet, t.interp, t.srid, clipped))
     }
   }
@@ -154,9 +155,11 @@ object TPointAlg {
   def atTimeSpanSet(t: TPoint, ws: Array[SpanL]): Option[TPoint] = {
     val parts = ws.flatMap(w => atTimeSpan(t, w))
     if (parts.isEmpty) None
+    else if (t.subtype == Subtype.Instant) Some(parts.head)
     else {
       val allSeqs = parts.flatMap(_.seqs)
-      if (allSeqs.length == 1) Some(TPoint(Subtype.Sequence, t.interp, t.srid, allSeqs))
+      if (allSeqs.length == 1 && t.subtype == Subtype.Sequence)
+        Some(TPoint(Subtype.Sequence, t.interp, t.srid, allSeqs))
       else Some(TPoint(Subtype.SequenceSet, t.interp, t.srid, allSeqs))
     }
   }
@@ -180,13 +183,23 @@ object TPointAlg {
     * instants otherwise, consecutive duplicates removed (ref trajectory,
     * tgeompoint.cpp:244-253 — BerlinMOD q4/q7/q13-17). Returns WKB. */
   def trajectory(t: TPoint): Array[Byte] = {
-    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-    for (s <- t.seqs; i <- 0 until s.n) {
-      val p = (s.xs(i), s.ys(i))
-      if (pts.isEmpty || pts.last != p) pts += p
+    val lines = scala.collection.mutable.ArrayBuffer[Array[(Double, Double)]]()
+    val points = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
+    for (s <- t.seqs) {
+      val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      for (i <- 0 until s.n) {
+        val p = (s.xs(i), s.ys(i))
+        if (pts.isEmpty || pts.last != p) pts += p
+      }
+      if (pts.length == 1) points += pts.head
+      else lines += pts.toArray
     }
-    if (pts.length == 1) Wkb.writePoint(pts.head._1, pts.head._2)
-    else Wkb.writeLineString(pts.toArray)
+    val covered = lines.flatten.toSet
+    val solo = points.filterNot(covered).toArray
+    if (lines.isEmpty && solo.length == 1) Wkb.writePoint(solo(0)._1, solo(0)._2)
+    else if (lines.length == 1 && solo.isEmpty) Wkb.writeLineString(lines(0))
+    else Wkb.writeCollection(
+      solo.map(p => Wkb.writePoint(p._1, p._2)) ++ lines.map(Wkb.writeLineString))
   }
 
   /** Speed at the end of segment math: average speed = length/duration.
@@ -343,6 +356,72 @@ object TPointAlg {
       val (qa, qb, qc) = distQuadratic(p0, p1, q0, q1)
       minOnUnit(qa, qb, qc)
     }.min)
+  }
+
+  /** Restrict to the times the moving point lies ON a linestring
+    * (atGeometry with a 1-D geometry): per motion segment × line segment,
+    * collinear overlap → sub-span, transversal crossing → instant. */
+  def atLineString(t: TPoint, line: Array[(Double, Double)]): Option[TPoint] = {
+    val eps = 1e-9
+    val spans = scala.collection.mutable.ArrayBuffer[SpanL]()
+    def onSeg(px: Double, py: Double, ax: Double, ay: Double, bx: Double, by: Double): Boolean = {
+      val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+      math.abs(cross) <= eps &&
+        px >= math.min(ax, bx) - eps && px <= math.max(ax, bx) + eps &&
+        py >= math.min(ay, by) - eps && py <= math.max(ay, by) + eps
+    }
+    for (s <- t.seqs) {
+      if (s.n == 1 || t.interp != Interp.Linear) {
+        for (i <- 0 until s.n)
+          if (line.indices.dropRight(1).exists(j =>
+              onSeg(s.xs(i), s.ys(i), line(j)._1, line(j)._2, line(j + 1)._1, line(j + 1)._2)))
+            spans += SpanL(s.ts(i), s.ts(i), lowerInc = true, upperInc = true)
+      } else {
+        var i = 0
+        while (i < s.n - 1) {
+          val (px, py) = (s.xs(i), s.ys(i))
+          val (qx, qy) = (s.xs(i + 1), s.ys(i + 1))
+          val dx = qx - px; val dy = qy - py
+          for (j <- 0 until line.length - 1) {
+            val (ax, ay) = line(j); val (bx, by) = line(j + 1)
+            val ex = bx - ax; val ey = by - ay
+            val denom = dx * ey - dy * ex
+            if (math.abs(denom) <= eps) {
+              // parallel: collinear overlap?
+              if (onSeg(px, py, ax, ay, bx, by) || onSeg(ax, ay, px, py, qx, qy)) {
+                // project line segment ends onto motion parameter
+                val len2 = dx * dx + dy * dy
+                if (len2 <= eps) {
+                  // stationary segment resting on the line: whole span
+                  if (onSeg(px, py, ax, ay, bx, by))
+                    spans += SpanL(s.ts(i), s.ts(i + 1), lowerInc = true, upperInc = true)
+                } else {
+                  val ua = ((ax - px) * dx + (ay - py) * dy) / len2
+                  val ub = ((bx - px) * dx + (by - py) * dy) / len2
+                  val lo = math.max(0.0, math.min(ua, ub))
+                  val hi = math.min(1.0, math.max(ua, ub))
+                  if (lo <= hi) {
+                    val t0 = s.ts(i) + (lo * (s.ts(i + 1) - s.ts(i))).round
+                    val t1 = s.ts(i) + (hi * (s.ts(i + 1) - s.ts(i))).round
+                    spans += SpanL(t0, math.max(t1, t0), lowerInc = true, upperInc = true)
+                  }
+                }
+              }
+            } else {
+              val u = ((ax - px) * ey - (ay - py) * ex) / denom
+              val v = ((ax - px) * dy - (ay - py) * dx) / denom
+              if (u >= -eps && u <= 1 + eps && v >= -eps && v <= 1 + eps) {
+                val tc = s.ts(i) + (u * (s.ts(i + 1) - s.ts(i))).round
+                spans += SpanL(tc, tc, lowerInc = true, upperInc = true)
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    if (spans.isEmpty) None
+    else atTimeSpanSet(t, SpanSetAlg.normalize(spans.toArray))
   }
 
   /** Restrict to the portion inside a polygon (ref atGeometry,

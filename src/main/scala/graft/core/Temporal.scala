@@ -225,7 +225,18 @@ object TNumAlg {
       if (s.ts(i) > ix.lower && s.ts(i) < ix.upper) { vsB += s.vs(i); tsB += s.ts(i) }
       i += 1
     }
-    if (ix.upper > ix.lower) { vsB += valueAtIn(ix.upper); tsB += ix.upper }
+    if (ix.upper > ix.lower) {
+      // Exclusive upper with step interp: the phantom boundary instant
+      // carries the LEFT limit (the value holding during the clipped
+      // window), not the value at the excluded endpoint itself.
+      val vUp =
+        if (interp == Interp.Step && !ix.upperInc) {
+          var j = 0
+          while (j < s.n - 1 && s.ts(j + 1) < ix.upper) j += 1
+          s.vs(j)
+        } else valueAtIn(ix.upper)
+      vsB += vUp; tsB += ix.upper
+    }
     if (tsB.isEmpty) None
     else Some(TNumSeq(vsB.toArray, tsB.toArray, ix.lowerInc, ix.upperInc))
   }
@@ -240,7 +251,9 @@ object TNumAlg {
     } else {
       val clipped = t.seqs.flatMap(clipSeq(_, t.interp, w))
       if (clipped.isEmpty) None
-      else if (clipped.length == 1 && t.subtype == Subtype.Sequence)
+      // preserve the input's subtype: clipping a SequenceSet yields a
+      // SequenceSet even when one sequence remains (MEOS behavior)
+      else if (t.subtype == Subtype.Sequence && clipped.length == 1)
         Some(TNum(Subtype.Sequence, t.interp, clipped))
       else Some(TNum(Subtype.SequenceSet, t.interp, clipped))
     }
@@ -257,7 +270,8 @@ object TNumAlg {
         Some(TNum(Subtype.Sequence, Interp.Discrete,
           Array(TNumSeq(inst.map(_._1), inst.map(_._2), lInc = true, uInc = true))))
       }
-      else if (allSeqs.length == 1) Some(TNum(Subtype.Sequence, t.interp, allSeqs))
+      else if (allSeqs.length == 1 && t.subtype == Subtype.Sequence)
+        Some(TNum(Subtype.Sequence, t.interp, allSeqs))
       else Some(TNum(Subtype.SequenceSet, t.interp, allSeqs))
     }
   }

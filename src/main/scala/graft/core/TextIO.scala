@@ -407,6 +407,120 @@ object TextIO {
     }
   }
 
+  // ---- tgeometry ----
+
+  def parseTGeom(s0: String): TGeom = {
+    var s = s0.trim
+    var srid = 0
+    if (s.toLowerCase.startsWith("srid=")) {
+      val i = s.indexOf(';')
+      srid = s.substring(5, i).toInt
+      s = s.substring(i + 1).trim
+    }
+    var forcedInterp: Byte = -1
+    if (s.toLowerCase.startsWith("interp=")) {
+      val i = s.indexOf(';')
+      forcedInterp = Interp.parse(s.substring(7, i))
+      s = s.substring(i + 1).trim
+    }
+    def one(p: String): (Array[Byte], Long) = {
+      val (v, t) = splitAtDepth0(p.trim)
+      (Wkb.fromText(stripQuotes(v)), TimeFmt.parseTs(t))
+    }
+    def interpOr(d: Byte): Byte = if (forcedInterp >= 0) forcedInterp else d
+    if (s.head == '{') {
+      val inner = innerBrace(s).trim
+      if (inner.startsWith("[") || inner.startsWith("(")) {
+        val seqs = splitTop(innerBrace(s)).map { part =>
+          val q = part.trim
+          val ivs = splitTop(q.substring(1, q.length - 1)).map(one)
+          TGeomSeq(ivs.map(_._1), ivs.map(_._2), q.head == '[', q.last == ']')
+        }
+        TGeom(Subtype.SequenceSet, interpOr(Interp.Step), srid, seqs.sortBy(_.ts.head))
+      } else {
+        val ivs = splitTop(inner).map(one)
+        TGeom(Subtype.Sequence, Interp.Discrete, srid,
+          Array(TGeomSeq(ivs.map(_._1), ivs.map(_._2), lInc = true, uInc = true)))
+      }
+    } else if (s.head == '[' || s.head == '(') {
+      val ivs = splitTop(s.substring(1, s.length - 1)).map(one)
+      TGeom(Subtype.Sequence, interpOr(Interp.Step), srid,
+        Array(TGeomSeq(ivs.map(_._1), ivs.map(_._2), s.head == '[', s.last == ']')))
+    } else {
+      val (w, t) = one(s)
+      TGeomAlg.instant(w, t, srid)
+    }
+  }
+
+  private def splitAtDepth0(s: String): (String, String) = {
+    var depth = 0; var pos = -1; var i = 0; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '"') inQ = false }
+      else c match {
+        case '"' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '@' if depth == 0 => pos = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(pos > 0, s"no '@' in '$s'")
+    (s.substring(0, pos), s.substring(pos + 1))
+  }
+
+  private def hexStr(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
+
+  def printTGeom(t: TGeom): String = printTGeomWith(t, hexStr)
+  def printTGeomText(t: TGeom): String = printTGeomWith(t, Wkb.asText)
+  def printTGeomEwkt(t: TGeom): String = {
+    val base = printTGeomText(t)
+    if (t.srid != 0) s"SRID=${t.srid};$base" else base
+  }
+
+  private def printTGeomWith(t: TGeom, pf: Array[Byte] => String): String = {
+    def inst(s: TGeomSeq, i: Int) = s"${pf(s.ws(i))}@${TimeFmt.printTs(s.ts(i))}"
+    def seq(s: TGeomSeq): String = {
+      val body = (0 until s.n).map(inst(s, _)).mkString(", ")
+      (if (s.lInc) "[" else "(") + body + (if (s.uInc) "]" else ")")
+    }
+    t.subtype match {
+      case Subtype.Instant => inst(t.gseqs.head, 0)
+      case Subtype.Sequence =>
+        if (t.interp == Interp.Discrete)
+          (0 until t.gseqs.head.n).map(inst(t.gseqs.head, _)).mkString("{", ", ", "}")
+        else seq(t.gseqs.head)
+      case Subtype.SequenceSet => t.gseqs.map(seq).mkString("{", ", ", "}")
+    }
+  }
+
+  // ---- geomset / geogset ----
+
+  def parseGeoSet(s0: String, geodetic: Boolean): GeoSet = {
+    var s = s0.trim
+    var srid = 0
+    if (s.toLowerCase.startsWith("srid=")) {
+      val i = s.indexOf(';')
+      srid = s.substring(5, i).toInt
+      s = s.substring(i + 1).trim
+    }
+    if (geodetic && srid == 0) srid = 4326
+    val elems = splitTop(innerBrace(s)).map(e => Wkb.fromText(stripQuotes(e)))
+    GeoSet(elems, srid, geodetic)
+  }
+
+  def printGeoSetText(g: GeoSet): String =
+    g.wkbs.map(w => "\"" + Wkb.asText(w) + "\"").mkString("{", ", ", "}")
+
+  def printGeoSetEwkt(g: GeoSet): String = {
+    val base = printGeoSetText(g)
+    if (g.gsrid != 0) s"SRID=${g.gsrid};$base" else base
+  }
+
+  def printGeoSet(g: GeoSet): String =
+    g.wkbs.map(hexStr).mkString("{", ", ", "}")
+
   // ---- TBox ----
 
   def parseTBox(s0: String): TBox = {

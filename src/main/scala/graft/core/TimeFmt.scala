@@ -105,14 +105,16 @@ object TimeFmt {
   // ---- floats (15 significant digits, trailing zeros trimmed) ----
 
   /** MEOS `OUT_DEFAULT_DECIMAL_DIGITS`=15 style float printing
-    * (ref src/include/tydef.hpp:77): `3.0` → `3`, `-1.2` → `-1.2`. */
+    * (ref src/include/tydef.hpp:77): up to 15 digits AFTER the decimal
+    * point, trailing zeros trimmed: `3.0` → `3`, `pi/2` →
+    * `1.570796326794897`. */
   def printFloat(v: Double): String = {
     if (v.isNaN) return "NaN"
     if (v.isInfinite) return if (v > 0) "Infinity" else "-Infinity"
     if (v == v.longValue.toDouble && math.abs(v) < 1e15) return v.longValue.toString
-    val bd = new java.math.BigDecimal(v, new java.math.MathContext(15))
-    val s = bd.stripTrailingZeros.toPlainString
-    s
+    java.math.BigDecimal.valueOf(v)
+      .setScale(15, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros.toPlainString
   }
 
   /** Like printFloat but with an explicit max-digit override (asText(x, digits)). */

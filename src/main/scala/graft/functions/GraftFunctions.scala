@@ -24,6 +24,7 @@ object GraftFunctions {
     "spanset", "set", "tbox", "stbox",
     "tintseq", "tboolseq", "tfloatseq", "tintseqset", "tboolseqset",
     "tfloatseqset", "tgeompointseq", "tgeompointseqset",
+    "tgeometry", "tgeometryseq", "tgeometryinst", "merge", "geomset", "geogset",
     // output
     "astext", "asewkt", "st_astext", "tempsubtype", "interp",
     // accessors
@@ -40,14 +41,17 @@ object GraftFunctions {
     "area", "isgeodetic", "srid",
     // transforms
     "shift", "scale", "shiftscale", "round", "floor", "ceil",
+    "radians", "degrees", "initcap", "asbinary", "stboxfrombinary",
     "shiftvalue", "scalevalue", "shiftscalevalue", "shifttime", "scaletime",
+    "shiftscaletime",
     "expandvalue", "expandtime", "expandspace", "setsrid", "transform",
     "setinterp",
     // restriction
     "attime", "atvalues", "valueattimestamp", "atgeometry", "whentrue",
     // spatial
     "length", "speed", "trajectory", "edwithin", "adisjoint", "tdwithin",
-    "mindistance", "st_point", "st_transform",
+    "mindistance", "st_point", "st_transform", "st_geomfromtext",
+    "set_elements",
     // topological operators (SQL spellings && / @> / <@ are rewritten to
     // these names by the query translation layer — SURVEY §2.2 note)
     "op_overlaps", "op_contains", "op_contained", "op_adjacent",
@@ -55,7 +59,8 @@ object GraftFunctions {
     "to_stbox", "to_tbox", "to_tstzspan", "to_intspan", "to_bigintspan",
     "to_datespan", "to_floatspan", "to_tstzspanset", "to_intspanset",
     "to_bigintspanset", "to_datespanset", "to_floatspanset", "to_tfloat",
-    "to_tstzset", "to_intset")
+    "to_tstzset", "to_intset", "to_dateset", "to_floatset", "to_textset",
+    "to_geometry", "span")
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -62,6 +62,11 @@ object MobCall {
           case LongType => a.toLongArray()
           case IntegerType => a.toIntArray().map(_.toLong)
           case DoubleType => a.toDoubleArray()
+          case TimestampType | TimestampNTZType =>
+            a.toLongArray().map(TsVal(_)).toIndexedSeq
+          case dt: DecimalType =>
+            (0 until a.numElements())
+              .map(i => a.getDecimal(i, dt.precision, dt.scale).toDouble).toArray
           case StringType =>
             (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toArray
           case st: StructType if MobSchemas.kindOf(st).isDefined =>

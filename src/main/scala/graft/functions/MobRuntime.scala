@@ -26,7 +26,9 @@ object MobRuntime {
     def k1 = if (ts.length > 1) mob(ts(1)) else ""
     name match {
       // ---- parse/make constructors ----
-      case "tint" | "tbool" | "tfloat" => S.tnum
+      case "tint" => S.tnumI
+      case "tbool" => S.tnumB
+      case "tfloat" => S.tnumF
       case "ttext" => if (ts.length == 2) S.ttext else S.ttext
       case "tgeompoint" => S.tpoint
       case "intspan" | "bigintspan" | "datespan" | "tstzspan" | "period" => S.span
@@ -36,16 +38,26 @@ object MobRuntime {
       case "textset" => S.setS
       case "intspanset" | "bigintspanset" | "datespanset" | "tstzspanset" => S.spanSet
       case "floatspanset" => S.spanSetF
-      case "spanset" => if (k1 == "spanF" || k0 == "spanF") S.spanSetF else S.spanSet
+      case "spanset" => t0 match {
+        case ArrayType(st: StructType, _) if mob(st) == "spanF" => S.spanSetF
+        case st: StructType if mob(st) == "spanF" => S.spanSetF
+        case st: StructType if mob(st) == "setF" => S.spanSetF
+        case _ => S.spanSet
+      }
       case "set" => t0 match {
-        case ArrayType(DoubleType, _) => S.setF
+        case ArrayType(DoubleType, _) | ArrayType(_: DecimalType, _) => S.setF
         case ArrayType(StringType, _) => S.setS
         case _ => S.set
       }
       case "tbox" => S.tbox
       case "stbox" => S.stbox
-      case "tintseq" | "tboolseq" | "tfloatseq" | "tintseqset" | "tboolseqset" |
-           "tfloatseqset" => S.tnum
+      case "tintseq" | "tintseqset" => S.tnumI
+      case "tboolseq" | "tboolseqset" => S.tnumB
+      case "tfloatseq" | "tfloatseqset" => S.tnumF
+      case "tgeometry" | "tgeometryseq" | "tgeometryseqset" | "tgeometryinst" => S.tgeom
+      case "geomset" | "geogset" => S.gset
+      case "merge" => t0
+      case "to_geometry" => StringType
       case "ttextseq" | "ttextseqset" => S.ttext
       case "tgeompointseq" | "tgeompointseqset" => S.tpoint
       // ---- text output ----
@@ -56,16 +68,18 @@ object MobRuntime {
            "numtimestamps" => IntegerType
       case "startvalue" | "endvalue" | "minvalue" | "maxvalue" | "valuen" | "getvalue" =>
         k0 match {
-          case "tnum" => DoubleType
+          case "tnumI" => LongType
+          case "tnumF" => DoubleType
+          case "tnumB" => BooleanType
           case "ttext" => StringType
-          case "tpoint" => BinaryType
+          case "tpoint" | "tgeom" | "gset" => BinaryType
           case "set" => LongType
           case "setF" => DoubleType
           case "setS" => StringType
           case _ => DoubleType
         }
       case "getvalues" => k0 match {
-        case "tnum" => S.setF
+        case "tnumI" => S.set
         case "ttext" => S.setS
         case _ => S.setF
       }
@@ -76,17 +90,20 @@ object MobRuntime {
       case "gettime" => S.spanSet
       case "duration" | "timetointerval" => DayTimeIntervalType(0, 3)
       case "timespan" => S.span
-      case "valuespan" => S.spanF
-      case "valueset" => if (k0 == "tnum") S.setF else S.setF
+      case "valuespan" => if (k0 == "tnumI") S.span else S.spanF
+      case "valueset" => if (k0 == "tnumI") S.set else S.setF
       case "sequences" | "instants" => ArrayType(t0, containsNull = false)
       case "sequencen" | "startsequence" | "endsequence" => t0
       case "lower" | "upper" =>
         k0 match {
           case "span" | "spanSet" => LongType
           case "spanF" | "spanSetF" => DoubleType
+          case "setS" => S.setS
           case _ => StringType // string lower/upper passthrough
         }
-      case "lowerinc" | "upperinc" | "hasx" | "hast" | "hasz" | "xmininc" | "xmaxinc" |
+      case "lowerinc" | "upperinc" =>
+        if (k0 == "spanSet" || k0 == "spanSetF") IntegerType else BooleanType
+      case "hasx" | "hast" | "hasz" | "xmininc" | "xmaxinc" |
            "tmininc" | "tmaxinc" | "isgeodetic" => BooleanType
       case "width" => k0 match {
         case "span" | "spanSet" => LongType
@@ -99,15 +116,19 @@ object MobRuntime {
       case "srid" => IntegerType
       // ---- transforms ----
       case "shift" | "scale" | "shiftscale" | "round" | "floor" | "ceil" |
-           "setsrid" | "transform" => t0
+           "radians" | "degrees" | "initcap" | "setsrid" | "transform" => t0
+      case "asbinary" => BinaryType
+      case "stboxfrombinary" => S.stbox
       case "shiftvalue" | "scalevalue" | "shiftscalevalue" | "shifttime" |
            "scaletime" | "shiftscaletime" | "expandvalue" | "expandtime" |
            "expandspace" | "setinterp" => t0
       // ---- restriction ----
       case "attime" | "atvalues" | "atgeometry" | "minusvalues" | "attbox" => t0
       case "valueattimestamp" => k0 match {
-        case "tpoint" => BinaryType
+        case "tpoint" | "tgeom" => BinaryType
         case "ttext" => StringType
+        case "tnumI" => LongType
+        case "tnumB" => BooleanType
         case _ => DoubleType
       }
       case "whentrue" => S.spanSet
@@ -117,10 +138,13 @@ object MobRuntime {
       case "trajectory" => BinaryType
       case "edwithin" | "adisjoint" | "aintersects" | "edisjoint" | "eintersects" =>
         BooleanType
-      case "tdwithin" => S.tnum
+      case "tdwithin" => S.tnumB
       case "mindistance" => DoubleType
       case "st_point" => BinaryType
       case "st_transform" => BinaryType
+      case "st_geomfromtext" => BinaryType
+      // elements formatted as text (sqllogictest-compatible rendering)
+      case "set_elements" => ArrayType(StringType, containsNull = false)
       // ---- topological ops ----
       case "op_overlaps" | "op_contains" | "op_contained" | "op_adjacent" |
            "op_same" => BooleanType
@@ -132,8 +156,14 @@ object MobRuntime {
       case "to_tstzspanset" | "to_intspanset" | "to_bigintspanset" |
            "to_datespanset" => S.spanSet
       case "to_floatspanset" => S.spanSetF
-      case "to_tfloat" => S.tnum
-      case "to_tstzset" | "to_intset" => S.set
+      case "to_tfloat" => S.tnumF
+      case "to_tstzset" | "to_intset" | "to_dateset" => S.set
+      case "to_floatset" => S.setF
+      case "to_textset" => S.setS
+      case "span" => k0 match {
+        case "spanSetF" | "setF" => S.spanF
+        case _ => S.span
+      }
       case other =>
         throw new IllegalArgumentException(s"unknown mobility function '$other'")
     }
@@ -208,6 +238,16 @@ object MobRuntime {
       case l: Long => l.toDouble
       case i: Int => i.toDouble
     }
+    // DuckDB implicitly casts '5 min' strings to INTERVAL; accept both.
+    def asUs(x: Any): Long = x match {
+      case IntervalVal(us) => us
+      case s: String => parseIntervalStr(s)
+      case v => asLong(v)
+    }
+    def asBool(x: Any): Boolean = x match {
+      case b: Boolean => b
+      case s: String => s.trim.toLowerCase == "true" || s.trim == "t"
+    }
 
     name match {
       // ================= constructors =================
@@ -240,6 +280,11 @@ object MobRuntime {
         val d = dom(name)
         (args.length, a0) match {
           case (1, s: String) => VSpan(parseSpanL(s, Dom.textDom(d)), d)
+          case (1, VTBox(b)) =>
+            if (d == Dom.Tstz) VSpan(SpanL(b.tmin, b.tmax, b.tminInc, b.tmaxInc), d)
+            else VSpan(SpanL(b.xmin.toLong, b.xmax.toLong, b.xminInc, b.xmaxInc), d)
+          case (1, VSTBox(b)) => VSpan(SpanL(b.tmin, b.tmax, b.tminInc, b.tmaxInc), d)
+          case (1, VTNum(t, _)) => VSpan(TNumAlg.timeSpan(t), d)
           case (1, TsVal(us)) => VSpan(SpanL(us, us, true, true), d)
           case (1, DateVal(dd)) => VSpan(SpanAlg.canonDiscrete(dd, dd, true, true), d)
           case (1, v) =>
@@ -267,6 +312,8 @@ object MobRuntime {
       case "floatspan" =>
         (args.length, a0) match {
           case (1, s: String) => VSpanF(parseSpanD(s))
+          case (1, VTBox(b)) => VSpanF(SpanD(b.xmin, b.xmax, b.xminInc, b.xmaxInc))
+          case (1, VTNum(t, _)) => VSpanF(TNumAlg.valueSpan(t))
           case (1, v) => val x = asDouble(v); VSpanF(SpanD(x, x, true, true))
           case (2, _) => VSpanF(SpanAlg.makeD(asDouble(args(0)), asDouble(args(1)),
             lInc = true, uInc = false))
@@ -279,7 +326,11 @@ object MobRuntime {
         a0 match {
           case s: String => VSet(parseSetL(s, Dom.textDom(d)), d)
           case arr: Array[Long] => VSet(SetAlg.makeL(arr), d)
+          case arr: Array[Double] => VSet(SetAlg.makeL(arr.map(math.floor(_).toLong)), d)
+          case VSetF(vs) => VSet(SetAlg.makeL(vs.map(math.floor(_).toLong)), d)
           case TsVal(us) => VSet(Array(us), d)
+          case seq: IndexedSeq[_] if seq.nonEmpty && seq.head.isInstanceOf[TsVal] =>
+            VSet(SetAlg.makeL(seq.map(_.asInstanceOf[TsVal].us).toArray), d)
           case v => VSet(Array(asLong(v)), d)
         }
       case "floatset" => a0 match {
@@ -298,6 +349,9 @@ object MobRuntime {
           case s: String => VSpanSet(parseSpanSetL(s, Dom.textDom(d)), d)
           case VSpan(sp, dd) => VSpanSet(Array(sp), dd)
           case TsVal(us) => VSpanSet(Array(SpanL(us, us, true, true)), d)
+          case VSet(vs, dd) => VSpanSet(SpanSetAlg.normalize(vs.map(v =>
+            if (Dom.isDiscrete(dd)) SpanAlg.canonDiscrete(v, v, true, true)
+            else SpanL(v, v, true, true))), dd)
           case seq: IndexedSeq[_] =>
             VSpanSet(SpanSetAlg.normalize(
               seq.map(_.asInstanceOf[VSpan].s).toArray), d)
@@ -309,6 +363,11 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "spanset" => a0 match {
+        case VSet(vs, dd) => VSpanSet(SpanSetAlg.normalize(vs.map(v =>
+          if (Dom.isDiscrete(dd)) SpanAlg.canonDiscrete(v, v, true, true)
+          else SpanL(v, v, true, true))), dd)
+        case VSpan(sp, dd) => VSpanSet(Array(sp), dd)
+        case VSpanF(sp) => VSpanSetF(Array(sp))
         case seq: IndexedSeq[_] if seq.nonEmpty => seq.head match {
           case VSpan(_, d) =>
             VSpanSet(SpanSetAlg.normalize(seq.map(_.asInstanceOf[VSpan].s).toArray), d)
@@ -332,6 +391,17 @@ object MobRuntime {
         case arr: Array[Long] => VSet(SetAlg.makeL(arr), Dom.Bigint)
         case arr: Array[Double] => VSetF(SetAlg.makeD(arr))
         case arr: Array[String] => VSetS(SetAlg.makeS(arr))
+        case seq: IndexedSeq[_] if seq.nonEmpty && seq.head.isInstanceOf[TsVal] =>
+          VSet(SetAlg.makeL(seq.map(_.asInstanceOf[TsVal].us).toArray), Dom.Tstz)
+        case _ => bad(name, args)
+      }
+      case "span" => a0 match {
+        case VSpanSet(ss, d) => VSpan(SpanSetAlg.span(ss), d)
+        case VSpanSetF(ss) => VSpanF(SpanD(ss.head.lower, ss.last.upper,
+          ss.head.lowerInc, ss.last.upperInc))
+        case VSet(vs, d) => VSpan(SetAlg.spanOf(vs, Dom.isDiscrete(d)), d)
+        case VSetF(vs) => VSpanF(SpanD(vs.head, vs.last, true, true))
+        case VTNum(t, _) => VSpan(TNumAlg.timeSpan(t), Dom.Tstz)
         case _ => bad(name, args)
       }
       case "tbox" => evalTBoxCtor(args)
@@ -342,6 +412,8 @@ object MobRuntime {
         val k = tkindOf(name)
         val defInterp = if (k == Kind.Float) Interp.Linear else Interp.Step
         a0 match {
+          case t: VTNum if t.t.subtype == Subtype.Sequence && args.length == 1 =>
+            t // already a sequence: identity (ref tintSeq(tint '{...}') golden)
           case t: VTNum => // subtype conversion
             val interp = if (args.length >= 2) Interp.parse(args(1).asInstanceOf[String])
                          else defInterp
@@ -392,9 +464,73 @@ object MobRuntime {
           case _ => bad(name, args)
         }
 
+      case "tgeometry" =>
+        (a0, args.length) match {
+          case (s: String, 1) => VTGeom(parseTGeom(s))
+          case (s: String, 2) => a1 match {
+            case TsVal(us) => VTGeom(TGeomAlg.instant(Wkb.fromText(s), us))
+            case VSpan(sp, _) =>
+              val w = Wkb.fromText(s)
+              VTGeom(TGeomAlg.sequence(Array(w, w), Array(sp.lower, sp.upper),
+                Interp.Step, sp.lowerInc, sp.upperInc))
+            case _ => bad(name, args)
+          }
+          case (s: String, 3) => a1 match {
+            case VSpan(sp, _) =>
+              val w = Wkb.fromText(s)
+              VTGeom(TGeomAlg.sequence(Array(w, w), Array(sp.lower, sp.upper),
+                Interp.parse(args(2).asInstanceOf[String]), sp.lowerInc, sp.upperInc))
+            case _ => bad(name, args)
+          }
+          case (w: Array[Byte], 2) =>
+            VTGeom(TGeomAlg.instant(w, a1.asInstanceOf[TsVal].us))
+          case _ => bad(name, args)
+        }
+      case "tgeometryseq" =>
+        val parts: Seq[TGeom] = a0 match {
+          case seq: IndexedSeq[_] => seq.map(_.asInstanceOf[VTGeom].t)
+          case t: VTGeom => Seq(t.t)
+          case _ => bad(name, args)
+        }
+        val interp = if (args.length >= 2) Interp.parse(args(1).asInstanceOf[String])
+                     else Interp.Step
+        val lInc = if (args.length >= 3) asBool(args(2)) else true
+        val uInc = if (args.length >= 4) asBool(args(3)) else true
+        val inst = parts.flatMap(TGeomAlg.instants).sortBy(_._2)
+        if (interp == Interp.Discrete)
+          VTGeom(TGeom(Subtype.Sequence, Interp.Discrete, parts.head.srid,
+            Array(TGeomSeq(inst.map(_._1).toArray, inst.map(_._2).toArray, true, true))))
+        else VTGeom(TGeomAlg.sequence(inst.map(_._1).toArray, inst.map(_._2).toArray,
+          interp, lInc, uInc, parts.head.srid))
+      case "tgeometryinst" => a0 match {
+        case VTGeom(t) =>
+          val (w, ts) = TGeomAlg.instants(t).head
+          VTGeom(TGeomAlg.instant(w, ts, t.srid))
+        case _ => bad(name, args)
+      }
+      case "merge" => (a0, a1) match {
+        case (VTGeom(x), VTGeom(y)) => VTGeom(TGeomAlg.merge(x, y))
+        case (VTNum(x, k), VTNum(y, _)) => VTNum(TNumAlg.merge(x, y), k)
+        case _ => bad(name, args)
+      }
+      case "geomset" => a0 match {
+        case s: String => VGeoSet(parseGeoSet(s, geodetic = false))
+        case _ => bad(name, args)
+      }
+      case "geogset" => a0 match {
+        case s: String => VGeoSet(parseGeoSet(s, geodetic = true))
+        case _ => bad(name, args)
+      }
+      case "to_geometry" => a0 match {
+        case w: Array[Byte] => duckWkt(w)
+        case _ => bad(name, args)
+      }
+
       // ================= output =================
       case "astext" => a0 match {
         case VTPoint(t) => printTPointText(t)
+        case VTGeom(t) => printTGeomText(t)
+        case VGeoSet(g) => printGeoSetText(g)
         case VSetF(vs) if args.length == 2 => printSetD(vs, asLong(a1).toInt)
         case VSpanF(s) if args.length == 2 => printSpanD(s, asLong(a1).toInt)
         case VSpanSetF(ss) if args.length == 2 => printSpanSetD(ss, asLong(a1).toInt)
@@ -405,36 +541,47 @@ object MobRuntime {
       }
       case "asewkt" => a0 match {
         case VTPoint(t) => printTPointEwkt(t)
+        case VTGeom(t) => printTGeomEwkt(t)
+        case VGeoSet(g) => printGeoSetEwkt(g)
         case m: MobVal => MobCodec.format(m)
         case _ => bad(name, args)
       }
-      case "st_astext" => Wkb.asText(a0.asInstanceOf[Array[Byte]])
+      case "st_astext" => a0 match {
+        case w: Array[Byte] => duckWkt(w)
+        case s: String => s
+        case _ => bad(name, args)
+      }
       case "tempsubtype" => a0 match {
         case VTNum(t, _) => Subtype.name(t.subtype)
         case VTText(t) => Subtype.name(t.subtype)
         case VTPoint(t) => Subtype.name(t.subtype)
+        case VTGeom(t) => Subtype.name(t.subtype)
         case _ => bad(name, args)
       }
       case "interp" => a0 match {
         case VTNum(t, _) => Interp.name(t.interp)
         case VTText(t) => Interp.name(t.interp)
         case VTPoint(t) => Interp.name(t.interp)
+        case VTGeom(t) => Interp.name(t.interp)
         case _ => bad(name, args)
       }
 
       // ================= accessors =================
       case "memsize" => a0 match { // estimated serialized size (documented divergence)
-        case VSet(vs, _) => 16 + 8 * vs.length
-        case VSetF(vs) => 16 + 8 * vs.length
-        case VSetS(vs) => 16 + vs.map(_.length + 8).sum
+        case VSet(vs, _) => 24 + 8 * vs.length
+        case VSetF(vs) => 24 + 8 * vs.length
+        case VSetS(vs) => 24 + vs.map(_.length + 8).sum
         case VSpan(_, _) | VSpanF(_) => 24
-        case VSpanSet(ss, _) => 16 + 24 * ss.length
-        case VSpanSetF(ss) => 16 + 24 * ss.length
+        case VSpanSet(ss, _) => 40 + 24 * ss.length
+        case VSpanSetF(ss) => 40 + 24 * ss.length
+        case VTGeom(t) => 32 + t.gseqs.map(s => 16 + s.ws.map(_.length + 16).sum).sum
+        case VGeoSet(g) => 24 + g.wkbs.map(_.length + 8).sum
         case VTNum(t, _) => 24 + t.seqs.map(s => 16 + 16 * s.n).sum
         case VTPoint(t) => 24 + t.seqs.map(s => 16 + 24 * s.n).sum
         case _ => bad(name, args)
       }
       case "numvalues" => a0 match {
+        case VGeoSet(g) => g.wkbs.length
         case VSet(vs, _) => vs.length
         case VSetF(vs) => vs.length
         case VSetS(vs) => vs.length
@@ -445,6 +592,7 @@ object MobRuntime {
         case VTNum(t, _) => TNumAlg.numInstants(t)
         case VTText(t) => t.seqs.map(_.ts.length).sum
         case VTPoint(t) => TPointAlg.numInstants(t)
+        case VTGeom(t) => TGeomAlg.numInstants(t)
         case _ => bad(name, args)
       }
       case "numtimestamps" => a0 match {
@@ -460,7 +608,16 @@ object MobRuntime {
             case "minvalue" => TNumAlg.minValue(t)
             case "maxvalue" => TNumAlg.maxValue(t)
           }
-          v
+          if (k == Kind.Int) v.toLong else if (k == Kind.Bool) v != 0.0 else v
+        case VGeoSet(g) => name match {
+          case "startvalue" | "minvalue" => g.wkbs.head
+          case "endvalue" | "maxvalue" => g.wkbs.last
+        }
+        case VTGeom(t) => name match {
+          case "startvalue" => t.gseqs.head.ws.head
+          case "endvalue" => t.gseqs.last.ws.last
+          case _ => bad(name, args)
+        }
         case VTText(t) => name match {
           case "startvalue" => t.seqs.head.vs.head
           case "endvalue" => t.seqs.last.vs.last
@@ -487,7 +644,13 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "valuen" => a0 match {
-        case VTNum(t, _) => TNumAlg.valueN(t, asLong(a1).toInt).map(Double.box).orNull
+        case VTNum(t, k) => TNumAlg.valueN(t, asLong(a1).toInt).map { v =>
+          if (k == Kind.Int) Long.box(v.toLong)
+          else if (k == Kind.Bool) Boolean.box(v != 0.0) else Double.box(v)
+        }.orNull
+        case VGeoSet(g) =>
+          val n = asLong(a1).toInt
+          if (n >= 1 && n <= g.wkbs.length) g.wkbs(n - 1) else null
         case VSet(vs, _) =>
           val n = asLong(a1).toInt
           if (n >= 1 && n <= vs.length) vs(n - 1) else null
@@ -500,11 +663,16 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "getvalue" => a0 match {
-        case VTNum(t, _) => t.seqs.head.vs.head
+        case VTNum(t, k) =>
+          val v = t.seqs.head.vs.head
+          if (k == Kind.Int) v.toLong else if (k == Kind.Bool) v != 0.0 else v
         case VTText(t) => t.seqs.head.vs.head
+        case VTGeom(t) => t.gseqs.head.ws.head
         case _ => bad(name, args)
       }
       case "getvalues" => a0 match {
+        case VTNum(t, k) if k == Kind.Int =>
+          VSet(SetAlg.makeL(TNumAlg.instants(t).map(_._1.toLong)), Dom.Int)
         case VTNum(t, _) => VSetF(SetAlg.makeD(TNumAlg.instants(t).map(_._1)))
         case VTText(t) => VSetS(SetAlg.makeS(t.seqs.flatMap(_.vs)))
         case _ => bad(name, args)
@@ -515,6 +683,15 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "instantn" | "startinstant" | "endinstant" => a0 match {
+        case VTGeom(t) =>
+          val all = TGeomAlg.instants(t)
+          val idx = name match {
+            case "startinstant" => 0
+            case "endinstant" => all.length - 1
+            case _ => asLong(a1).toInt - 1
+          }
+          if (idx < 0 || idx >= all.length) null
+          else VTGeom(TGeomAlg.instant(all(idx)._1, all(idx)._2, t.srid))
         case VTNum(t, k) =>
           val all = TNumAlg.instants(t)
           val idx = name match {
@@ -539,6 +716,7 @@ object MobRuntime {
         case VTNum(t, _) => TsVal(TNumAlg.startTimestamp(t))
         case VTText(t) => TsVal(t.seqs.head.ts.head)
         case VTPoint(t) => TsVal(TPointAlg.startTimestamp(t))
+        case VTGeom(t) => TsVal(TGeomAlg.startTimestamp(t))
         case _ => bad(name, args)
       }
       case "endtimestamp" => a0 match {
@@ -559,22 +737,33 @@ object MobRuntime {
           case VTNum(t, _) => IntervalVal(TNumAlg.duration(t, bound))
           case VTPoint(t) => IntervalVal(TPointAlg.duration(t, bound))
           case VSpan(s, d) if d == Dom.Tstz => IntervalVal(SpanAlg.widthL(s))
+          case VSpan(s, d) if d == Dom.Date =>
+            IntervalVal(SpanAlg.widthL(s) * TimeFmt.UsPerDay)
           case VSpanSet(ss, d) if d == Dom.Tstz =>
             IntervalVal(if (bound) ss.last.upper - ss.head.lower else SpanSetAlg.width(ss))
+          case VSpanSet(ss, d) if d == Dom.Date =>
+            IntervalVal((if (bound) ss.last.upper - ss.head.lower
+                         else SpanSetAlg.width(ss)) * TimeFmt.UsPerDay)
           case _ => bad(name, args)
         }
       case "timespan" => a0 match {
         case VTNum(t, _) => VSpan(TNumAlg.timeSpan(t), Dom.Tstz)
         case VTPoint(t) => VSpan(TPointAlg.timeSpan(t), Dom.Tstz)
+        case VTGeom(t) => VSpan(TGeomAlg.timeSpan(t), Dom.Tstz)
         case VTBox(b) => VSpan(SpanL(b.tmin, b.tmax, b.tminInc, b.tmaxInc), Dom.Tstz)
         case VSTBox(b) => VSpan(SpanL(b.tmin, b.tmax, b.tminInc, b.tmaxInc), Dom.Tstz)
         case _ => bad(name, args)
       }
       case "valuespan" => a0 match {
+        case VTNum(t, k) if k == Kind.Int =>
+          VSpan(SpanAlg.canonDiscrete(TNumAlg.minValue(t).toLong,
+            TNumAlg.maxValue(t).toLong, true, true), Dom.Int)
         case VTNum(t, _) => VSpanF(TNumAlg.valueSpan(t))
         case _ => bad(name, args)
       }
       case "valueset" => a0 match {
+        case VTNum(t, k) if k == Kind.Int =>
+          VSet(SetAlg.makeL(TNumAlg.instants(t).map(_._1.toLong)), Dom.Int)
         case VTNum(t, _) => VSetF(SetAlg.makeD(TNumAlg.instants(t).map(_._1)))
         case _ => bad(name, args)
       }
@@ -603,6 +792,7 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "lower" => a0 match {
+        case VSetS(vs) => VSetS(SetAlg.makeS(vs.map(_.toLowerCase)))
         case VSpan(s, _) => s.lower
         case VSpanF(s) => s.lower
         case VSpanSet(ss, _) => ss.head.lower
@@ -611,6 +801,7 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "upper" => a0 match {
+        case VSetS(vs) => VSetS(SetAlg.makeS(vs.map(_.toUpperCase)))
         case VSpan(s, _) => s.upper
         case VSpanF(s) => s.upper
         case VSpanSet(ss, _) => ss.last.upper
@@ -621,15 +812,15 @@ object MobRuntime {
       case "lowerinc" => a0 match {
         case VSpan(s, _) => s.lowerInc
         case VSpanF(s) => s.lowerInc
-        case VSpanSet(ss, _) => ss.head.lowerInc
-        case VSpanSetF(ss) => ss.head.lowerInc
+        case VSpanSet(ss, _) => if (ss.head.lowerInc) 1 else 0
+        case VSpanSetF(ss) => if (ss.head.lowerInc) 1 else 0
         case _ => bad(name, args)
       }
       case "upperinc" => a0 match {
         case VSpan(s, _) => s.upperInc
         case VSpanF(s) => s.upperInc
-        case VSpanSet(ss, _) => ss.last.upperInc
-        case VSpanSetF(ss) => ss.last.upperInc
+        case VSpanSet(ss, _) => if (ss.last.upperInc) 1 else 0
+        case VSpanSetF(ss) => if (ss.last.upperInc) 1 else 0
         case _ => bad(name, args)
       }
       case "width" =>
@@ -720,37 +911,42 @@ object MobRuntime {
       case "srid" => a0 match {
         case VSTBox(b) => b.srid
         case VTPoint(t) => t.srid
+        case VTGeom(t) => t.srid
+        case VGeoSet(g) => g.gsrid
         case _ => bad(name, args)
       }
 
       // ================= transforms =================
       case "shift" => (a0, a1) match {
-        case (VSet(vs, d), IntervalVal(us)) => VSet(vs.map(_ + us), d)
-        case (VSet(vs, d), v) => VSet(vs.map(_ + asLong(v)), d)
+        case (VSet(vs, d), v) =>
+          VSet(vs.map(_ + (if (d == Dom.Tstz) asUs(v) else asLong(v))), d)
         case (VSetF(vs), v) => VSetF(vs.map(_ + asDouble(v)))
-        case (VSpan(s, d), IntervalVal(us)) => VSpan(SpanAlg.shiftL(s, us), d)
-        case (VSpan(s, d), v) => VSpan(SpanAlg.shiftL(s, asLong(v)), d)
+        case (VSpan(s, d), v) =>
+          VSpan(SpanAlg.shiftL(s, if (d == Dom.Tstz) asUs(v) else asLong(v)), d)
         case (VSpanF(s), v) => VSpanF(SpanAlg.shiftD(s, asDouble(v)))
-        case (VSpanSet(ss, d), IntervalVal(us)) => VSpanSet(ss.map(SpanAlg.shiftL(_, us)), d)
-        case (VSpanSet(ss, d), v) => VSpanSet(ss.map(SpanAlg.shiftL(_, asLong(v))), d)
+        case (VSpanSet(ss, d), v) =>
+          VSpanSet(ss.map(SpanAlg.shiftL(_, if (d == Dom.Tstz) asUs(v) else asLong(v))), d)
         case (VSpanSetF(ss), v) => VSpanSetF(ss.map(SpanAlg.shiftD(_, asDouble(v))))
         case _ => bad(name, args)
       }
       case "scale" => (a0, a1) match {
-        case (VSpan(s, d), IntervalVal(us)) => VSpan(SpanAlg.scaleL(s, us), d)
-        case (VSpan(s, d), v) => VSpan(SpanAlg.scaleL(s, asLong(v)), d)
-        case (VSpanF(s), v) => VSpanF(SpanAlg.scaleD(s, asDouble(v)))
-        case (VSet(vs, d), v) => // scale set width to v anchored at min
-          val w = a1 match { case IntervalVal(us) => us; case x => asLong(x) }
+        case (VSet(vs, d), v) => VSet(scaleSetL(vs,
+          if (d == Dom.Tstz) asUs(v) else asLong(v), Dom.isDiscrete(d)), d)
+        case (VSetF(vs), v) =>
+          val w = asDouble(v)
           val (lo, hi) = (vs.head, vs.last)
-          VSet(if (hi == lo) vs else
-            vs.map(x => lo + ((x - lo).toDouble * w / (hi - lo)).round), d)
+          VSetF(if (hi == lo) vs else vs.map(x => lo + (x - lo) * w / (hi - lo)))
+        case (VSpan(s, d), v) =>
+          VSpan(SpanAlg.scaleL(s, if (d == Dom.Tstz) asUs(v) else asLong(v)), d)
+        case (VSpanF(s), v) => VSpanF(SpanAlg.scaleD(s, asDouble(v)))
         case _ => bad(name, args)
       }
       case "shiftscale" => (a0, args(1), args(2)) match {
+        case (VSet(vs, d), sh, sc) =>
+          val (shv, scv) = if (d == Dom.Tstz) (asUs(sh), asUs(sc)) else (asLong(sh), asLong(sc))
+          VSet(scaleSetL(vs.map(_ + shv), scv, Dom.isDiscrete(d)), d)
         case (VSpan(s, d), sh, sc) =>
-          val shv = sh match { case IntervalVal(us) => us; case x => asLong(x) }
-          val scv = sc match { case IntervalVal(us) => us; case x => asLong(x) }
+          val (shv, scv) = if (d == Dom.Tstz) (asUs(sh), asUs(sc)) else (asLong(sh), asLong(sc))
           VSpan(SpanAlg.scaleL(SpanAlg.shiftL(s, shv), scv), d)
         case (VSpanF(s), sh, sc) =>
           VSpanF(SpanAlg.scaleD(SpanAlg.shiftD(s, asDouble(sh)), asDouble(sc)))
@@ -771,6 +967,24 @@ object MobRuntime {
         case VSetF(vs) => VSetF(SetAlg.makeD(vs.map(math.floor)))
         case _ => bad(name, args)
       }
+      case "radians" => a0 match {
+        case VSetF(vs) => VSetF(SetAlg.makeD(vs.map(math.toRadians)))
+        case _ => bad(name, args)
+      }
+      case "degrees" => a0 match {
+        case VSetF(vs) =>
+          val norm = args.length >= 2 && asBool(a1)
+          VSetF(SetAlg.makeD(vs.map { v =>
+            val d = math.toDegrees(v)
+            if (norm && (d < 0 || d >= 360)) ((d % 360) + 360) % 360 else d
+          }))
+        case _ => bad(name, args)
+      }
+      case "initcap" => a0 match {
+        case VSetS(vs) => VSetS(SetAlg.makeS(vs.map(s =>
+          if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1).toLowerCase)))
+        case _ => bad(name, args)
+      }
       case "ceil" => a0 match {
         case VSetF(vs) => VSetF(SetAlg.makeD(vs.map(math.ceil)))
         case _ => bad(name, args)
@@ -782,15 +996,23 @@ object MobRuntime {
       }
       case "scalevalue" => a0 match {
         case VTNum(t, k) => VTNum(TNumAlg.scaleValue(t, asDouble(a1)), k)
+        case VTBox(b) =>
+          val w = asDouble(a1)
+          VTBox(if (b.xInt) b.copy(xmax = b.xmin + w + 1) else b.copy(xmax = b.xmin + w))
         case _ => bad(name, args)
       }
       case "shiftscalevalue" => a0 match {
         case VTNum(t, k) =>
           VTNum(TNumAlg.scaleValue(TNumAlg.shiftValue(t, asDouble(a1)), asDouble(args(2))), k)
+        case VTBox(b) =>
+          val sh = asDouble(a1); val w = asDouble(args(2))
+          val shifted = b.copy(xmin = b.xmin + sh, xmax = b.xmax + sh)
+          VTBox(if (b.xInt) shifted.copy(xmax = shifted.xmin + w + 1)
+                else shifted.copy(xmax = shifted.xmin + w))
         case _ => bad(name, args)
       }
       case "shifttime" =>
-        val d = a1 match { case IntervalVal(us) => us; case x => asLong(x) }
+        val d = asUs(a1)
         a0 match {
           case VTNum(t, k) => VTNum(TNumAlg.shiftTime(t, d), k)
           case VTBox(b) => VTBox(BoxAlg.shiftTimeT(b, d))
@@ -799,9 +1021,19 @@ object MobRuntime {
           case _ => bad(name, args)
         }
       case "scaletime" =>
-        val d = a1 match { case IntervalVal(us) => us; case x => asLong(x) }
+        val d = asUs(a1)
         a0 match {
           case VTNum(t, k) => VTNum(TNumAlg.scaleTime(t, d), k)
+          case VTBox(b) => VTBox(b.copy(tmax = b.tmin + d))
+          case _ => bad(name, args)
+        }
+      case "shiftscaletime" =>
+        val sh = asUs(a1); val sc = asUs(args(2))
+        a0 match {
+          case VTNum(t, k) => VTNum(TNumAlg.scaleTime(TNumAlg.shiftTime(t, sh), sc), k)
+          case VTBox(b) =>
+            val shifted = BoxAlg.shiftTimeT(b, sh)
+            VTBox(shifted.copy(tmax = shifted.tmin + sc))
           case _ => bad(name, args)
         }
       case "expandvalue" => a0 match {
@@ -809,7 +1041,7 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "expandtime" =>
-        val d = a1 match { case IntervalVal(us) => us; case x => asLong(x) }
+        val d = asUs(a1)
         a0 match {
           case VTBox(b) => VTBox(BoxAlg.expandTimeT(b, d))
           case VSTBox(b) => VSTBox(b.copy(tmin = b.tmin - d, tmax = b.tmax + d))
@@ -823,6 +1055,8 @@ object MobRuntime {
       case "setsrid" => a0 match {
         case VSTBox(b) => VSTBox(b.copy(srid = asLong(a1).toInt))
         case VTPoint(t) => VTPoint(t.copy(srid = asLong(a1).toInt))
+        case VTGeom(t) => VTGeom(t.copy(srid = asLong(a1).toInt))
+        case VGeoSet(g) => VGeoSet(g.copy(gsrid = asLong(a1).toInt))
         case _ => bad(name, args)
       }
       case "transform" => // only 4326 -> 3857 (SURVEY §7: BerlinMOD's only use)
@@ -840,6 +1074,7 @@ object MobRuntime {
       case "setinterp" => a0 match {
         case VTNum(t, k) => VTNum(t.copy(interp = Interp.parse(a1.asInstanceOf[String])), k)
         case VTPoint(t) => VTPoint(t.copy(interp = Interp.parse(a1.asInstanceOf[String])))
+        case VTGeom(t) => VTGeom(TGeomAlg.setInterp(t, Interp.parse(a1.asInstanceOf[String])))
         case _ => bad(name, args)
       }
 
@@ -871,7 +1106,10 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "valueattimestamp" => (a0, a1) match {
-        case (VTNum(t, _), TsVal(us)) => TNumAlg.valueAt(t, us).map(Double.box).orNull
+        case (VTNum(t, k), TsVal(us)) => TNumAlg.valueAt(t, us).map { v =>
+          if (k == Kind.Int) Long.box(v.toLong)
+          else if (k == Kind.Bool) Boolean.box(v != 0.0) else Double.box(v)
+        }.orNull
         case (VTPoint(t), TsVal(us)) =>
           TPointAlg.valueAt(t, us).map { case (x, y) => Wkb.writePoint(x, y) }.orNull
         case _ => bad(name, args)
@@ -879,8 +1117,15 @@ object MobRuntime {
       case "atgeometry" => (a0, a1) match {
         case (VTPoint(t), w: Array[Byte]) =>
           val (gt, pts) = Wkb.read(w)
-          require(gt == Wkb.PolygonType, "atGeometry expects a polygon")
-          TPointAlg.atGeometry(t, pts.dropRight(1)).map(VTPoint).orNull
+          gt match {
+            case Wkb.PolygonType =>
+              TPointAlg.atGeometry(t, pts.dropRight(1)).map(VTPoint).orNull
+            case Wkb.LineStringType =>
+              TPointAlg.atLineString(t, pts).map(VTPoint).orNull
+            case Wkb.PointType =>
+              eval("atvalues", IndexedSeq(a0, Wkb.writePoint(pts.head._1, pts.head._2)))
+            case _ => bad(name, args)
+          }
         case _ => bad(name, args)
       }
       case "whentrue" => a0 match {
@@ -932,7 +1177,23 @@ object MobRuntime {
           if (d.isNaN) null else d
         case _ => bad(name, args)
       }
+      case "asbinary" => a0 match {
+        case VSTBox(b) => stboxToBytes(b)
+        case _ => bad(name, args)
+      }
+      case "stboxfrombinary" => VSTBox(stboxFromBytes(a0.asInstanceOf[Array[Byte]]))
       case "st_point" => Wkb.writePoint(asDouble(a0), asDouble(a1))
+      case "st_geomfromtext" => Wkb.fromText(str0)
+      case "set_elements" => a0 match {
+        case VSet(vs, d) => vs.map(v => d match {
+          case Dom.Date => TimeFmt.printDate(v)
+          case Dom.Tstz => TimeFmt.printTs(v)
+          case _ => v.toString
+        }).toSeq
+        case VSetF(vs) => vs.map(TimeFmt.printFloat).toSeq
+        case VSetS(vs) => vs.toSeq
+        case _ => bad(name, args)
+      }
       case "st_transform" =>
         val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
         val conv = pts.map(p => Geo.lonLatToMercator(p._1, p._2))
@@ -965,13 +1226,8 @@ object MobRuntime {
           val b = BoxAlg.tboxOfTNum(t)
           VTBox(if (k == Kind.Int)
             b.copy(xmax = b.xmax + 1, xmaxInc = false, xInt = true) else b)
-        case s: String => VTBox(parseTBox(s))
-        case VSpan(s, d) if d != Dom.Tstz => VTBox(BoxAlg.tboxFromSpanD(
-          SpanD(s.lower, s.upper, s.lowerInc, s.upperInc), xInt = true))
-        case VSpanF(s) => VTBox(BoxAlg.tboxFromSpanD(s))
-        case TsVal(us) => VTBox(BoxAlg.tboxFromTs(us))
         case b: VTBox => b
-        case _ => bad(name, args)
+        case _ => evalTBoxCtor(args)
       }
       case "to_tstzspan" => a0 match {
         case VTNum(t, _) => VSpan(TNumAlg.timeSpan(t), Dom.Tstz)
@@ -990,6 +1246,8 @@ object MobRuntime {
         a0 match {
           case VSet(vs, _) => VSpan(SetAlg.spanOf(vs, discrete = true), d)
           case VSpanSet(ss, _) => VSpan(SpanSetAlg.span(ss), d)
+          case VTBox(b) => VSpan(SpanL(b.xmin.toLong, b.xmax.toLong,
+            b.xminInc, b.xmaxInc), d)
           case VSpanF(s) => VSpan(SpanAlg.canonDiscrete(
             math.floor(s.lower).toLong, math.floor(s.upper).toLong,
             s.lowerInc, s.upperInc), d)
@@ -998,12 +1256,21 @@ object MobRuntime {
           case v => val x = asLong(v); VSpan(SpanAlg.canonDiscrete(x, x, true, true), d)
         }
       case "to_floatspan" => a0 match {
+        case VSpan(s, d) if Dom.isDiscrete(d) =>
+          VSpanF(SpanD(s.lower, s.upper - 1, true, true))
         case VSpan(s, _) => VSpanF(SpanD(s.lower, s.upper, s.lowerInc, s.upperInc))
+        case VTBox(b) => VSpanF(SpanD(b.xmin, b.xmax, b.xminInc, b.xmaxInc))
         case VSetF(vs) => VSpanF(SpanD(vs.head, vs.last, true, true))
         case VTNum(t, _) => VSpanF(TNumAlg.valueSpan(t))
         case v => val x = asDouble(v); VSpanF(SpanD(x, x, true, true))
       }
       case "to_tstzspanset" => a0 match {
+        case VSpanSet(ss, d) if d == Dom.Date =>
+          VSpanSet(ss.map(s => SpanL(s.lower * 86400000000L,
+            s.upper * 86400000000L, s.lowerInc, false)), Dom.Tstz)
+        case VSpan(s, d) if d == Dom.Date =>
+          VSpanSet(Array(SpanL(s.lower * 86400000000L,
+            s.upper * 86400000000L, s.lowerInc, false)), Dom.Tstz)
         case VSpan(s, d) if d == Dom.Tstz => VSpanSet(Array(s), Dom.Tstz)
         case TsVal(us) => VSpanSet(Array(SpanL(us, us, true, true)), Dom.Tstz)
         case VSet(vs, d) if d == Dom.Tstz =>
@@ -1018,11 +1285,24 @@ object MobRuntime {
           case VSpan(s, _) => VSpanSet(Array(s), d)
           case VSet(vs, _) => VSpanSet(SpanSetAlg.normalize(
             vs.map(v => SpanAlg.canonDiscrete(v, v, true, true))), d)
+          case VSpanSetF(ss) => VSpanSet(SpanSetAlg.normalize(ss.map(s =>
+            SpanAlg.canonDiscrete(math.floor(s.lower).toLong,
+              math.ceil(s.upper).toLong - 1, true, true))), d)
+          case v: VSpanSet if d == Dom.Date && v.dom == Dom.Tstz =>
+            VSpanSet(SpanSetAlg.normalize(v.ss.map(s => SpanL(
+              Math.floorDiv(s.lower, 86400000000L),
+              Math.floorDiv(s.upper + 86399999999L, 86400000000L),
+              true, false))), d)
           case v: VSpanSet => VSpanSet(v.ss, d)
           case _ => bad(name, args)
         }
       case "to_floatspanset" => a0 match {
         case VSpanF(s) => VSpanSetF(Array(s))
+        case VSpanSet(ss, d) if Dom.isDiscrete(d) => VSpanSetF(ss.map(s =>
+          SpanD(s.lower, s.upper - 1, true, true)))
+        case VSpanSet(ss, _) => VSpanSetF(ss.map(s =>
+          SpanD(s.lower, s.upper, s.lowerInc, s.upperInc)))
+        case v: VSpanSetF => v
         case _ => bad(name, args)
       }
       case "to_tfloat" => a0 match {
@@ -1031,11 +1311,34 @@ object MobRuntime {
       }
       case "to_tstzset" => a0 match {
         case TsVal(us) => VSet(Array(us), Dom.Tstz)
+        case VSet(vs, d) if d == Dom.Date =>
+          VSet(vs.map(_ * 86400L * 1000000L), Dom.Tstz)
         case VSet(vs, _) => VSet(vs, Dom.Tstz)
         case _ => bad(name, args)
       }
       case "to_intset" => a0 match {
         case VSet(vs, _) => VSet(vs, Dom.Int)
+        case VSetF(vs) => VSet(SetAlg.makeL(vs.map(math.floor(_).toLong)), Dom.Int)
+        case v: Long => VSet(Array(v), Dom.Int)
+        case v: Int => VSet(Array(v.toLong), Dom.Int)
+        case _ => bad(name, args)
+      }
+      case "to_floatset" => a0 match {
+        case VSet(vs, _) => VSetF(vs.map(_.toDouble))
+        case v: Double => VSetF(Array(v))
+        case v: VSetF => v
+        case _ => bad(name, args)
+      }
+      case "to_dateset" => a0 match {
+        case DateVal(d) => VSet(Array(d.toLong), Dom.Date)
+        case VSet(vs, d) if d == Dom.Tstz =>
+          VSet(SetAlg.makeL(vs.map(v => Math.floorDiv(v, 86400L * 1000000L))), Dom.Date)
+        case VSet(vs, _) => VSet(vs, Dom.Date)
+        case _ => bad(name, args)
+      }
+      case "to_textset" => a0 match {
+        case VSetS(vs) => VSetS(vs)
+        case s: String => VSetS(Array(s))
         case _ => bad(name, args)
       }
 
@@ -1154,6 +1457,85 @@ object MobRuntime {
         VSTBox(BoxAlg.stboxFromTSpan(SpanL(us, us, true, true)))
       case VSpan(s, d) :: Nil if d == Dom.Tstz => VSTBox(BoxAlg.stboxFromTSpan(s))
       case _ => bad("stbox", args)
+    }
+  }
+
+
+  /** MEOS set scale: anchor at min; discrete domains scale the canonical
+    * span width (w+1), continuous exactly w (goldens: scale(dateset
+    * '{0,1,2}', 4) -> {0,2,5}; scale(tstzset, '1 hour') -> exact). */
+  private def scaleSetL(vs: Array[Long], w: Long, discrete: Boolean): Array[Long] = {
+    val lo = vs.head; val hi = vs.last
+    if (hi == lo) return vs
+    val factor = (if (discrete) (w + 1).toDouble else w.toDouble) / (hi - lo)
+    vs.map(x => lo + math.rint((x - lo) * factor).toLong)
+  }
+
+  private[functions] def parseIntervalStr(s0: String): Long = {
+    val s = s0.trim.toLowerCase
+    val re = """(-?\d+(?:\.\d+)?)\s*(microsecond|millisecond|second|minute|min|hour|day|week|sec|ms|us|h|m|s|d)s?""".r
+    var total = 0L
+    var matched = false
+    for (m <- re.findAllMatchIn(s)) {
+      matched = true
+      val v = m.group(1).toDouble
+      val unit = m.group(2) match {
+        case "us" | "microsecond" => 1L
+        case "ms" | "millisecond" => 1000L
+        case "s" | "sec" | "second" => 1000000L
+        case "m" | "min" | "minute" => 60000000L
+        case "h" | "hour" => 3600000000L
+        case "d" | "day" => 86400000000L
+        case "week" => 7 * 86400000000L
+      }
+      total += (v * unit).round
+    }
+    require(matched, s"cannot parse interval '$s0'")
+    total
+  }
+
+  private def stboxToBytes(b: STBox): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * 8 + 4 + 8)
+    bb.putDouble(b.xmin).putDouble(b.xmax).putDouble(b.ymin).putDouble(b.ymax)
+    bb.putDouble(b.zmin).putDouble(b.zmax).putLong(b.tmin).putLong(b.tmax)
+    bb.putInt(b.srid)
+    var flags = 0
+    if (b.tminInc) flags |= 1
+    if (b.tmaxInc) flags |= 2
+    if (b.geodetic) flags |= 4
+    if (b.hasX) flags |= 8
+    if (b.hasZ) flags |= 16
+    if (b.hasT) flags |= 32
+    bb.putLong(flags)
+    bb.array()
+  }
+
+  private def stboxFromBytes(a: Array[Byte]): STBox = {
+    val bb = java.nio.ByteBuffer.wrap(a)
+    val (xmin, xmax, ymin, ymax, zmin, zmax) =
+      (bb.getDouble, bb.getDouble, bb.getDouble, bb.getDouble, bb.getDouble, bb.getDouble)
+    val (tmin, tmax) = (bb.getLong, bb.getLong)
+    val srid = bb.getInt
+    val flags = bb.getLong
+    STBox(xmin, xmax, ymin, ymax, zmin, zmax, tmin, tmax,
+      (flags & 1) != 0, (flags & 2) != 0, srid, (flags & 4) != 0,
+      (flags & 8) != 0, (flags & 16) != 0, (flags & 32) != 0)
+  }
+
+  /** DuckDB-spatial style WKT rendering (space after tag, comma-space):
+    * `LINESTRING (1 1, 2 2)` — used for ::GEOMETRY casts. */
+  private def duckWkt(wkb: Array[Byte]): String = {
+    if (((java.nio.ByteBuffer.wrap(wkb)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)) & 0xFF) ==
+        Wkb.GeometryCollectionType)
+      return Wkb.collectionMembers(wkb).map(duckWkt)
+        .mkString("GEOMETRYCOLLECTION (", ", ", ")")
+    val (t, pts) = Wkb.read(wkb)
+    def f(p: (Double, Double)) = s"${TimeFmt.printFloat(p._1)} ${TimeFmt.printFloat(p._2)}"
+    t match {
+      case Wkb.PointType => s"POINT (${f(pts.head)})"
+      case Wkb.LineStringType => pts.map(f).mkString("LINESTRING (", ", ", ")")
+      case Wkb.PolygonType => pts.map(f).mkString("POLYGON ((", ", ", "))")
     }
   }
 

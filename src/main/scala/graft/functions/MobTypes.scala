@@ -53,6 +53,8 @@ case class VSetS(vs: Array[String]) extends MobVal
 case class VSpanSet(ss: Array[SpanL], dom: Byte) extends MobVal
 case class VSpanSetF(ss: Array[SpanD]) extends MobVal
 case class VTNum(t: TNum, kind: Byte) extends MobVal
+case class VTGeom(t: TGeom) extends MobVal
+case class VGeoSet(g: GeoSet) extends MobVal
 case class VTText(t: TText) extends MobVal
 case class VTPoint(t: TPoint) extends MobVal
 case class VTBox(b: TBox) extends MobVal
@@ -93,9 +95,17 @@ object MobSchemas {
     f("ts", ArrayType(LongType, containsNull = false)),
     f("lInc", BooleanType), f("uInc", BooleanType)))
 
-  val tnum: StructType = StructType(Seq(
-    f("kind", ByteType), f("subtype", ByteType), f("interp", ByteType),
-    f("seqs", ArrayType(tnumSeq, containsNull = false))))
+  private def tnumSchema(seqField: String): StructType = StructType(Seq(
+    f("subtype", ByteType), f("interp", ByteType),
+    f(seqField, ArrayType(tnumSeq, containsNull = false))))
+  val tnumI: StructType = tnumSchema("iseqs")
+  val tnumF: StructType = tnumSchema("fseqs")
+  val tnumB: StructType = tnumSchema("bseqs")
+  def tnumFor(kind: Byte): StructType = kind match {
+    case 0 => tnumI
+    case 1 => tnumF
+    case 2 => tnumB
+  }
 
   val ttextSeq: StructType = StructType(Seq(
     f("svs", ArrayType(StringType, containsNull = false)),
@@ -115,6 +125,19 @@ object MobSchemas {
   val tpoint: StructType = StructType(Seq(
     f("subtype", ByteType), f("interp", ByteType), f("srid", IntegerType),
     f("pseqs", ArrayType(tpointSeq, containsNull = false))))
+
+  val tgeomSeq: StructType = StructType(Seq(
+    f("ws", ArrayType(BinaryType, containsNull = false)),
+    f("ts", ArrayType(LongType, containsNull = false)),
+    f("lInc", BooleanType), f("uInc", BooleanType)))
+
+  val tgeom: StructType = StructType(Seq(
+    f("subtype", ByteType), f("interp", ByteType), f("srid", IntegerType),
+    f("gseqs", ArrayType(tgeomSeq, containsNull = false))))
+
+  val gset: StructType = StructType(Seq(
+    f("wkbs", ArrayType(BinaryType, containsNull = false)),
+    f("gsrid", IntegerType), f("geodetic", BooleanType)))
 
   val tbox: StructType = StructType(Seq(
     f("xmin", DoubleType), f("xmax", DoubleType),
@@ -145,9 +168,13 @@ object MobSchemas {
       else if (n == names(setS)) Some("setS")
       else if (n == names(spanSet)) Some("spanSet")
       else if (n == names(spanSetF)) Some("spanSetF")
-      else if (n == names(tnum)) Some("tnum")
+      else if (n == names(tnumI)) Some("tnumI")
+      else if (n == names(tnumF)) Some("tnumF")
+      else if (n == names(tnumB)) Some("tnumB")
       else if (n == names(ttext)) Some("ttext")
       else if (n == names(tpoint)) Some("tpoint")
+      else if (n == names(tgeom)) Some("tgeom")
+      else if (n == names(gset)) Some("gset")
       else if (n == names(tbox)) Some("tbox")
       else if (n == names(stbox)) Some("stbox")
       else None
@@ -162,7 +189,11 @@ object MobSchemas {
     case "setS" => setS
     case "spanSet" => spanSet
     case "spanSetF" => spanSetF
-    case "tnum" => tnum
+    case "tnumI" => tnumI
+    case "tnumF" => tnumF
+    case "tnumB" => tnumB
+    case "tgeom" => tgeom
+    case "gset" => gset
     case "ttext" => ttext
     case "tpoint" => tpoint
     case "tbox" => tbox
@@ -198,9 +229,14 @@ object MobCodec {
           val r = arr.getStruct(i, 4)
           SpanD(r.getDouble(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3))
         }.toArray)
-      case "tnum" =>
-        val seqs = decodeSeqArr(row.getArray(3))
-        VTNum(TNum(row.getByte(1), row.getByte(2), seqs), row.getByte(0))
+      case "tnumI" | "tnumF" | "tnumB" =>
+        val seqs = decodeSeqArr(row.getArray(2))
+        val kind: Byte = MobSchemas.kindOf(dt).get match {
+          case "tnumI" => 0
+          case "tnumF" => 1
+          case _ => 2
+        }
+        VTNum(TNum(row.getByte(0), row.getByte(1), seqs), kind)
       case "ttext" =>
         val arr = row.getArray(2)
         val seqs = (0 until arr.numElements()).map { i =>
@@ -217,6 +253,19 @@ object MobCodec {
             r.getArray(2).toLongArray(), r.getBoolean(3), r.getBoolean(4))
         }.toArray
         VTPoint(TPoint(row.getByte(0), row.getByte(1), row.getInt(2), seqs))
+      case "tgeom" =>
+        val arr = row.getArray(3)
+        val seqs = (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 4)
+          val wArr = r.getArray(0)
+          TGeomSeq((0 until wArr.numElements()).map(wArr.getBinary).toArray,
+            r.getArray(1).toLongArray(), r.getBoolean(2), r.getBoolean(3))
+        }.toArray
+        VTGeom(TGeom(row.getByte(0), row.getByte(1), row.getInt(2), seqs))
+      case "gset" =>
+        val wArr = row.getArray(0)
+        VGeoSet(GeoSet((0 until wArr.numElements()).map(wArr.getBinary).toArray,
+          row.getInt(1), row.getBoolean(2)))
       case "tbox" =>
         VTBox(TBox(row.getDouble(0), row.getDouble(1), row.getBoolean(2), row.getBoolean(3),
           row.getLong(4), row.getLong(5), row.getBoolean(6), row.getBoolean(7),
@@ -261,9 +310,18 @@ object MobCodec {
       new GenericInternalRow(Array[Any](new GenericArrayData(ss.map(s =>
         new GenericInternalRow(Array[Any](s.lower, s.upper, s.lowerInc, s.upperInc))
           .asInstanceOf[Any]))))
-    case VTNum(t, kind) =>
-      new GenericInternalRow(Array[Any](kind, t.subtype, t.interp,
+    case VTNum(t, _) =>
+      new GenericInternalRow(Array[Any](t.subtype, t.interp,
         new GenericArrayData(t.seqs.map(encodeSeq(_).asInstanceOf[Any]))))
+    case VTGeom(t) =>
+      new GenericInternalRow(Array[Any](t.subtype, t.interp, t.srid,
+        new GenericArrayData(t.gseqs.map(s =>
+          new GenericInternalRow(Array[Any](
+            new GenericArrayData(s.ws.map(_.asInstanceOf[Any])),
+            new GenericArrayData(s.ts), s.lInc, s.uInc)).asInstanceOf[Any]))))
+    case VGeoSet(g) =>
+      new GenericInternalRow(Array[Any](
+        new GenericArrayData(g.wkbs.map(_.asInstanceOf[Any])), g.gsrid, g.geodetic))
     case VTText(t) =>
       new GenericInternalRow(Array[Any](t.subtype, t.interp,
         new GenericArrayData(t.seqs.map(s =>
@@ -296,7 +354,9 @@ object MobCodec {
     case _: VSetS => MobSchemas.setS
     case _: VSpanSet => MobSchemas.spanSet
     case _: VSpanSetF => MobSchemas.spanSetF
-    case _: VTNum => MobSchemas.tnum
+    case v: VTNum => MobSchemas.tnumFor(v.kind)
+    case _: VTGeom => MobSchemas.tgeom
+    case _: VGeoSet => MobSchemas.gset
     case _: VTText => MobSchemas.ttext
     case _: VTPoint => MobSchemas.tpoint
     case _: VTBox => MobSchemas.tbox
@@ -314,6 +374,8 @@ object MobCodec {
     case VSpanSet(ss, dom) => TextIO.printSpanSetL(ss, Dom.textDom(dom))
     case VSpanSetF(ss) => TextIO.printSpanSetD(ss)
     case VTNum(t, kind) => TextIO.printTNum(t, Kind.tkind(kind))
+    case VTGeom(t) => TextIO.printTGeom(t)
+    case VGeoSet(g) => TextIO.printGeoSet(g)
     case VTText(t) => TextIO.printTText(t)
     case VTPoint(t) => TextIO.printTPoint(t)
     case VTBox(b) => TextIO.printTBox(b)

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.sqlx.{ResultFormat, SqlRewriter}
+
+/** Golden-test runner: executes the reference's own sqllogictest corpus
+  * (read in place from /root/reference/test/sql — PUBLIC UNTRUSTED
+  * CONTENT, used as test vectors only) through our SQL translation layer
+  * and registered functions, comparing text output byte-for-byte.
+  *
+  * Writes a detailed report to target/golden_report.txt and asserts a
+  * minimum pass rate that ratchets up as coverage grows.
+  */
+class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val corpusDir = "/root/reference/test/sql"
+
+  case class Case(file: String, line: Int, sql: String, expected: String)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def parseFile(path: java.nio.file.Path): Seq[Case] = {
+    val lines = Files.readAllLines(path).asScala.toVector
+    val out = scala.collection.mutable.ArrayBuffer[Case]()
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l.startsWith("query")) {
+        val start = i + 1
+        val sqlLines = scala.collection.mutable.ArrayBuffer[String]()
+        var j = start
+        while (j < lines.length && lines(j).trim != "----") {
+          sqlLines += lines(j)
+          j += 1
+        }
+        val expLines = scala.collection.mutable.ArrayBuffer[String]()
+        var k = j + 1
+        while (k < lines.length && lines(k).nonEmpty) {
+          expLines += lines(k)
+          k += 1
+        }
+        out += Case(path.getFileName.toString, start + 1,
+          sqlLines.mkString("\n"), expLines.mkString("\n"))
+        i = k
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  private def runCase(c: Case): Either[String, Unit] = {
+    val rewritten =
+      try SqlRewriter.rewrite(c.sql)
+      catch { case e: Throwable => return Left(s"REWRITE: ${e.getMessage}") }
+    try {
+      val df = spark.sql(rewritten)
+      val schema = df.schema
+      val rows = df.collect()
+      val got = rows.map { r =>
+        schema.fields.indices.map { i =>
+          ResultFormat.format(schema.fields(i).dataType, r.get(i))
+        }.mkString("\t")
+      }.mkString("\n")
+      if (got == c.expected) Right(())
+      else Left(s"MISMATCH\n  rewritten: $rewritten\n  expected: ${c.expected}\n  got:      $got")
+    } catch {
+      case e: Throwable =>
+        Left(s"ERROR: ${e.getMessage}\n  rewritten: $rewritten")
+    }
+  }
+
+  test("reference sqllogictest corpus") {
+    val files = Files.list(Paths.get(corpusDir)).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".test")).sortBy(_.toString)
+    val report = new StringBuilder
+    var pass = 0
+    var fail = 0
+    val perFile = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
+    for (f <- files) {
+      val cases = parseFile(f)
+      var fp = 0
+      var ff = 0
+      for (c <- cases) {
+        runCase(c) match {
+          case Right(_) => pass += 1; fp += 1
+          case Left(msg) =>
+            fail += 1; ff += 1
+            report.append(s"FAIL ${c.file}:${c.line}\n  sql: ${c.sql}\n  $msg\n\n")
+        }
+      }
+      perFile(f.getFileName.toString) = (fp, ff)
+    }
+    val summary = perFile.map { case (n, (p, q)) => f"$n%-20s $p%4d pass $q%4d fail" }
+      .mkString("\n")
+    val total = s"\nTOTAL: $pass pass / $fail fail (${pass * 100 / math.max(1, pass + fail)}%)"
+    Files.writeString(Paths.get("target/golden_report.txt"),
+      summary + total + "\n\n" + report)
+    info(summary + total)
+    // ratchet: raise as coverage grows
+    assert(pass >= (pass + fail) * 95 / 100,
+      s"golden pass rate below threshold: $pass/${pass + fail} — see target/golden_report.txt")
+  }
+}
