@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{MobilityOps, Relational}
+import graft.operators.{Dedup, MobilityOps, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,8 @@ object SparkEntry {
     "rel_q12_explode" -> Relational.q12Explode _,
     "rel_q13_offset" -> Relational.q13Offset _,
     "rel_q14_theta_join" -> Relational.q14ThetaJoin _,
-  ) ++ MobilityOps.queries
+  ) ++ MobilityOps.queries ++ Dedup.queries ++ Similarity.queries ++
+    TextAnalysis.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -136,5 +137,6 @@ object SparkEntry {
            AS w(win_id, lo, hi)
            ON e.ts >= w.lo AND e.ts < w.hi
          GROUP BY win_id ORDER BY win_id""",
-  ) ++ MobilityOps.oracles
+  ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+    TextAnalysis.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Scale design: the query set is tiny and BROADCAST; the corpus is only
+  * scanned (never shuffled) — each partition scores its vectors against
+  * every query, then a per-query top-k (window over cos) runs on the
+  * small scored result. The LSH variant prunes the scan with
+  * sign-projection buckets: at 100 TB the corpus would be bucketed at
+  * write time so a query touches only matching buckets (partition
+  * pruning), with multi-probe for recall.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private val queryIds = Seq(1L, 7L, 42L, 99L, 123L, 200L, 256L, 300L, 404L, 499L)
+
+  /** Exact brute-force cosine top-5 per query vector (the correctness
+    * baseline an ANN index is judged against). */
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sign-projection LSH bucketed search: 8 deterministic pseudo-random
+    * hyperplanes -> 8-bit bucket; candidates share >= 7 of 8 signs with
+    * the query (multi-probe on 1-bit flips). Rows-only check: recall
+    * depends on the hash family, the exact baseline above is the oracle
+    * for quality inspection. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val planes: Array[Array[Double]] = Array.tabulate(8) { p =>
+      // deterministic pseudo-random plane from a splitmix64 stream
+      var x = 0x9E3779B97F4A7C15L * (p + 1)
+      Array.fill(64) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        ((x * 0x2545F4914F6CDD1DL) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+    }
+    val bucket = udf((v: Seq[Double]) => {
+      var b = 0
+      for (p <- planes.indices) {
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { acc += v(i) * planes(p)(i); i += 1 }
+        if (acc > 0) b |= (1 << p)
+      }
+      b
+    })
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bkt", bucket(col("v")))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"), col("bkt").as("qbkt"))
+    val ham = udf((a: Int, b: Int) => Integer.bitCount(a ^ b))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && ham(col("bkt"), col("qbkt")) <= 1)
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> (annTopK _),
+    "ann_lsh" -> (annLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+               WHERE vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.v, q.qv) AS cos
+           FROM emb e JOIN q ON e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")
+}
