@@ -33,6 +33,14 @@ object SparkEntry {
     "rel_q12_explode" -> Relational.q12Explode _,
     "rel_q13_offset" -> Relational.q13Offset _,
     "rel_q14_theta_join" -> Relational.q14ThetaJoin _,
+    "berlinmod_e2e" -> ((s: SparkSession, _: String) => {
+      // full mobility workload on deterministic synthetic data
+      // (rows-only check: 17 rows, one per BerlinMOD query)
+      graft.berlinmod.BerlinMod.load(s)
+      val counts = graft.berlinmod.BerlinMod.queries(s)
+        .map { case (n, df) => (n, df.count()) }
+      s.createDataFrame(counts).toDF("query", "rows")
+    }),
   ) ++ MobilityOps.queries ++ Dedup.queries ++ Similarity.queries ++
     TextAnalysis.queries ++ Multimodal.queries
 

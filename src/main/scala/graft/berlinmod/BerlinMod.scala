@@ -1,0 +1,309 @@
+package graft.berlinmod
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The BerlinMOD mobility workload end-to-end: deterministic synthetic
+  * data in the reference's schemas (the reference git-ignores its CSV
+  * inputs — FIXTURES.md §5) + all 17 benchmark queries
+  * (ref benchmark/BerlinMOD/sql/queries/query_1..17.sql) re-expressed
+  * Spark-first with our mobility functions.
+  *
+  * Scale notes: every dimension table (Licences1/2, Instants1, Periods1,
+  * Points1, Regions1 — the LIMIT-10 views of the reference loader) is
+  * broadcast; Trips is the fact side and is never replicated. The
+  * trip-pair queries (q6/q10) prefilter with expanded bounding boxes
+  * before the exact eDwithin/tDwithin solvers, mirroring the reference's
+  * R-tree prefilter with a sargable box predicate.
+  */
+object BerlinMod {
+
+  private def cf(name: String, cols: Column*): Column = call_function(name, cols: _*)
+
+  /** Deterministic LCG so every run generates identical data. */
+  private final class Rng(seed0: Long) {
+    private var s = seed0
+    def nextLong(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    def nextDouble(): Double = ((nextLong() >>> 11).toDouble / (1L << 53).toDouble)
+    def nextInt(n: Int): Int = math.floorMod(nextLong(), n.toLong).toInt
+  }
+
+  case class TripPoint(TripId: Int, VehicleId: Int, PosX: Double, PosY: Double,
+                       t: java.sql.Timestamp)
+
+  /** Generate and register the BerlinMOD tables as temp views. Returns
+    * the number of trips. */
+  def load(spark: SparkSession, nVehicles: Int = 20, seed: Long = 42L): Int = {
+    GraftFunctions.register(spark)
+    val rng = new Rng(seed)
+    val base = 1577836800000000L // 2020-01-01 UTC micros
+
+    val vehicles = (1 to nVehicles).map { vid =>
+      val vtype = if (rng.nextInt(3) == 0) "truck" else "passenger"
+      (vid, f"B-$vid%04d", vtype, s"model${rng.nextInt(5)}")
+    }
+    spark.createDataFrame(vehicles)
+      .toDF("VehicleId", "Licence", "VehicleType", "Model")
+      .createOrReplaceTempView("Vehicles")
+
+    val licences = (1 to nVehicles).map(vid => (vid, f"B-$vid%04d", vid))
+    spark.createDataFrame(licences).toDF("LicenceId", "Licence", "VehicleId")
+      .createOrReplaceTempView("Licences")
+
+    val instants = (1 to 100).map { i =>
+      (i, new java.sql.Timestamp((base + i.toLong * 977L * 60000000L) / 1000))
+    }
+    spark.createDataFrame(instants).toDF("InstantId", "Instant")
+      .createOrReplaceTempView("Instants")
+
+    val periods = (1 to 50).map { i =>
+      val lo = base + rng.nextInt(90 * 24) * 3600000000L
+      val hi = lo + (1 + rng.nextInt(72)) * 3600000000L
+      (i, new java.sql.Timestamp(lo / 1000), new java.sql.Timestamp(hi / 1000))
+    }
+    spark.createDataFrame(periods).toDF("PeriodId", "Tstart", "Tend")
+      .createOrReplaceTempView("PeriodsRaw")
+    spark.sql("""SELECT PeriodId, Tstart, Tend, tstzspan(Tstart, Tend) AS Period
+                 FROM PeriodsRaw""").createOrReplaceTempView("Periods")
+
+    val points = (1 to 100).map { i =>
+      (i, math.floor(rng.nextDouble() * 100) / 10.0 * 100,
+        math.floor(rng.nextDouble() * 100) / 10.0 * 100)
+    }
+    spark.createDataFrame(points).toDF("PointId", "PosX", "PosY")
+      .createOrReplaceTempView("PointsRaw")
+    spark.sql("""SELECT PointId, PosX, PosY, st_point(PosX, PosY) AS Geom
+                 FROM PointsRaw""").createOrReplaceTempView("Points")
+
+    val regions = (1 to 10).map { i =>
+      val cx = rng.nextDouble() * 8000
+      val cy = rng.nextDouble() * 8000
+      val r = 300 + rng.nextDouble() * 900
+      val wkt = (0 to 6).map { k =>
+        val a = 2 * math.Pi * k / 6
+        s"${cx + r * math.cos(a)} ${cy + r * math.sin(a)}"
+      }.mkString("Polygon((", ",", "))")
+      (i, wkt)
+    }
+    spark.createDataFrame(regions).toDF("RegionId", "Wkt")
+      .createOrReplaceTempView("RegionsRaw")
+    spark.sql("""SELECT RegionId, st_geomfromtext(Wkt) AS Geom FROM RegionsRaw""")
+      .createOrReplaceTempView("Regions")
+
+    // Trips: 2-4 trips per vehicle, random walks snapped to a 100 m grid
+    // so distinct vehicles revisit shared points (q11/q12 need meetups).
+    val tripRows = scala.collection.mutable.ArrayBuffer[TripPoint]()
+    var tripId = 0
+    for (vid <- 1 to nVehicles; _ <- 0 until (2 + rng.nextInt(3))) {
+      tripId += 1
+      var x = math.floor(rng.nextDouble() * 100) / 10.0 * 100
+      var y = math.floor(rng.nextDouble() * 100) / 10.0 * 100
+      var t = base + rng.nextInt(90 * 24) * 3600000000L
+      val n = 10 + rng.nextInt(40)
+      for (_ <- 0 until n) {
+        tripRows += TripPoint(tripId, vid, x, y, new java.sql.Timestamp(t / 1000))
+        x += (rng.nextInt(3) - 1) * 100.0
+        y += (rng.nextInt(3) - 1) * 100.0
+        t += (60 + rng.nextInt(240)) * 1000000L
+      }
+    }
+    import spark.implicits._
+    tripRows.toSeq.toDF().createOrReplaceTempView("TripsInput")
+    // the reference loader pipeline: array_agg ORDER BY t -> tgeompointSeq
+    // (ref sql/load/07_trips.sql:26-37); our seq constructor sorts by t
+    spark.sql(
+      """SELECT TripId, VehicleId,
+           tgeompointseq(collect_list(tgeompoint(st_point(PosX, PosY), t))) AS Trip
+         FROM TripsInput
+         GROUP BY TripId, VehicleId""").createOrReplaceTempView("TripsBase")
+    spark.sql(
+      """SELECT TripId, VehicleId, Trip, trajectory(Trip) AS Traj
+         FROM TripsBase""").cache().createOrReplaceTempView("Trips")
+
+    // LIMIT-10 dimension views (ref sql/load/01_instants.sql:9-13 etc.)
+    spark.sql("SELECT * FROM Licences ORDER BY LicenceId LIMIT 10")
+      .createOrReplaceTempView("Licences1")
+    spark.sql("SELECT * FROM Licences ORDER BY LicenceId LIMIT 10 OFFSET 10")
+      .createOrReplaceTempView("Licences2")
+    spark.sql("SELECT * FROM Instants ORDER BY InstantId LIMIT 10")
+      .createOrReplaceTempView("Instants1")
+    spark.sql("SELECT * FROM Periods ORDER BY PeriodId LIMIT 10")
+      .createOrReplaceTempView("Periods1")
+    spark.sql("SELECT * FROM Points ORDER BY PointId LIMIT 10")
+      .createOrReplaceTempView("Points1")
+    spark.sql("SELECT * FROM Regions ORDER BY RegionId LIMIT 10")
+      .createOrReplaceTempView("Regions1")
+    tripId
+  }
+
+  /** The 17 queries (ref benchmark/BerlinMOD/sql/queries). */
+  def queries(spark: SparkSession): Seq[(String, DataFrame)] = {
+    val s = spark
+    Seq(
+      "q1" -> s.sql(
+        """SELECT DISTINCT l.Licence, v.Model AS Model
+           FROM Vehicles v, Licences l WHERE v.Licence = l.Licence"""),
+      "q2" -> s.sql(
+        """SELECT COUNT(DISTINCT Licence) AS cnt FROM Vehicles v
+           WHERE VehicleType = 'passenger'"""),
+      "q3" -> s.sql(
+        """SELECT DISTINCT l.Licence, i.InstantId, i.Instant,
+             st_astext(valueAtTimestamp(t.Trip, i.Instant)) AS Pos
+           FROM Trips t, Licences1 l, Instants1 i
+           WHERE t.VehicleId = l.VehicleId
+             AND op_contains(to_tstzspan(t.Trip), i.Instant)
+           ORDER BY l.Licence, i.InstantId"""),
+      "q4" -> s.sql(
+        """SELECT DISTINCT p.PointId, v.Licence
+           FROM Trips t, Vehicles v, Points p
+           WHERE t.VehicleId = v.VehicleId
+             AND st_intersects(t.Traj, p.Geom)
+           ORDER BY p.PointId, v.Licence"""),
+      "q5" -> s.sql(
+        """WITH Temp1 AS (
+             SELECT l1.Licence AS Licence1, st_collect(collect_list(t1.Traj)) AS Trajs
+             FROM Trips t1, Licences1 l1 WHERE t1.VehicleId = l1.VehicleId
+             GROUP BY l1.Licence),
+           Temp2 AS (
+             SELECT l2.Licence AS Licence2, st_collect(collect_list(t2.Traj)) AS Trajs
+             FROM Trips t2, Licences2 l2 WHERE t2.VehicleId = l2.VehicleId
+             GROUP BY l2.Licence)
+           SELECT Licence1, Licence2,
+             round(st_distance(t1.Trajs, t2.Trajs), 6) AS MinDist
+           FROM Temp1 t1, Temp2 t2
+           ORDER BY Licence1, Licence2"""),
+      "q6" -> s.sql(
+        """WITH Temp AS (
+             SELECT v.Licence, t.VehicleId, t.Trip
+             FROM Trips t, Vehicles v
+             WHERE t.VehicleId = v.VehicleId AND v.VehicleType = 'truck')
+           SELECT DISTINCT t1.Licence AS Licence1, t2.Licence AS Licence2
+           FROM Temp t1, Temp t2
+           WHERE t1.VehicleId < t2.VehicleId
+             AND op_overlaps(to_stbox(t1.Trip),
+                   expandSpace(to_stbox(t2.Trip), 10))
+             AND eDwithin(t1.Trip, t2.Trip, 10.0)
+           ORDER BY Licence1, Licence2"""),
+      "q7" -> s.sql(
+        """WITH Timestamps AS (
+             SELECT v.Licence, p.PointId,
+               MIN(startTimestamp(atGeometry(t.Trip, p.Geom))) AS Instant
+             FROM Trips t, Vehicles v, Points1 p
+             WHERE t.VehicleId = v.VehicleId AND v.VehicleType = 'passenger'
+               AND op_overlaps(to_stbox(t.Trip), to_stbox(p.Geom))
+               AND st_intersects(t.Traj, p.Geom)
+             GROUP BY v.Licence, p.PointId)
+           SELECT t1.Licence, t1.PointId, t1.Instant
+           FROM Timestamps t1
+           JOIN (SELECT PointId, MIN(Instant) AS mi FROM Timestamps
+                 GROUP BY PointId) m
+             ON t1.PointId = m.PointId AND t1.Instant <= m.mi
+           ORDER BY t1.PointId, t1.Licence"""),
+      "q8" -> s.sql(
+        """SELECT l.Licence, p.PeriodId,
+             round(SUM(length(atTime(t.Trip, p.Period))), 6) AS Dist
+           FROM Trips t, Licences1 l, Periods1 p
+           WHERE t.VehicleId = l.VehicleId
+             AND op_overlaps(t.Trip, p.Period)
+           GROUP BY l.Licence, p.PeriodId
+           ORDER BY l.Licence, p.PeriodId"""),
+      "q9" -> s.sql(
+        """WITH Distances AS (
+             SELECT p.PeriodId, t.VehicleId,
+               SUM(length(atTime(t.Trip, p.Period))) AS Dist
+             FROM Trips t, Periods p
+             WHERE op_overlaps(t.Trip, p.Period)
+             GROUP BY p.PeriodId, t.VehicleId)
+           SELECT PeriodId, round(MAX(Dist), 6) AS MaxDist
+           FROM Distances GROUP BY PeriodId ORDER BY PeriodId"""),
+      "q10" -> s.sql(
+        """WITH Temp AS (
+             SELECT l1.Licence AS Licence1, t2.VehicleId AS Car2Id,
+               whenTrue(tDwithin(t1.Trip, t2.Trip, 3.0)) AS Periods
+             FROM Trips t1, Licences1 l1, Trips t2, Vehicles v
+             WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = v.VehicleId
+               AND t1.VehicleId <> t2.VehicleId
+               AND op_overlaps(to_stbox(t2.Trip),
+                     expandSpace(to_stbox(t1.Trip), 3.0)))
+           SELECT Licence1, Car2Id, asText(Periods) AS Periods
+           FROM Temp WHERE Periods IS NOT NULL
+           ORDER BY Licence1, Car2Id, Periods"""),
+      "q11" -> s.sql(
+        """WITH Temp AS (
+             SELECT p.PointId, i.InstantId, i.Instant, t.VehicleId
+             FROM Trips t, Points1 p, Instants1 i
+             WHERE op_contains(t.Trip, stbox(p.Geom, i.Instant))
+               AND st_astext(valueAtTimestamp(t.Trip, i.Instant)) = st_astext(p.Geom))
+           SELECT t.PointId, t.InstantId, t.Instant, v.Licence
+           FROM Temp t JOIN Vehicles v ON t.VehicleId = v.VehicleId
+           ORDER BY t.PointId, t.InstantId, v.Licence"""),
+      "q12" -> s.sql(
+        """WITH Temp AS (
+             SELECT DISTINCT p.PointId, i.InstantId, i.Instant, t.VehicleId
+             FROM Trips t, Points1 p, Instants1 i
+             WHERE op_contains(t.Trip, stbox(p.Geom, i.Instant))
+               AND st_astext(valueAtTimestamp(t.Trip, i.Instant)) = st_astext(p.Geom))
+           SELECT DISTINCT t1.PointId, t1.InstantId, t1.Instant,
+             v1.Licence AS Licence1, v2.Licence AS Licence2
+           FROM Temp t1
+           JOIN Vehicles v1 ON t1.VehicleId = v1.VehicleId
+           JOIN Temp t2 ON t1.VehicleId < t2.VehicleId
+             AND t1.PointId = t2.PointId AND t1.InstantId = t2.InstantId
+           JOIN Vehicles v2 ON t2.VehicleId = v2.VehicleId
+           ORDER BY t1.PointId, t1.InstantId, Licence1, Licence2"""),
+      "q13" -> s.sql(
+        """WITH Temp AS (
+             SELECT DISTINCT r.RegionId, p.PeriodId, t.VehicleId
+             FROM Trips t, Regions1 r, Periods1 p
+             WHERE op_overlaps(t.Trip, stbox(r.Geom, p.Period))
+               AND atTime(t.Trip, p.Period) IS NOT NULL
+               AND st_intersects(trajectory(atTime(t.Trip, p.Period)), r.Geom))
+           SELECT DISTINCT t.RegionId, t.PeriodId, v.Licence
+           FROM Temp t, Vehicles v WHERE t.VehicleId = v.VehicleId
+           ORDER BY t.RegionId, t.PeriodId, v.Licence"""),
+      "q14" -> s.sql(
+        """WITH Temp AS (
+             SELECT DISTINCT r.RegionId, i.InstantId, i.Instant, t.VehicleId
+             FROM Trips t, Regions1 r, Instants1 i
+             WHERE op_overlaps(t.Trip, stbox(r.Geom, i.Instant))
+               AND valueAtTimestamp(t.Trip, i.Instant) IS NOT NULL
+               AND st_contains(r.Geom, valueAtTimestamp(t.Trip, i.Instant)))
+           SELECT DISTINCT t.RegionId, t.InstantId, t.Instant, v.Licence
+           FROM Temp t JOIN Vehicles v ON t.VehicleId = v.VehicleId
+           ORDER BY t.RegionId, t.InstantId, v.Licence"""),
+      "q15" -> s.sql(
+        """WITH Temp AS (
+             SELECT DISTINCT p.PointId, p.Geom, p2.PeriodId, p2.Period, t.VehicleId
+             FROM Trips t, Points1 p, Periods1 p2
+             WHERE op_overlaps(t.Trip, stbox(p.Geom, p2.Period))
+               AND atTime(t.Trip, p2.Period) IS NOT NULL
+               AND st_intersects(trajectory(atTime(t.Trip, p2.Period)), p.Geom))
+           SELECT DISTINCT t.PointId, t.PeriodId, v.Licence
+           FROM Temp t JOIN Vehicles v ON t.VehicleId = v.VehicleId
+           ORDER BY t.PointId, t.PeriodId, v.Licence"""),
+      "q16" -> s.sql(
+        """WITH Temp AS (
+             SELECT l1.Licence AS Licence1, l2.Licence AS Licence2,
+               t1.Trip AS Trip1, t2.Trip AS Trip2
+             FROM Trips t1, Licences1 l1, Trips t2, Licences2 l2
+             WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = l2.VehicleId
+               AND t1.VehicleId < t2.VehicleId
+               AND op_overlaps(to_tstzspan(t1.Trip), to_tstzspan(t2.Trip)))
+           SELECT DISTINCT Licence1, Licence2
+           FROM Temp
+           WHERE aDisjoint(Trip1, Trip2)
+           ORDER BY Licence1, Licence2"""),
+      "q17" -> s.sql(
+        """WITH PointCount AS (
+             SELECT p.PointId, COUNT(DISTINCT t.VehicleId) AS Hits
+             FROM Trips t, Points p
+             WHERE st_intersects(t.Traj, p.Geom)
+             GROUP BY p.PointId)
+           SELECT PointId, Hits FROM PointCount
+           WHERE Hits = (SELECT MAX(Hits) FROM PointCount)
+           ORDER BY PointId"""))
+  }
+}

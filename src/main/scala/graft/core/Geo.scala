@@ -183,6 +183,102 @@ object Geo {
     out.toArray
   }
 
+  /** Segment-segment intersection test (incl. collinear overlap and
+    * shared endpoints). */
+  def segSegIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Int = {
+      val v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+      if (v > 1e-12) 1 else if (v < -1e-12) -1 else 0
+    }
+    def onSegC(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Boolean =
+      rx >= math.min(px, qx) - 1e-12 && rx <= math.max(px, qx) + 1e-12 &&
+        ry >= math.min(py, qy) - 1e-12 && ry <= math.max(py, qy) + 1e-12
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (o1 != o2 && o3 != o4) return true
+    (o1 == 0 && onSegC(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && onSegC(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && onSegC(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && onSegC(cx, cy, dx, dy, bx, by))
+  }
+
+  def pointSegDistance(px: Double, py: Double, ax: Double, ay: Double,
+                       bx: Double, by: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val u = if (len2 == 0) 0.0
+            else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    math.hypot(ax + u * dx - px, ay + u * dy - py)
+  }
+
+  def segSegDistance(ax: Double, ay: Double, bx: Double, by: Double,
+                     cx: Double, cy: Double, dx: Double, dy: Double): Double = {
+    if (segSegIntersect(ax, ay, bx, by, cx, cy, dx, dy)) 0.0
+    else math.min(
+      math.min(pointSegDistance(ax, ay, cx, cy, dx, dy),
+        pointSegDistance(bx, by, cx, cy, dx, dy)),
+      math.min(pointSegDistance(cx, cy, ax, ay, bx, by),
+        pointSegDistance(dx, dy, ax, ay, bx, by)))
+  }
+
+  /** Geometry-level intersects over our WKB types (point/line/polygon,
+    * collections expanded) — the ST_Intersects BerlinMOD needs
+    * (ref queries/query_4.sql, query_7.sql, query_13.sql). */
+  def intersects(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val as = Wkb.collectionMembers(wa)
+    val bs = Wkb.collectionMembers(wb)
+    as.exists(a => bs.exists(b => intersectsSimple(a, b)))
+  }
+
+  private def segsOf(t: Int, pts: Array[(Double, Double)]): Array[((Double, Double), (Double, Double))] =
+    if (t == Wkb.PointType || pts.length == 1) Array((pts(0), pts(0)))
+    else if (t == Wkb.PolygonType)
+      pts.indices.dropRight(1).map(i => (pts(i), pts(i + 1))).toArray
+    else pts.indices.dropRight(1).map(i => (pts(i), pts(i + 1))).toArray
+
+  private def intersectsSimple(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val (ta, pa) = Wkb.read(wa)
+    val (tb, pb) = Wkb.read(wb)
+    if (pa.isEmpty || pb.isEmpty) return false
+    // containment cases for polygons
+    if (ta == Wkb.PolygonType && pb.nonEmpty &&
+        pointInPolygon(pb(0)._1, pb(0)._2, pa.dropRight(1))) return true
+    if (tb == Wkb.PolygonType && pa.nonEmpty &&
+        pointInPolygon(pa(0)._1, pa(0)._2, pb.dropRight(1))) return true
+    if (ta == Wkb.PointType && tb == Wkb.PointType)
+      return math.abs(pa(0)._1 - pb(0)._1) < 1e-9 && math.abs(pa(0)._2 - pb(0)._2) < 1e-9
+    if (ta == Wkb.PointType)
+      return segsOf(tb, pb).exists { case ((x0, y0), (x1, y1)) =>
+        pointSegDistance(pa(0)._1, pa(0)._2, x0, y0, x1, y1) < 1e-9 }
+    if (tb == Wkb.PointType)
+      return segsOf(ta, pa).exists { case ((x0, y0), (x1, y1)) =>
+        pointSegDistance(pb(0)._1, pb(0)._2, x0, y0, x1, y1) < 1e-9 }
+    segsOf(ta, pa).exists { case ((x0, y0), (x1, y1)) =>
+      segsOf(tb, pb).exists { case ((x2, y2), (x3, y3)) =>
+        segSegIntersect(x0, y0, x1, y1, x2, y2, x3, y3) } }
+  }
+
+  /** Min distance between two geometries (collections expanded) — the
+    * `distance_gs` semantics BerlinMOD q5 needs. */
+  def distance(wa: Array[Byte], wb: Array[Byte]): Double = {
+    val as = Wkb.collectionMembers(wa)
+    val bs = Wkb.collectionMembers(wb)
+    var best = Double.MaxValue
+    for (a <- as; b <- bs) {
+      val (ta, pa) = Wkb.read(a)
+      val (tb, pb) = Wkb.read(b)
+      for (((x0, y0), (x1, y1)) <- segsOf(ta, pa);
+           ((x2, y2), (x3, y3)) <- segsOf(tb, pb)) {
+        val d = segSegDistance(x0, y0, x1, y1, x2, y2, x3, y3)
+        if (d < best) best = d
+      }
+    }
+    if (best == Double.MaxValue) Double.NaN else best
+  }
+
   /** EPSG:4326 (lon/lat) → EPSG:3857 (web mercator meters) — the only CRS
     * transform BerlinMOD uses (ref benchmark/.../07_trips.sql:29-35).
     * Standard published spherical-mercator formula. */

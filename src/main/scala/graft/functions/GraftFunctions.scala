@@ -51,6 +51,7 @@ object GraftFunctions {
     // spatial
     "length", "speed", "trajectory", "edwithin", "adisjoint", "tdwithin",
     "mindistance", "st_point", "st_transform", "st_geomfromtext",
+    "st_intersects", "st_contains", "st_distance", "st_collect",
     "set_elements",
     // topological operators (SQL spellings && / @> / <@ are rewritten to
     // these names by the query translation layer — SURVEY §2.2 note)

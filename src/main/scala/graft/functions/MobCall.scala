@@ -69,6 +69,8 @@ object MobCall {
               .map(i => a.getDecimal(i, dt.precision, dt.scale).toDouble).toArray
           case StringType =>
             (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toArray
+          case BinaryType =>
+            (0 until a.numElements()).map(a.getBinary).toArray[Any].toIndexedSeq
           case st: StructType if MobSchemas.kindOf(st).isDefined =>
             (0 until a.numElements())
               .map(i => MobCodec.decode(st, a.getStruct(i, st.fields.length)))

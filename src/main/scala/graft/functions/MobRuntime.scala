@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 import graft.core._
@@ -143,6 +144,9 @@ object MobRuntime {
       case "st_point" => BinaryType
       case "st_transform" => BinaryType
       case "st_geomfromtext" => BinaryType
+      case "st_intersects" | "st_contains" => BooleanType
+      case "st_distance" => DoubleType
+      case "st_collect" => BinaryType
       // elements formatted as text (sqllogictest-compatible rendering)
       case "set_elements" => ArrayType(StringType, containsNull = false)
       // ---- topological ops ----
@@ -1183,6 +1187,21 @@ object MobRuntime {
       }
       case "stboxfrombinary" => VSTBox(stboxFromBytes(a0.asInstanceOf[Array[Byte]]))
       case "st_point" => Wkb.writePoint(asDouble(a0), asDouble(a1))
+      case "st_intersects" =>
+        Geo.intersects(a0.asInstanceOf[Array[Byte]], a1.asInstanceOf[Array[Byte]])
+      case "st_contains" => // polygon contains point
+        val (_, poly) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        val (_, pt) = Wkb.read(a1.asInstanceOf[Array[Byte]])
+        Geo.pointInPolygon(pt(0)._1, pt(0)._2, poly.dropRight(1))
+      case "st_distance" =>
+        Geo.distance(a0.asInstanceOf[Array[Byte]], a1.asInstanceOf[Array[Byte]])
+      case "st_collect" => a0 match {
+        case seq: IndexedSeq[_] =>
+          Wkb.writeCollection(seq.map(_.asInstanceOf[Array[Byte]]).toArray)
+        case arr: ArrayData =>
+          Wkb.writeCollection((0 until arr.numElements()).map(arr.getBinary).toArray)
+        case _ => bad(name, args)
+      }
       case "st_geomfromtext" => Wkb.fromText(str0)
       case "set_elements" => a0 match {
         case VSet(vs, d) => vs.map(v => d match {

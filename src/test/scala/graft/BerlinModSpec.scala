@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.berlinmod.BerlinMod
+
+/** End-to-end BerlinMOD workload: generate deterministic synthetic data
+  * in the reference's schemas, run all 17 benchmark queries, check
+  * invariants the workload semantics guarantee. */
+class BerlinModSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var results: Map[String, Array[org.apache.spark.sql.Row]] = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val nTrips = BerlinMod.load(spark)
+    assert(nTrips > 30)
+    results = BerlinMod.queries(spark).map { case (n, df) => n -> df.collect() }.toMap
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q1 licence-model join covers every vehicle") {
+    assert(results("q1").length == 20)
+  }
+  test("q2 passenger count is between 0 and 20") {
+    val c = results("q2")(0).getLong(0)
+    assert(c > 0 && c <= 20)
+  }
+  test("q3 positions at instants is deterministic and non-empty schema") {
+    // trips cover ~90 days with sparse instants; rows may be few but the
+    // query must evaluate; every returned Pos must be a POINT
+    assert(results("q3").forall(_.getString(3).startsWith("POINT")))
+  }
+  test("q4 point visits exist (grid-snapped walks revisit points)") {
+    assert(results("q4").nonEmpty)
+  }
+  test("q5 pairwise min trajectory distance: 10x10 licence pairs") {
+    assert(results("q5").length == 100)
+    assert(results("q5").forall(_.getDouble(2) >= 0.0))
+  }
+  test("q6 truck proximity pairs are symmetric-free and deterministic") {
+    val pairs = results("q6").map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length == pairs.length)
+  }
+  test("q7 earliest visitor per point has one minimal instant per point") {
+    val byPoint = results("q7").groupBy(_.getInt(1))
+    byPoint.foreach { case (_, rows) =>
+      val instants = rows.map(_.getTimestamp(2).getTime)
+      assert(instants.forall(_ == instants.min))
+    }
+  }
+  test("q8 distances in period are non-negative") {
+    assert(results("q8").forall(_.getDouble(2) >= 0.0))
+    assert(results("q8").nonEmpty)
+  }
+  test("q9 per-period max >= any q8 dist for same period") {
+    val q9 = results("q9").map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    results("q8").foreach { r =>
+      val pid = r.getInt(1)
+      q9.get(pid).foreach(mx => assert(mx >= r.getDouble(2) - 1e-6))
+    }
+  }
+  test("q10 within-3m periods parse as spansets") {
+    assert(results("q10").forall(_.getString(2).startsWith("{")))
+  }
+  test("q11/q12 meetups: q12 pairs only where q11 has 2+ vehicles") {
+    val q11 = results("q11")
+    val q12 = results("q12")
+    val multi = q11.groupBy(r => (r.getInt(0), r.getInt(1)))
+      .filter(_._2.length >= 2)
+    assert(q12.length >= 0 && (multi.isEmpty || q12.nonEmpty))
+  }
+  test("q13/q14/q15 region-period-point restrictions evaluate") {
+    assert(results("q13") != null && results("q14") != null && results("q15") != null)
+  }
+  test("q16 disjoint trips: pairs are among time-overlapping trips") {
+    assert(results("q16") != null)
+  }
+  test("q17 most-visited points all share the max hit count") {
+    val q17 = results("q17")
+    assert(q17.nonEmpty)
+    val hits = q17.map(_.getLong(1))
+    assert(hits.distinct.length == 1)
+  }
+}
