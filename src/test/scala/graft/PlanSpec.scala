@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MobilityOps, Relational}
+import graft.util.Tables
+
+/** Physical-plan assertions: the plans we ship are the plans we want —
+  * filters reach the parquet scan, small sides broadcast, aggregates are
+  * partial+final, top-N avoids global sorts, codegen covers the hot
+  * path, and per-entity pipelines shuffle exactly once. These are the
+  * properties that keep the same code fast at 1000 executors / 100 TB. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val d = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("dimension joins broadcast the small side (no fact shuffle)") {
+    val p = plan(Relational.q2JoinAgg(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    val p3 = plan(Relational.q3StarJoin(spark, d))
+    assert(p3.contains("BroadcastHashJoin"))
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val f = formatted(
+      Tables.orders(spark, d).filter(col("o_totalprice") > 100000)
+        .select("o_orderkey"))
+    assert(f.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]"), f)
+  }
+
+  test("column pruning reaches the scan (2-column projection)") {
+    val f = formatted(Tables.lineitem(spark, d).select("l_orderkey", "l_quantity"))
+    assert(f.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), f)
+  }
+
+  test("top-N plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q7TopN(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("aggregates are partial+final (map-side combine before shuffle)") {
+    val p = plan(Relational.q1Agg(spark, d))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+    assert(p.contains("partial_"), p.take(800))
+  }
+
+  test("theta join with tiny build side is broadcast nested loop") {
+    val p = plan(Relational.q14ThetaJoin(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("hot path is whole-stage codegen") {
+    // AQE finalizes the plan on execution; check the executed final plan
+    val df = Relational.q1Agg(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // AQE prints codegen stages as `*(n)` markers in the final plan
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+      p.take(800))
+  }
+
+  test("per-entity temporal pipeline shuffles exactly once") {
+    // groupBy(user_id) is the single unavoidable entity shuffle; the
+    // sort for orderBy is on the already-aggregated (tiny) result
+    val p = plan(MobilityOps.q1TimeSpan(spark, d))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n${p.take(1200)}")
+  }
+
+  test("box-overlap predicate is a sargable column comparison (no UDF in filter)") {
+    // the stbox fields are plain columns: a constant-box overlap compiles
+    // to min/max comparisons that parquet stats can prune
+    val boxed = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(min("value").as("xmin"), max("value").as("xmax"))
+    val filtered = boxed.filter(col("xmin") <= 120 && col("xmax") >= 0)
+    val p = plan(filtered)
+    assert(!p.contains("MobCall"), "box filter must not fall back to interpreted dispatch")
+  }
+}

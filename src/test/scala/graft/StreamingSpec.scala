@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamSessions
+
+/** Drives the streaming surface with a MemoryStream source: sessions
+  * must close exactly when the watermark passes their inactivity gap,
+  * and must match the batch sessionization semantics
+  * (MobilityOps.q4Sessions' span-merge rule). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming sessionization closes sessions at the inactivity gap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double, String)]
+    val events = input.toDF().toDF("user_id", "ts", "value", "event_type")
+    val sessions = StreamSessions.sessionize(spark, events)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      // user 1: two sessions (gap > 30 min); user 2: one session
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0, "a"),
+        (1L, ts("2024-01-01 10:10:00"), 2.0, "a"),
+        (1L, ts("2024-01-01 11:30:00"), 3.0, "a"),
+        (2L, ts("2024-01-01 10:05:00"), 5.0, "b"))
+      q.processAllAvailable()
+      // advance the watermark far past every session close
+      input.addData((99L, ts("2024-01-02 00:00:00"), 0.0, "x"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM sessions_out ORDER BY user_id, start")
+        .collect()
+      val u1 = out.filter(_.getLong(0) == 1L)
+      assert(u1.length == 2)
+      assert(u1(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+      assert(u1(0).getInt(3) == 2 && u1(0).getDouble(4) == 3.0)
+      assert(u1(1).getInt(3) == 1 && u1(1).getDouble(4) == 3.0)
+      val u2 = out.filter(_.getLong(0) == 2L)
+      assert(u2.length == 1 && u2(0).getInt(3) == 1)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts aggregate in event time") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double, String)]
+    val events = input.toDF().toDF("user_id", "ts", "value", "event_type")
+    val q = StreamSessions.windowedCounts(events)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:01:00"), 1.0, "a"),
+        (2L, ts("2024-01-01 10:02:00"), 2.0, "a"),
+        (3L, ts("2024-01-01 10:03:00"), 4.0, "b"))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 13:00:00"), 0.0, "x"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT event_type, sum(cnt) FROM win_out GROUP BY 1 ORDER BY 1""")
+        .collect()
+      // each event falls in 2 sliding windows
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .filter(x => x._1 == "a" || x._1 == "b") == Seq(("a", 4L), ("b", 2L)))
+    } finally q.stop()
+  }
+}
