@@ -13,16 +13,15 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.001"
+    val d = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.001")
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"[scratch] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
-    for (i <- 1 to 3) {
-      time(s"q3_star_join #$i") { operators.Relational.q3StarJoin(spark, d).count() }
-      time(s"q9_scalar   #$i") { operators.Relational.q9ScalarSubquery(spark, d).count() }
-      time(s"q11_set_ops #$i") { operators.Relational.q11SetOps(spark, d).count() }
+    for (i <- 1 to 2) {
+      time(s"ann_topk  #$i") { operators.Similarity.annTopK(spark, d).count() }
+      time(s"ann_lsh   #$i") { operators.Similarity.annLsh(spark, d).count() }
     }
     spark.stop()
   }

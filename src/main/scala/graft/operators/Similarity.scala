@@ -80,12 +80,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .withColumn("bkt", bucket(col("v")))
+    // multi-probe: explode each query into its bucket + all 1-bit flips,
+    // then EQUI-join on the bucket id — the join stays hash/broadcast
+    // (a hamming-UDF join condition would force a nested loop)
+    val probes = udf((b: Int) => b +: (0 until 8).map(i => b ^ (1 << i)))
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"), col("bkt").as("qbkt"))
-    val ham = udf((a: Int, b: Int) => Integer.bitCount(a ^ b))
-    val scored = e.join(broadcast(q),
-        col("vec_id") =!= col("query_id") && ham(col("bkt"), col("qbkt")) <= 1)
+        col("n").as("qn"), explode(probes(col("bkt"))).as("bkt"))
+    val scored = e.join(broadcast(q), Seq("bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
