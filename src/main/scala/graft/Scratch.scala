@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -20,8 +22,8 @@ object Scratch {
       println(f"[scratch] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
     for (i <- 1 to 2) {
-      time(s"ann_topk  #$i") { operators.Similarity.annTopK(spark, d).count() }
-      time(s"ann_lsh   #$i") { operators.Similarity.annLsh(spark, d).count() }
+      time(s"mob_q6 #$i") { operators.MobilityOps.q6StboxFilter(spark, d).count() }
+      time(s"mob_q1 #$i") { operators.MobilityOps.q1TimeSpan(spark, d).count() }
     }
     spark.stop()
   }

@@ -15,6 +15,13 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long (Tables
       // normalizes back to micros TimestampType)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the driver-generated tables are single small parquet files; split
+      // them finer so scans parallelize across all local cores
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      // AQE coalescing targets bytes-per-partition; our temporal/pair
+      // stages are compute-heavy on byte-tiny rows, so coalescing to one
+      // partition serializes them — keep the requested parallelism
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

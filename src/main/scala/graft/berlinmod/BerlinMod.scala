@@ -36,7 +36,9 @@ object BerlinMod {
 
   /** Generate and register the BerlinMOD tables as temp views. Returns
     * the number of trips. */
-  def load(spark: SparkSession, nVehicles: Int = 20, seed: Long = 42L): Int = {
+  def load(spark: SparkSession, nVehicles: Int = 20, seed: Long = 42L,
+           tripsMin: Int = 2, tripsMax: Int = 4,
+           ptsMin: Int = 10, ptsMax: Int = 50): Int = {
     GraftFunctions.register(spark)
     val rng = new Rng(seed)
     val base = 1577836800000000L // 2020-01-01 UTC micros
@@ -90,19 +92,24 @@ object BerlinMod {
     }
     spark.createDataFrame(regions).toDF("RegionId", "Wkt")
       .createOrReplaceTempView("RegionsRaw")
-    spark.sql("""SELECT RegionId, st_geomfromtext(Wkt) AS Geom FROM RegionsRaw""")
+    spark.sql(
+      """SELECT RegionId, Geom,
+           b.xmin AS rxmin, b.xmax AS rxmax, b.ymin AS rymin, b.ymax AS rymax
+         FROM (SELECT RegionId, st_geomfromtext(Wkt) AS Geom,
+                 to_stbox(st_geomfromtext(Wkt)) AS b FROM RegionsRaw)""")
       .createOrReplaceTempView("Regions")
 
     // Trips: 2-4 trips per vehicle, random walks snapped to a 100 m grid
     // so distinct vehicles revisit shared points (q11/q12 need meetups).
     val tripRows = scala.collection.mutable.ArrayBuffer[TripPoint]()
     var tripId = 0
-    for (vid <- 1 to nVehicles; _ <- 0 until (2 + rng.nextInt(3))) {
+    for (vid <- 1 to nVehicles;
+         _ <- 0 until (tripsMin + rng.nextInt(tripsMax - tripsMin + 1))) {
       tripId += 1
       var x = math.floor(rng.nextDouble() * 100) / 10.0 * 100
       var y = math.floor(rng.nextDouble() * 100) / 10.0 * 100
       var t = base + rng.nextInt(90 * 24) * 3600000000L
-      val n = 10 + rng.nextInt(40)
+      val n = ptsMin + rng.nextInt(ptsMax - ptsMin + 1)
       for (_ <- 0 until n) {
         tripRows += TripPoint(tripId, vid, x, y, new java.sql.Timestamp(t / 1000))
         x += (rng.nextInt(3) - 1) * 100.0
@@ -119,9 +126,16 @@ object BerlinMod {
            tgeompointseq(collect_list(tgeompoint(st_point(PosX, PosY), t))) AS Trip
          FROM TripsInput
          GROUP BY TripId, VehicleId""").createOrReplaceTempView("TripsBase")
+    // Flattened per-trip bounding box columns: every box predicate in the
+    // queries below is a plain column comparison (codegen + prunable) —
+    // the Spark-native replacement for the reference's R-tree (SURVEY §4)
     spark.sql(
-      """SELECT TripId, VehicleId, Trip, trajectory(Trip) AS Traj
-         FROM TripsBase""").cache().createOrReplaceTempView("Trips")
+      """SELECT TripId, VehicleId, Trip, trajectory(Trip) AS Traj,
+           b.xmin AS txmin, b.xmax AS txmax,
+           b.ymin AS tymin, b.ymax AS tymax,
+           timestamp_micros(b.tmin) AS ttmin, timestamp_micros(b.tmax) AS ttmax
+         FROM (SELECT *, to_stbox(Trip) AS b FROM TripsBase)""")
+      .cache().createOrReplaceTempView("Trips")
 
     // LIMIT-10 dimension views (ref sql/load/01_instants.sql:9-13 etc.)
     spark.sql("SELECT * FROM Licences ORDER BY LicenceId LIMIT 10")
@@ -154,12 +168,14 @@ object BerlinMod {
              st_astext(valueAtTimestamp(t.Trip, i.Instant)) AS Pos
            FROM Trips t, Licences1 l, Instants1 i
            WHERE t.VehicleId = l.VehicleId
-             AND op_contains(to_tstzspan(t.Trip), i.Instant)
+             AND t.ttmin <= i.Instant AND i.Instant <= t.ttmax
            ORDER BY l.Licence, i.InstantId"""),
       "q4" -> s.sql(
         """SELECT DISTINCT p.PointId, v.Licence
            FROM Trips t, Vehicles v, Points p
            WHERE t.VehicleId = v.VehicleId
+             AND p.PosX BETWEEN t.txmin AND t.txmax
+             AND p.PosY BETWEEN t.tymin AND t.tymax
              AND st_intersects(t.Traj, p.Geom)
            ORDER BY p.PointId, v.Licence"""),
       "q5" -> s.sql(
@@ -177,14 +193,16 @@ object BerlinMod {
            ORDER BY Licence1, Licence2"""),
       "q6" -> s.sql(
         """WITH Temp AS (
-             SELECT v.Licence, t.VehicleId, t.Trip
+             SELECT v.Licence, t.VehicleId, t.Trip,
+               t.txmin, t.txmax, t.tymin, t.tymax, t.ttmin, t.ttmax
              FROM Trips t, Vehicles v
              WHERE t.VehicleId = v.VehicleId AND v.VehicleType = 'truck')
            SELECT DISTINCT t1.Licence AS Licence1, t2.Licence AS Licence2
            FROM Temp t1, Temp t2
            WHERE t1.VehicleId < t2.VehicleId
-             AND op_overlaps(to_stbox(t1.Trip),
-                   expandSpace(to_stbox(t2.Trip), 10))
+             AND t1.txmin <= t2.txmax + 10 AND t2.txmin <= t1.txmax + 10
+             AND t1.tymin <= t2.tymax + 10 AND t2.tymin <= t1.tymax + 10
+             AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax
              AND eDwithin(t1.Trip, t2.Trip, 10.0)
            ORDER BY Licence1, Licence2"""),
       "q7" -> s.sql(
@@ -193,7 +211,8 @@ object BerlinMod {
                MIN(startTimestamp(atGeometry(t.Trip, p.Geom))) AS Instant
              FROM Trips t, Vehicles v, Points1 p
              WHERE t.VehicleId = v.VehicleId AND v.VehicleType = 'passenger'
-               AND op_overlaps(to_stbox(t.Trip), to_stbox(p.Geom))
+               AND p.PosX BETWEEN t.txmin AND t.txmax
+               AND p.PosY BETWEEN t.tymin AND t.tymax
                AND st_intersects(t.Traj, p.Geom)
              GROUP BY v.Licence, p.PointId)
            SELECT t1.Licence, t1.PointId, t1.Instant
@@ -207,7 +226,7 @@ object BerlinMod {
              round(SUM(length(atTime(t.Trip, p.Period))), 6) AS Dist
            FROM Trips t, Licences1 l, Periods1 p
            WHERE t.VehicleId = l.VehicleId
-             AND op_overlaps(t.Trip, p.Period)
+             AND t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
            GROUP BY l.Licence, p.PeriodId
            ORDER BY l.Licence, p.PeriodId"""),
       "q9" -> s.sql(
@@ -215,7 +234,7 @@ object BerlinMod {
              SELECT p.PeriodId, t.VehicleId,
                SUM(length(atTime(t.Trip, p.Period))) AS Dist
              FROM Trips t, Periods p
-             WHERE op_overlaps(t.Trip, p.Period)
+             WHERE t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
              GROUP BY p.PeriodId, t.VehicleId)
            SELECT PeriodId, round(MAX(Dist), 6) AS MaxDist
            FROM Distances GROUP BY PeriodId ORDER BY PeriodId"""),
@@ -226,8 +245,9 @@ object BerlinMod {
              FROM Trips t1, Licences1 l1, Trips t2, Vehicles v
              WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = v.VehicleId
                AND t1.VehicleId <> t2.VehicleId
-               AND op_overlaps(to_stbox(t2.Trip),
-                     expandSpace(to_stbox(t1.Trip), 3.0)))
+               AND t2.txmin <= t1.txmax + 3 AND t1.txmin - 3 <= t2.txmax
+               AND t2.tymin <= t1.tymax + 3 AND t1.tymin - 3 <= t2.tymax
+               AND t2.ttmin <= t1.ttmax AND t1.ttmin <= t2.ttmax)
            SELECT Licence1, Car2Id, asText(Periods) AS Periods
            FROM Temp WHERE Periods IS NOT NULL
            ORDER BY Licence1, Car2Id, Periods"""),
@@ -235,7 +255,9 @@ object BerlinMod {
         """WITH Temp AS (
              SELECT p.PointId, i.InstantId, i.Instant, t.VehicleId
              FROM Trips t, Points1 p, Instants1 i
-             WHERE op_contains(t.Trip, stbox(p.Geom, i.Instant))
+             WHERE p.PosX BETWEEN t.txmin AND t.txmax
+               AND p.PosY BETWEEN t.tymin AND t.tymax
+               AND t.ttmin <= i.Instant AND i.Instant <= t.ttmax
                AND st_astext(valueAtTimestamp(t.Trip, i.Instant)) = st_astext(p.Geom))
            SELECT t.PointId, t.InstantId, t.Instant, v.Licence
            FROM Temp t JOIN Vehicles v ON t.VehicleId = v.VehicleId
@@ -244,7 +266,9 @@ object BerlinMod {
         """WITH Temp AS (
              SELECT DISTINCT p.PointId, i.InstantId, i.Instant, t.VehicleId
              FROM Trips t, Points1 p, Instants1 i
-             WHERE op_contains(t.Trip, stbox(p.Geom, i.Instant))
+             WHERE p.PosX BETWEEN t.txmin AND t.txmax
+               AND p.PosY BETWEEN t.tymin AND t.tymax
+               AND t.ttmin <= i.Instant AND i.Instant <= t.ttmax
                AND st_astext(valueAtTimestamp(t.Trip, i.Instant)) = st_astext(p.Geom))
            SELECT DISTINCT t1.PointId, t1.InstantId, t1.Instant,
              v1.Licence AS Licence1, v2.Licence AS Licence2
@@ -258,7 +282,9 @@ object BerlinMod {
         """WITH Temp AS (
              SELECT DISTINCT r.RegionId, p.PeriodId, t.VehicleId
              FROM Trips t, Regions1 r, Periods1 p
-             WHERE op_overlaps(t.Trip, stbox(r.Geom, p.Period))
+             WHERE t.txmin <= r.rxmax AND r.rxmin <= t.txmax
+               AND t.tymin <= r.rymax AND r.rymin <= t.tymax
+               AND t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
                AND atTime(t.Trip, p.Period) IS NOT NULL
                AND st_intersects(trajectory(atTime(t.Trip, p.Period)), r.Geom))
            SELECT DISTINCT t.RegionId, t.PeriodId, v.Licence
@@ -268,7 +294,9 @@ object BerlinMod {
         """WITH Temp AS (
              SELECT DISTINCT r.RegionId, i.InstantId, i.Instant, t.VehicleId
              FROM Trips t, Regions1 r, Instants1 i
-             WHERE op_overlaps(t.Trip, stbox(r.Geom, i.Instant))
+             WHERE t.txmin <= r.rxmax AND r.rxmin <= t.txmax
+               AND t.tymin <= r.rymax AND r.rymin <= t.tymax
+               AND t.ttmin <= i.Instant AND i.Instant <= t.ttmax
                AND valueAtTimestamp(t.Trip, i.Instant) IS NOT NULL
                AND st_contains(r.Geom, valueAtTimestamp(t.Trip, i.Instant)))
            SELECT DISTINCT t.RegionId, t.InstantId, t.Instant, v.Licence
@@ -278,7 +306,9 @@ object BerlinMod {
         """WITH Temp AS (
              SELECT DISTINCT p.PointId, p.Geom, p2.PeriodId, p2.Period, t.VehicleId
              FROM Trips t, Points1 p, Periods1 p2
-             WHERE op_overlaps(t.Trip, stbox(p.Geom, p2.Period))
+             WHERE p.PosX BETWEEN t.txmin AND t.txmax
+               AND p.PosY BETWEEN t.tymin AND t.tymax
+               AND t.ttmin <= p2.Tend AND p2.Tstart <= t.ttmax
                AND atTime(t.Trip, p2.Period) IS NOT NULL
                AND st_intersects(trajectory(atTime(t.Trip, p2.Period)), p.Geom))
            SELECT DISTINCT t.PointId, t.PeriodId, v.Licence
@@ -291,7 +321,7 @@ object BerlinMod {
              FROM Trips t1, Licences1 l1, Trips t2, Licences2 l2
              WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = l2.VehicleId
                AND t1.VehicleId < t2.VehicleId
-               AND op_overlaps(to_tstzspan(t1.Trip), to_tstzspan(t2.Trip)))
+               AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax)
            SELECT DISTINCT Licence1, Licence2
            FROM Temp
            WHERE aDisjoint(Trip1, Trip2)
@@ -300,7 +330,9 @@ object BerlinMod {
         """WITH PointCount AS (
              SELECT p.PointId, COUNT(DISTINCT t.VehicleId) AS Hits
              FROM Trips t, Points p
-             WHERE st_intersects(t.Traj, p.Geom)
+             WHERE p.PosX BETWEEN t.txmin AND t.txmax
+               AND p.PosY BETWEEN t.tymin AND t.tymax
+               AND st_intersects(t.Traj, p.Geom)
              GROUP BY p.PointId)
            SELECT PointId, Hits FROM PointCount
            WHERE Hits = (SELECT MAX(Hits) FROM PointCount)

@@ -224,6 +224,28 @@ object Geo {
         pointSegDistance(dx, dy, ax, ay, bx, by)))
   }
 
+  /** Bounded per-JVM decode cache: joins evaluate the same geometry blob
+    * against many partners (BerlinMOD q4/q7/q17 probe each trajectory
+    * once per point); content-keyed so columnar copies still hit. */
+  private val decodeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[java.math.BigInteger, (Int, Array[(Double, Double)])](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[java.math.BigInteger, (Int, Array[(Double, Double)])]): Boolean =
+          size() > 4096
+      })
+
+  private def readCached(wkb: Array[Byte]): (Int, Array[(Double, Double)]) = {
+    val key = new java.math.BigInteger(wkb)
+    val hit = decodeCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = Wkb.read(wkb)
+      decodeCache.put(key, v)
+      v
+    }
+  }
+
   /** Geometry-level intersects over our WKB types (point/line/polygon,
     * collections expanded) — the ST_Intersects BerlinMOD needs
     * (ref queries/query_4.sql, query_7.sql, query_13.sql). */
@@ -240,8 +262,8 @@ object Geo {
     else pts.indices.dropRight(1).map(i => (pts(i), pts(i + 1))).toArray
 
   private def intersectsSimple(wa: Array[Byte], wb: Array[Byte]): Boolean = {
-    val (ta, pa) = Wkb.read(wa)
-    val (tb, pb) = Wkb.read(wb)
+    val (ta, pa) = readCached(wa)
+    val (tb, pb) = readCached(wb)
     if (pa.isEmpty || pb.isEmpty) return false
     // containment cases for polygons
     if (ta == Wkb.PolygonType && pb.nonEmpty &&

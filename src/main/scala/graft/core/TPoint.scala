@@ -211,33 +211,81 @@ object TPointAlg {
 
   // ---- two-trajectory analytics ----
 
-  /** Synchronized segment pairs of two single-sequence linear temporals
-    * over their common time domain: (t0, t1, p0, p1, q0, q1). */
+  /** Synchronized segment pairs of two linear temporals over their common
+    * time domain: (t0, t1, p0, p1, q0, q1). Two-pointer merge sweep over
+    * both instant lists — O(n+m) per pair, which is what keeps the
+    * trip-pair proximity joins (BerlinMOD q6/q10/q16) tractable. */
   private[core] def syncSegments(a: TPoint, b: TPoint):
       Array[(Long, Long, (Double, Double), (Double, Double), (Double, Double), (Double, Double))] = {
     val sa = timeSpan(a); val sb = timeSpan(b)
     val ix = SpanAlg.intersection(sa, sb).getOrElse(return Array.empty)
-    val times = (a.seqs.flatMap(_.ts) ++ b.seqs.flatMap(_.ts))
-      .filter(x => x >= ix.lower && x <= ix.upper).distinct.sorted
-    if (times.length < 2) {
-      if (times.length == 1) {
-        val t0 = times(0)
-        (valueAt(a, t0), valueAt(b, t0)) match {
-          case (Some(p), Some(q)) => return Array((t0, t0, p, p, q, q))
-          case _ => return Array.empty
-        }
+    // flatten both to (t, x, y) instant arrays (sequences are time-sorted)
+    val at = a.seqs.flatMap(_.ts); val ax = a.seqs.flatMap(_.xs); val ay = a.seqs.flatMap(_.ys)
+    val bt = b.seqs.flatMap(_.ts); val bx = b.seqs.flatMap(_.xs); val by = b.seqs.flatMap(_.ys)
+    // merged distinct times within the intersection
+    val times = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0; var j = 0
+    if (ix.lower == ix.upper) times += ix.lower
+    else {
+      while (i < at.length || j < bt.length) {
+        val t =
+          if (i >= at.length) { val v = bt(j); j += 1; v }
+          else if (j >= bt.length) { val v = at(i); i += 1; v }
+          else if (at(i) < bt(j)) { val v = at(i); i += 1; v }
+          else if (bt(j) < at(i)) { val v = bt(j); j += 1; v }
+          else { val v = at(i); i += 1; j += 1; v }
+        if (t >= ix.lower && t <= ix.upper &&
+            (times.isEmpty || times.last != t)) times += t
       }
-      return Array.empty
     }
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, (Double, Double), (Double, Double), (Double, Double), (Double, Double))]()
-    var i = 0
-    while (i < times.length - 1) {
-      val (t0, t1) = (times(i), times(i + 1))
-      (valueAt(a, t0), valueAt(a, t1), valueAt(b, t0), valueAt(b, t1)) match {
-        case (Some(p0), Some(p1), Some(q0), Some(q1)) => out += ((t0, t1, p0, p1, q0, q1))
-        case _ => ()
+    if (times.isEmpty) return Array.empty
+    // incremental interpolation: advance one cursor per temporal
+    def interpolator(ts: Array[Long], xs: Array[Double], ys: Array[Double]):
+        Long => (Double, Double) = {
+      var k = 0
+      (t: Long) => {
+        while (k < ts.length - 1 && ts(k + 1) < t) k += 1
+        if (ts(k) == t) (xs(k), ys(k))
+        else if (k < ts.length - 1 && ts(k + 1) == t) (xs(k + 1), ys(k + 1))
+        else if (k < ts.length - 1 && ts(k) < t && t < ts(k + 1)) {
+          val f = (t - ts(k)).toDouble / (ts(k + 1) - ts(k))
+          (xs(k) + (xs(k + 1) - xs(k)) * f, ys(k) + (ys(k + 1) - ys(k)) * f)
+        } else (xs(math.min(k, ts.length - 1)), ys(math.min(k, ts.length - 1)))
       }
-      i += 1
+    }
+    val pa = interpolator(at, ax, ay)
+    val pb = interpolator(bt, bx, by)
+    if (times.length == 1) {
+      val t0 = times(0)
+      val p = pa(t0); val q = pb(t0)
+      return Array((t0, t0, p, p, q, q))
+    }
+    // sequence-set gap handling: a merged sub-segment counts only when it
+    // lies inside a sequence domain of BOTH temporals (all seq boundaries
+    // are in `times`, so each sub-segment is fully inside or outside)
+    def covered(t: TPoint): (Long, Long) => Boolean = {
+      val bounds = t.seqs.map(s => (s.startT, s.endT))
+      (lo: Long, hi: Long) => {
+        var k = 0
+        var ok = false
+        while (k < bounds.length && !ok) {
+          if (bounds(k)._1 <= lo && hi <= bounds(k)._2) ok = true
+          k += 1
+        }
+        ok
+      }
+    }
+    val covA = covered(a)
+    val covB = covered(b)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, (Double, Double), (Double, Double), (Double, Double), (Double, Double))]()
+    var p0 = pa(times(0)); var q0 = pb(times(0))
+    var n = 0
+    while (n < times.length - 1) {
+      val t0 = times(n); val t1 = times(n + 1)
+      val p1 = pa(t1); val q1 = pb(t1)
+      if (covA(t0, t1) && covB(t0, t1)) out += ((t0, t1, p0, p1, q0, q1))
+      p0 = p1; q0 = q1
+      n += 1
     }
     out.toArray
   }
