@@ -103,8 +103,13 @@ object Dedup {
     val bands = sh.select(col("doc_id"), col("sig"), col("shs"),
         explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"))
       .withColumn("bh", bandHash(col("sig"), col("band")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // standard LSH hygiene: drop mega-buckets — a band value shared by
+    // hundreds of docs is non-discriminative and quadratically explosive
+    // (its true pairs still surface through their other 7 bands)
+    val bandSizes = bands.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+    val pruned = bands.join(bandSizes.filter(col("bsz") <= 64), Seq("band", "bh"))
+    val cand = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
