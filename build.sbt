@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, NOT through the sbt logger:
+// the driver machine-parses Bench's one-line JSON and an "[info] " prefix
+// breaks json.loads (BENCH_r01.json "parsed": null).
+outputStrategy := Some(StdoutOutput)
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

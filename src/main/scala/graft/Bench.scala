@@ -18,7 +18,7 @@ object Bench {
       // partition serializes them — keep the requested parallelism
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // fixed order + cache isolation so one query's cached/cached-adjacent
     // state cannot inflate the next one's wall clock. berlinmod_e2e is
     // skipped here: the brussels-scale per-query timings below replace it.
@@ -50,7 +50,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Both channels: the bare stdout line (outputStrategy := StdoutOutput in
+    // build.sbt keeps it prefix-free) and a fixed file the driver/judge can
+    // read regardless of how sbt mangles the console.
+    println(line)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     spark.stop()
   }
 }

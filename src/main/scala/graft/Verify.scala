@@ -23,13 +23,17 @@ object Verify {
       // partition serializes them — keep the requested parallelism
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val manifest = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        (name, rows, null: String)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        (name, -1L, s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +51,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query run manifest (fixed file, machine-readable): lets the
+    // driver/judge see what ran and with how many rows even if the sbt
+    // console output is unusable.
+    val mjson = manifest.map { case (n, rows, err) =>
+      val e = if (err == null) "null" else q(err)
+      s"${q(n)}: {\"rows\": $rows, \"error\": $e}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), mjson)
     spark.stop()
   }
 }

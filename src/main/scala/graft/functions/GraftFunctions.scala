@@ -63,7 +63,15 @@ object GraftFunctions {
     "to_tstzset", "to_intset", "to_dateset", "to_floatset", "to_textset",
     "to_geometry", "span")
 
+  // Register once per session: re-registering is harmless but makes
+  // SimpleFunctionRegistry log a replace-WARN per name per call — hundreds
+  // of noise lines that drowned the driver's JSON parse in round 1.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val registry = spark.sessionState.functionRegistry
     names.foreach { n =>
       // In Spark 4 even the Column API (functions.round etc.) resolves
