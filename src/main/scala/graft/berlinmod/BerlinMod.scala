@@ -118,7 +118,10 @@ object BerlinMod {
       }
     }
     import spark.implicits._
-    tripRows.toSeq.toDF().createOrReplaceTempView("TripsInput")
+    // cache: the raw instants feed TripsBase, SegCells AND q7's
+    // coordinate equi-join; uncached, each use re-ships the rows from
+    // the driver
+    tripRows.toSeq.toDF().cache().createOrReplaceTempView("TripsInput")
     // the reference loader pipeline: array_agg ORDER BY t -> tgeompointSeq
     // (ref sql/load/07_trips.sql:26-37); our seq constructor sorts by t
     spark.sql(
@@ -137,6 +140,46 @@ object BerlinMod {
          FROM (SELECT *, to_stbox(Trip) AS b FROM TripsBase)""")
       .cache().createOrReplaceTempView("Trips")
 
+    // Per-trip segments with covered grid cells (cell = 100 m): the
+    // point-visit queries (q4/q7/q17) equi-join points on (cx, cy) — a
+    // shuffle-friendly hash join — then apply the exact point-on-segment
+    // distance test as plain codegen'd arithmetic. This replaces the
+    // per-pair interpreted st_intersects(Traj, Geom) (the reference gets
+    // the same effect from its R-tree: ref src/index/rtree_optimize_scan
+    // .cpp:20-147). A segment spans <= 1 cell in each axis per step, so
+    // the explode adds <= 4 rows per segment; at 1000 executors the join
+    // partitions by cell — no broadcast of the fact side, no O(n^2).
+    // Cell ranges are padded by 1e-6 so a point within the predicate's
+    // 1e-9 epsilon of a segment always shares a cell with it — this is
+    // epsilon-CONSISTENT, unlike the exact bbox prefilter it replaces,
+    // which silently dropped hits whose coordinates differ only in
+    // floating-point garbage (e.g. 880.0000000000001 vs 880.0).
+    spark.sql(
+      """SELECT TripId, VehicleId, x1, y1, t1, x2, y2, t2, cx, cy
+         FROM (
+           SELECT TripId, VehicleId,
+             PosX AS x1, PosY AS y1, t AS t1,
+             coalesce(lead(PosX) OVER w, PosX) AS x2,
+             coalesce(lead(PosY) OVER w, PosY) AS y2,
+             coalesce(lead(t)    OVER w, t)    AS t2,
+             lead(PosX) OVER w IS NULL AS last_pt,
+             row_number() OVER w AS rn
+           FROM TripsInput
+           WINDOW w AS (PARTITION BY TripId ORDER BY t))
+         LATERAL VIEW explode(sequence(
+           cast(floor((least(x1, x2) - 1e-6) / 100) AS int),
+           cast(floor((greatest(x1, x2) + 1e-6) / 100) AS int))) cxs AS cx
+         LATERAL VIEW explode(sequence(
+           cast(floor((least(y1, y2) - 1e-6) / 100) AS int),
+           cast(floor((greatest(y1, y2) + 1e-6) / 100) AS int))) cys AS cy
+         WHERE NOT last_pt OR rn = 1""")
+      .cache().createOrReplaceTempView("SegCells")
+    spark.sql(
+      """SELECT PointId, PosX, PosY, Geom,
+           cast(floor(PosX / 100) AS int) AS cx,
+           cast(floor(PosY / 100) AS int) AS cy
+         FROM Points""").createOrReplaceTempView("PointCells")
+
     // LIMIT-10 dimension views (ref sql/load/01_instants.sql:9-13 etc.)
     spark.sql("SELECT * FROM Licences ORDER BY LicenceId LIMIT 10")
       .createOrReplaceTempView("Licences1")
@@ -152,6 +195,31 @@ object BerlinMod {
       .createOrReplaceTempView("Regions1")
     tripId
   }
+
+  /** Trip-segment × point hits: (PointId, VehicleId, TripId) pairs where
+    * the trajectory passes through the point. Equi-join on grid cell,
+    * then the exact point-to-segment distance test (identical semantics
+    * and epsilon to Geo.pointSegDistance < 1e-9, i.e. st_intersects of a
+    * trajectory with a point) as pure codegen'd arithmetic. */
+  private[graft] def segHitsSqlForScratch(v: String): String = segHitsSql(v)
+
+  private def segHitsSql(pointCellsView: String): String =
+    s"""SELECT h.PointId, h.VehicleId, h.TripId
+        FROM (
+          SELECT c.*,
+            CASE WHEN c.dx * c.dx + c.dy * c.dy = 0D THEN 0D
+              ELSE greatest(0D, least(1D,
+                ((c.px - c.x1) * c.dx + (c.py - c.y1) * c.dy)
+                  / (c.dx * c.dx + c.dy * c.dy))) END AS u
+          FROM (
+            SELECT p.PointId, s.VehicleId, s.TripId, s.x1, s.y1,
+                   s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy,
+                   p.PosX AS px, p.PosY AS py
+            FROM SegCells s
+            JOIN $pointCellsView p ON s.cx = p.cx AND s.cy = p.cy) c) h
+        WHERE (h.x1 + h.u * h.dx - h.px) * (h.x1 + h.u * h.dx - h.px)
+            + (h.y1 + h.u * h.dy - h.py) * (h.y1 + h.u * h.dy - h.py)
+            < 1e-18"""
 
   /** The 17 queries (ref benchmark/BerlinMOD/sql/queries). */
   def queries(spark: SparkSession): Seq[(String, DataFrame)] = {
@@ -171,13 +239,10 @@ object BerlinMod {
              AND t.ttmin <= i.Instant AND i.Instant <= t.ttmax
            ORDER BY l.Licence, i.InstantId"""),
       "q4" -> s.sql(
-        """SELECT DISTINCT p.PointId, v.Licence
-           FROM Trips t, Vehicles v, Points p
-           WHERE t.VehicleId = v.VehicleId
-             AND p.PosX BETWEEN t.txmin AND t.txmax
-             AND p.PosY BETWEEN t.tymin AND t.tymax
-             AND st_intersects(t.Traj, p.Geom)
-           ORDER BY p.PointId, v.Licence"""),
+        s"""WITH hits AS (${segHitsSql("PointCells")})
+           SELECT DISTINCT h.PointId, v.Licence
+           FROM hits h JOIN Vehicles v ON h.VehicleId = v.VehicleId
+           ORDER BY h.PointId, v.Licence"""),
       "q5" -> s.sql(
         """WITH Temp1 AS (
              SELECT l1.Licence AS Licence1, st_collect(collect_list(t1.Traj)) AS Trajs
@@ -206,21 +271,25 @@ object BerlinMod {
              AND eDwithin(t1.Trip, t2.Trip, 10.0)
            ORDER BY Licence1, Licence2"""),
       "q7" -> s.sql(
+        // Semantics note: atGeometry(trip, POINT) restricts to instants
+        // whose position equals the point exactly (MobRuntime atvalues),
+        // so MIN(startTimestamp(...)) = MIN t over exact instant matches;
+        // groups where every trip contributed NULL are eliminated by the
+        // `Instant <= mi` join below in the original formulation too.
+        // That makes q7 a pure coordinate equi-join — no geometry calls.
         """WITH Timestamps AS (
-             SELECT v.Licence, p.PointId,
-               MIN(startTimestamp(atGeometry(t.Trip, p.Geom))) AS Instant
-             FROM Trips t, Vehicles v, Points1 p
-             WHERE t.VehicleId = v.VehicleId AND v.VehicleType = 'passenger'
-               AND p.PosX BETWEEN t.txmin AND t.txmax
-               AND p.PosY BETWEEN t.tymin AND t.tymax
-               AND st_intersects(t.Traj, p.Geom)
+             SELECT v.Licence, p.PointId, MIN(ti.t) AS Instant
+             FROM TripsInput ti
+             JOIN Points1 p ON ti.PosX = p.PosX AND ti.PosY = p.PosY
+             JOIN Vehicles v ON ti.VehicleId = v.VehicleId
+             WHERE v.VehicleType = 'passenger'
              GROUP BY v.Licence, p.PointId)
-           SELECT t1.Licence, t1.PointId, t1.Instant
-           FROM Timestamps t1
-           JOIN (SELECT PointId, MIN(Instant) AS mi FROM Timestamps
-                 GROUP BY PointId) m
-             ON t1.PointId = m.PointId AND t1.Instant <= m.mi
-           ORDER BY t1.PointId, t1.Licence"""),
+           SELECT Licence, PointId, Instant FROM (
+             SELECT Licence, PointId, Instant,
+               MIN(Instant) OVER (PARTITION BY PointId) AS mi
+             FROM Timestamps)
+           WHERE Instant <= mi
+           ORDER BY PointId, Licence"""),
       "q8" -> s.sql(
         """SELECT l.Licence, p.PeriodId,
              round(SUM(length(atTime(t.Trip, p.Period))), 6) AS Dist
@@ -327,15 +396,15 @@ object BerlinMod {
            WHERE aDisjoint(Trip1, Trip2)
            ORDER BY Licence1, Licence2"""),
       "q17" -> s.sql(
-        """WITH PointCount AS (
-             SELECT p.PointId, COUNT(DISTINCT t.VehicleId) AS Hits
-             FROM Trips t, Points p
-             WHERE p.PosX BETWEEN t.txmin AND t.txmax
-               AND p.PosY BETWEEN t.tymin AND t.tymax
-               AND st_intersects(t.Traj, p.Geom)
-             GROUP BY p.PointId)
-           SELECT PointId, Hits FROM PointCount
-           WHERE Hits = (SELECT MAX(Hits) FROM PointCount)
+        // max-ties via one window over the 100-row aggregate (a scalar
+        // subquery would recompute the whole hits CTE a second time)
+        s"""WITH hits AS (${segHitsSql("PointCells")}),
+           PointCount AS (
+             SELECT PointId, COUNT(DISTINCT VehicleId) AS Hits
+             FROM hits GROUP BY PointId)
+           SELECT PointId, Hits FROM (
+             SELECT PointId, Hits, MAX(Hits) OVER () AS mx FROM PointCount)
+           WHERE Hits = mx
            ORDER BY PointId"""))
   }
 }
