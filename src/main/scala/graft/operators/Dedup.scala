@@ -179,38 +179,73 @@ object Dedup {
   })
   private def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
-  /** Pairs with cosine >= 0.4 (data max ~0.51), exact. One side is
-    * broadcast as flat primitive arrays and each partition runs a tight
-    * block loop — no 12M-row joined intermediate, near-zero garbage.
-    * At 100 TB the same shape runs block-partitioned on both sides
-    * (chunked cross product); the LSH-bucketed variant in Similarity is
-    * the sublinear path when a threshold permits pruning. */
+  /** One packed row per block of vectors: ids sorted ascending, vectors
+    * flattened into a single primitive array with stride `dim`.
+    * (Not `private` — the Catalyst encoder's generated projection needs
+    * constructor access.) */
+  case class VecBlock(blk: Int, dim: Int, ids: Array[Long], flat: Array[Double])
+
+  /** Pairs with cosine >= 0.4 (data max ~0.51), exact, via a block-nested
+    * join that never touches the driver: vectors hash into NUM_BLOCKS
+    * blocks (one shuffle), each block packs into one row of flat
+    * primitive arrays, the B(B+1)/2 block PAIRS join declaratively
+    * (blkA <= blkB — a broadcast of B tiny block headers), and each
+    * block-pair task runs the tight dot-product loop. Scale knobs: block
+    * size is |data|/B, so B grows with the corpus to keep two blocks per
+    * task in executor memory; task count B(B+1)/2 grows quadratically,
+    * keeping every executor busy. The all-pairs compare is inherently
+    * O(n^2) — the LSH-bucketed variant in Similarity is the sublinear
+    * path when a threshold permits pruning. */
   def embCosinePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
+    val numBlocks = 8
+    val blocks = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
-    val side = e.collect().sortBy(_._1)
-    val ids = side.map(_._1)
-    val vecs = side.map(_._2.toArray)
-    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
-    val bc = s.sparkContext.broadcast((ids, vecs, norms))
-    e.repartition(32)
-      .flatMap { case (id, v0) =>
-        val (bIds, bVecs, bNorms) = bc.value
-        val v = v0.toArray
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        var j = java.util.Arrays.binarySearch(bIds, id) + 1
-        if (j < 0) j = -j
-        while (j < bIds.length) {
-          val w = bVecs(j)
-          var acc = 0.0
+      .groupByKey { case (id, _) => (id % numBlocks).toInt }
+      .mapGroups { (blk, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val dim = if (rows.isEmpty) 0 else rows(0)._2.length
+        val ids = rows.map(_._1)
+        val flat = new Array[Double](rows.length * dim)
+        var i = 0
+        while (i < rows.length) {
+          val v = rows(i)._2
           var k = 0
-          while (k < v.length) { acc += v(k) * w(k); k += 1 }
-          val cos = acc / (n * bNorms(j))
-          if (cos >= 0.4) out += ((id, bIds(j), cos))
-          j += 1
+          while (k < dim) { flat(i * dim + k) = v(k); k += 1 }
+          i += 1
+        }
+        VecBlock(blk, dim, ids, flat)
+      }
+    blocks.as("a")
+      .joinWith(blocks.as("b"), col("a.blk") <= col("b.blk"))
+      .flatMap { case (a, b) =>
+        val dim = a.dim
+        def norms(blk: VecBlock): Array[Double] =
+          Array.tabulate(blk.ids.length) { i =>
+            var acc = 0.0
+            var k = 0
+            while (k < dim) { val x = blk.flat(i * dim + k); acc += x * x; k += 1 }
+            math.sqrt(acc)
+          }
+        val na = norms(a); val nb = norms(b)
+        val same = a.blk == b.blk
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var i = 0
+        while (i < a.ids.length) {
+          var j = if (same) i + 1 else 0
+          while (j < b.ids.length) {
+            var acc = 0.0
+            var k = 0
+            while (k < dim) { acc += a.flat(i * dim + k) * b.flat(j * dim + k); k += 1 }
+            val cos = acc / (na(i) * nb(j))
+            if (cos >= 0.4) {
+              val ia = a.ids(i); val ib = b.ids(j)
+              out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+            }
+            j += 1
+          }
+          i += 1
         }
         out
       }
