@@ -15,30 +15,18 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    berlinmod.BerlinMod.load(spark, nVehicles = 141,
-      tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120)
-    spark.sql("SELECT * FROM Trips").count()
-    spark.sql("SELECT * FROM SegCells").count()
-    val hitsSql = berlinmod.BerlinMod.segHitsSqlForScratch("PointCells")
+    val d = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.1")
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[scratch] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      println(f"[scratch] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      spark.catalog.clearCache()
+      System.gc()
     }
-    time("hits")(spark.sql(hitsSql).count())
-    time("hits again")(spark.sql(hitsSql).count())
-    time("pointcount")(spark.sql(
-      s"""WITH hits AS ($hitsSql)
-          SELECT PointId, COUNT(DISTINCT VehicleId) AS Hits
-          FROM hits GROUP BY PointId""").count())
-    time("q17 window")(spark.sql(
-      s"""WITH hits AS ($hitsSql),
-          PointCount AS (
-            SELECT PointId, COUNT(DISTINCT VehicleId) AS Hits
-            FROM hits GROUP BY PointId)
-          SELECT PointId, Hits FROM (
-            SELECT PointId, Hits, MAX(Hits) OVER () AS mx FROM PointCount)
-          WHERE Hits = mx ORDER BY PointId""").count())
+    time("dedup_jaccard") { operators.Dedup.jaccard(spark, d).count() }
+    time("dedup_minhash_lsh") { operators.Dedup.minhashLsh(spark, d).count() }
+    time("ann_topk") { operators.Similarity.annTopK(spark, d).count() }
+    time("ann_lsh") { operators.Similarity.annLsh(spark, d).count() }
     spark.stop()
   }
 }

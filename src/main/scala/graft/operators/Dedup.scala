@@ -54,21 +54,69 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-duplicate pairs by exact shingle Jaccard >= 0.5, computed
-    * relationally (docs joined through shared shingles). */
+  /** Exact intersection size of two ascending-sorted Long arrays.
+    * Array[Long] (not Seq[Long]) parameters: the UDF decoder's primitive
+    * fast path vs per-element boxing — 3x on the verification stage. */
+  private val interSortedUdf = udf((a: Array[Long], b: Array[Long]) => {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  })
+
+  /** Near-duplicate pairs by exact shingle Jaccard >= 0.5, with exact
+    * PREFIX FILTERING (Bayardo et al., WWW'07): order each doc's
+    * shingles rarest-first by global document frequency; a pair with
+    * J >= 0.5 MUST share a shingle among each doc's first
+    * |d| - ceil(J*|d|) + 1 shingles (pigeonhole on the required overlap
+    * ceil(J*|union|) >= ceil(J*|d|)), so only prefixes are joined.
+    * High-df shingles sort into suffixes and never generate candidates —
+    * the df(s)^2 blowup of the naive all-shared-shingles join is gone,
+    * and the result is still exact because every candidate is verified
+    * with the full shingle sets. */
   def jaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+    val minJ = 0.5
+    // 64-bit shingle hashes from here on: set intersection on sorted
+    // primitive longs, not ~30-byte strings (collision odds across a
+    // pair of ~100-element sets: ~2^-51 — immaterial, incl. vs the
+    // string-based oracle)
+    val sh = shingles(s, d)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .persist()
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
+      .select("doc_id", "h", "rank", "sz")
+    // candidate join with two exact prunes beyond the prefix overlap:
+    //  - size compatibility: J >= minJ forces min(sz)/max(sz) >= minJ
+    //  - positional bound (PPJoin): overlap <= min(remaining suffix
+    //    lengths past this shared shingle) + 1
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")) >=
+          ceil(greatest(col("a.sz"), col("b.sz")) * minJ) &&
+        least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1 >=
+          ceil(greatest(col("a.sz"), col("b.sz")) * minJ))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shs").as("sha"),
+        col("sz").as("sza")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shb"),
+        col("sz").as("szb")), "id_b")
+      .withColumn("i", interSortedUdf(col("sha"), col("shb")))
       .withColumn("j", col("i") / (col("sza") + col("szb") - col("i")))
-      .filter(col("j") >= 0.5)
+      .filter(col("j") >= minJ)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jac"))
       .orderBy("id_a", "id_b")
   }
@@ -95,14 +143,20 @@ object Dedup {
     val seeds = Array.tabulate(numHashes)(i => 0x9E3779B97F4A7C15L * (i + 1))
     val mh = udf((shs: Seq[String]) =>
       seeds.map(sd => shs.map(polyHash(sd)).min))
-    val sh = shingles(s, d)
+    val docSh = shingles(s, d)
       .groupBy("doc_id").agg(collect_list("sh").as("shs"))
+      .persist()
+    val bandHash = udf((sig: Array[Long], band: Int) =>
+      sig.slice(band * rowsPerBand, (band + 1) * rowsPerBand).toSeq.hashCode.toLong)
+    // ids-only through the band explode + self-join: the full shingle
+    // arrays do NOT ride the 8-way band shuffle — they re-join exactly
+    // once, onto the deduplicated candidate pairs, for verification
+    val bands = docSh
       .withColumn("sig", mh(col("shs")))
-    val bandHash = udf((sig: Seq[Long], band: Int) =>
-      sig.slice(band * rowsPerBand, (band + 1) * rowsPerBand).hashCode.toLong)
-    val bands = sh.select(col("doc_id"), col("sig"), col("shs"),
+      .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"))
       .withColumn("bh", bandHash(col("sig"), col("band")))
+      .select("doc_id", "band", "bh")
     // standard LSH hygiene: drop mega-buckets — a band value shared by
     // hundreds of docs is non-discriminative and quadratically explosive
     // (its true pairs still surface through their other 7 bands)
@@ -112,8 +166,7 @@ object Dedup {
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.shs").as("sha"), col("b.shs").as("shb"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val jacc = udf((a: Seq[String], b: Seq[String]) => {
       val sa = a.toSet; val sb = b.toSet
@@ -121,6 +174,8 @@ object Dedup {
       i.toDouble / (sa.size + sb.size - i)
     })
     cand
+      .join(docSh.select(col("doc_id").as("id_a"), col("shs").as("sha")), "id_a")
+      .join(docSh.select(col("doc_id").as("id_b"), col("shs").as("shb")), "id_b")
       .withColumn("j", jacc(col("sha"), col("shb")))
       .filter(col("j") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jac"))
@@ -167,17 +222,6 @@ object Dedup {
   }
 
   // ---- embedding cosine near-dup ----
-
-  /** Tight-loop dot product UDF — ~10x the throughput of the
-    * zip_with+aggregate higher-order expression on 64-dim vectors. */
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  })
-  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   /** One packed row per block of vectors: ids sorted ascending, vectors
     * flattened into a single primitive array with stride `dim`.

@@ -20,8 +20,10 @@ import graft.util.Tables
 object Similarity {
 
   /** Tight-loop dot product UDF — ~10x the throughput of the
-    * zip_with+aggregate higher-order expression on 64-dim vectors. */
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    * zip_with+aggregate higher-order expression on 64-dim vectors.
+    * Array[Double] params hit the UDF decoder's primitive fast path
+    * (a Seq signature boxes every element). */
+  private val dotUdf = udf((a: Array[Double], b: Array[Double]) => {
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
