@@ -15,18 +15,17 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.1")
-    def time(tag: String)(f: => Long): Unit = {
+    berlinmod.BerlinMod.load(spark, nVehicles = 141,
+      tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120)
+    spark.sql("SELECT * FROM Trips").count()
+    spark.sql("SELECT * FROM SegCells").count()
+    spark.sql("SELECT * FROM SegTime").count()
+    val qs = berlinmod.BerlinMod.queries(spark)
+    for ((n, df) <- qs) {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"[scratch] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
-      spark.catalog.clearCache()
-      System.gc()
+      val c = df.count()
+      println(f"[scratch] $n%-4s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$c")
     }
-    time("dedup_jaccard") { operators.Dedup.jaccard(spark, d).count() }
-    time("dedup_minhash_lsh") { operators.Dedup.minhashLsh(spark, d).count() }
-    time("ann_topk") { operators.Similarity.annTopK(spark, d).count() }
-    time("ann_lsh") { operators.Similarity.annLsh(spark, d).count() }
     spark.stop()
   }
 }

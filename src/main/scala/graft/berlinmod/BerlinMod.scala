@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.{Interp, SpanL, SpanSetAlg, TextIO, TNumAlg, TPoint, TPointAlg}
 import graft.functions.GraftFunctions
 
 /** The BerlinMOD mobility workload end-to-end: deterministic synthetic
@@ -34,12 +35,60 @@ object BerlinMod {
   case class TripPoint(TripId: Int, VehicleId: Int, PosX: Double, PosY: Double,
                        t: java.sql.Timestamp)
 
+  /** A single linear motion segment as a 2-instant TPoint. `seg` layout:
+    * (x1, y1, t1micros, x2, y2, t2micros) — micros-as-double is exact
+    * (|t| < 2^53). Reusing TPointAlg on these keeps the segment-level
+    * pair queries numerically IDENTICAL to the trip-level solvers. */
+  private def segTPoint(a: Array[Double]): TPoint = {
+    val t1 = a(2).toLong; val t2 = a(5).toLong
+    if (t2 > t1)
+      TPointAlg.sequence(Array(a(0), a(3)), Array(a(1), a(4)), Array(t1, t2),
+        Interp.Linear)
+    else TPointAlg.instant(a(0), a(1), t1)
+  }
+
+  private val segUdfsRegistered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Segment-pair UDFs for the trip-pair queries (q6/q10/q16): each takes
+    * two packed segments and runs the same eDwithin/aDisjoint/tDwithin
+    * quadratic solvers the trip-level functions use (TPoint.scala), so a
+    * trip-pair predicate decomposes exactly into EXISTS/FORALL over its
+    * time-overlapping segment pairs. */
+  private def registerSegUdfs(spark: SparkSession): Unit = {
+    if (segUdfsRegistered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
+    spark.udf.register("seg_edwithin",
+      (a: Array[Double], b: Array[Double], d: Double) =>
+        TPointAlg.eDwithin(segTPoint(a), segTPoint(b), d))
+    spark.udf.register("seg_touches",
+      (a: Array[Double], b: Array[Double]) =>
+        !TPointAlg.aDisjoint(segTPoint(a), segTPoint(b)))
+    spark.udf.register("seg_dwithin_spans",
+      (a: Array[Double], b: Array[Double], d: Double) =>
+        TPointAlg.tDwithin(segTPoint(a), segTPoint(b), d) match {
+          case Some(tb) =>
+            val spans = TNumAlg.whenTrue(tb)
+            if (spans.isEmpty) null
+            else spans.flatMap(s => Array(s.lower, s.upper))
+          case None => null
+        })
+    spark.udf.register("pair_spanset_text",
+      (sps: Seq[Seq[Long]]) => {
+        val spans = sps.flatMap(_.grouped(2).map(p =>
+          SpanL(p(0), p(1), lowerInc = true, upperInc = true))).toArray
+        if (spans.isEmpty) null
+        else TextIO.printSpanSetL(SpanSetAlg.normalize(spans), TextIO.DomTs)
+      })
+  }
+
   /** Generate and register the BerlinMOD tables as temp views. Returns
     * the number of trips. */
   def load(spark: SparkSession, nVehicles: Int = 20, seed: Long = 42L,
            tripsMin: Int = 2, tripsMax: Int = 4,
            ptsMin: Int = 10, ptsMax: Int = 50): Int = {
     GraftFunctions.register(spark)
+    registerSegUdfs(spark)
     val rng = new Rng(seed)
     val base = 1577836800000000L // 2020-01-01 UTC micros
 
@@ -180,6 +229,36 @@ object BerlinMod {
            cast(floor(PosY / 100) AS int) AS cy
          FROM Points""").createOrReplaceTempView("PointCells")
 
+    // Segments exploded by covered HOUR bucket: the trip-pair proximity
+    // queries (q6/q10/q16) equi-join segments on the bucket — pairs per
+    // bucket stay bounded as the fleet grows (density per hour, not
+    // fleet^2), which is the plan that survives 100x data. A segment
+    // lasts minutes, so the explode adds ~1 row each. Box prefilters get
+    // a 1e-6 epsilon pad for consistency with the solvers' tolerances.
+    spark.sql(
+      """SELECT TripId, VehicleId,
+           array(x1, y1, cast(tl AS double), x2, y2, cast(tu AS double)) AS seg,
+           least(x1, x2) AS sxmin, greatest(x1, x2) AS sxmax,
+           least(y1, y2) AS symin, greatest(y1, y2) AS symax,
+           tl, tu, bucket
+         FROM (
+           SELECT TripId, VehicleId, x1, y1, x2, y2, tl, tu
+           FROM (
+             SELECT TripId, VehicleId,
+               PosX AS x1, PosY AS y1, unix_micros(t) AS tl,
+               coalesce(lead(PosX) OVER w, PosX) AS x2,
+               coalesce(lead(PosY) OVER w, PosY) AS y2,
+               coalesce(unix_micros(lead(t) OVER w), unix_micros(t)) AS tu,
+               lead(PosX) OVER w IS NULL AS last_pt,
+               row_number() OVER w AS rn
+             FROM TripsInput
+             WINDOW w AS (PARTITION BY TripId ORDER BY t))
+           WHERE NOT last_pt OR rn = 1)
+         LATERAL VIEW explode(sequence(
+           cast(floor(tl / 3600000000) AS bigint),
+           cast(floor(tu / 3600000000) AS bigint))) bk AS bucket""")
+      .cache().createOrReplaceTempView("SegTime")
+
     // LIMIT-10 dimension views (ref sql/load/01_instants.sql:9-13 etc.)
     spark.sql("SELECT * FROM Licences ORDER BY LicenceId LIMIT 10")
       .createOrReplaceTempView("Licences1")
@@ -257,18 +336,26 @@ object BerlinMod {
            FROM Temp1 t1, Temp2 t2
            ORDER BY Licence1, Licence2"""),
       "q6" -> s.sql(
-        """WITH Temp AS (
-             SELECT v.Licence, t.VehicleId, t.Trip,
-               t.txmin, t.txmax, t.tymin, t.tymax, t.ttmin, t.ttmax
-             FROM Trips t, Vehicles v
-             WHERE t.VehicleId = v.VehicleId AND v.VehicleType = 'truck')
-           SELECT DISTINCT t1.Licence AS Licence1, t2.Licence AS Licence2
-           FROM Temp t1, Temp t2
-           WHERE t1.VehicleId < t2.VehicleId
-             AND t1.txmin <= t2.txmax + 10 AND t2.txmin <= t1.txmax + 10
-             AND t1.tymin <= t2.tymax + 10 AND t2.tymin <= t1.tymax + 10
-             AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax
-             AND eDwithin(t1.Trip, t2.Trip, 10.0)
+        // eDwithin(trip1, trip2, d) = EXISTS a time-overlapping segment
+        // pair whose min distance over the overlap is <= d — segment
+        // bucket equi-join + per-pair quadratic (same solver, same
+        // tolerance), instead of the all-overlapping-trip-pairs BNLJ
+        """WITH T AS (
+             SELECT s.* FROM SegTime s
+             JOIN Vehicles v ON s.VehicleId = v.VehicleId
+             WHERE v.VehicleType = 'truck'),
+           pairs AS (
+             SELECT DISTINCT a.VehicleId AS v1, b.VehicleId AS v2
+             FROM T a JOIN T b
+               ON a.bucket = b.bucket AND a.VehicleId < b.VehicleId
+              AND a.tl <= b.tu AND b.tl <= a.tu
+              AND a.sxmin <= b.sxmax + 10.000001 AND b.sxmin <= a.sxmax + 10.000001
+              AND a.symin <= b.symax + 10.000001 AND b.symin <= a.symax + 10.000001
+              AND seg_edwithin(a.seg, b.seg, 10.0D))
+           SELECT va.Licence AS Licence1, vb.Licence AS Licence2
+           FROM pairs
+           JOIN Vehicles va ON pairs.v1 = va.VehicleId
+           JOIN Vehicles vb ON pairs.v2 = vb.VehicleId
            ORDER BY Licence1, Licence2"""),
       "q7" -> s.sql(
         // Semantics note: atGeometry(trip, POINT) restricts to instants
@@ -308,17 +395,23 @@ object BerlinMod {
            SELECT PeriodId, round(MAX(Dist), 6) AS MaxDist
            FROM Distances GROUP BY PeriodId ORDER BY PeriodId"""),
       "q10" -> s.sql(
-        """WITH Temp AS (
-             SELECT l1.Licence AS Licence1, t2.VehicleId AS Car2Id,
-               whenTrue(tDwithin(t1.Trip, t2.Trip, 3.0)) AS Periods
-             FROM Trips t1, Licences1 l1, Trips t2, Vehicles v
-             WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = v.VehicleId
-               AND t1.VehicleId <> t2.VehicleId
-               AND t2.txmin <= t1.txmax + 3 AND t1.txmin - 3 <= t2.txmax
-               AND t2.tymin <= t1.tymax + 3 AND t1.tymin - 3 <= t2.tymax
-               AND t2.ttmin <= t1.ttmax AND t1.ttmin <= t2.ttmax)
-           SELECT Licence1, Car2Id, asText(Periods) AS Periods
-           FROM Temp WHERE Periods IS NOT NULL
+        // whenTrue(tDwithin(t1, t2, d)) decomposes into the union of the
+        // per-segment-pair within-d intervals (identical quadratic solver
+        // + rounding), normalized and formatted once per trip pair
+        """WITH cand AS (
+             SELECT l1.Licence AS Licence1, b.VehicleId AS Car2Id,
+               a.TripId AS TripId1, b.TripId AS TripId2,
+               seg_dwithin_spans(a.seg, b.seg, 3.0D) AS sp
+             FROM SegTime a
+             JOIN Licences1 l1 ON a.VehicleId = l1.VehicleId
+             JOIN SegTime b
+               ON a.bucket = b.bucket AND a.VehicleId <> b.VehicleId
+              AND a.tl <= b.tu AND b.tl <= a.tu
+              AND a.sxmin <= b.sxmax + 3.000001 AND b.sxmin <= a.sxmax + 3.000001
+              AND a.symin <= b.symax + 3.000001 AND b.symin <= a.symax + 3.000001)
+           SELECT Licence1, Car2Id, pair_spanset_text(collect_list(sp)) AS Periods
+           FROM cand WHERE sp IS NOT NULL
+           GROUP BY Licence1, Car2Id, TripId1, TripId2
            ORDER BY Licence1, Car2Id, Periods"""),
       "q11" -> s.sql(
         """WITH Temp AS (
@@ -384,16 +477,30 @@ object BerlinMod {
            FROM Temp t JOIN Vehicles v ON t.VehicleId = v.VehicleId
            ORDER BY t.PointId, t.PeriodId, v.Licence"""),
       "q16" -> s.sql(
-        """WITH Temp AS (
-             SELECT l1.Licence AS Licence1, l2.Licence AS Licence2,
-               t1.Trip AS Trip1, t2.Trip AS Trip2
+        // aDisjoint(trip1, trip2) = NOT EXISTS a segment-pair overlap
+        // where positions coincide — time-overlapping trip pairs ANTI
+        // JOIN the "ever-touching" trip pairs from the bucket join
+        """WITH base AS (
+             SELECT t1.TripId AS TripId1, t2.TripId AS TripId2,
+               l1.Licence AS Licence1, l2.Licence AS Licence2
              FROM Trips t1, Licences1 l1, Trips t2, Licences2 l2
              WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = l2.VehicleId
                AND t1.VehicleId < t2.VehicleId
-               AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax)
+               AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax),
+           ec AS (
+             SELECT DISTINCT a.TripId AS TripId1, b.TripId AS TripId2
+             FROM SegTime a
+             JOIN Licences1 l1 ON a.VehicleId = l1.VehicleId
+             JOIN SegTime b
+               ON a.bucket = b.bucket AND a.VehicleId < b.VehicleId
+              AND a.tl <= b.tu AND b.tl <= a.tu
+              AND a.sxmin <= b.sxmax + 1e-6 AND b.sxmin <= a.sxmax + 1e-6
+              AND a.symin <= b.symax + 1e-6 AND b.symin <= a.symax + 1e-6
+              AND seg_touches(a.seg, b.seg)
+             JOIN Licences2 l2 ON b.VehicleId = l2.VehicleId)
            SELECT DISTINCT Licence1, Licence2
-           FROM Temp
-           WHERE aDisjoint(Trip1, Trip2)
+           FROM base LEFT ANTI JOIN ec
+             ON base.TripId1 = ec.TripId1 AND base.TripId2 = ec.TripId2
            ORDER BY Licence1, Licence2"""),
       "q17" -> s.sql(
         // max-ties via one window over the 100-row aggregate (a scalar
