@@ -114,5 +114,11 @@ object BoxAlg {
       zmin = if (b.hasZ) b.zmin - d else b.zmin,
       zmax = if (b.hasZ) b.zmax + d else b.zmax)
 
-  def area(b: STBox): Double = (b.xmax - b.xmin) * (b.ymax - b.ymin)
+  /** Planar for geometric boxes; for geodetic boxes the spheroid area of
+    * the meridian/geodesic-bounded rectangle (x = lon deg, y = lat deg),
+    * matching MEOS stbox_area(box, spheroid=true) (ref
+    * src/geo/stbox_functions.cpp:459-460, test/sql/stbox.test:84). */
+  def area(b: STBox): Double =
+    if (b.geodetic) Geodesy.boxArea(b.xmin, b.xmax, b.ymin, b.ymax)
+    else (b.xmax - b.xmin) * (b.ymax - b.ymin)
 }

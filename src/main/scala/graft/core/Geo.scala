@@ -59,6 +59,15 @@ object Wkb {
     bb.array()
   }
 
+  /** 3D point: extended-WKB Z flag (0x80000000), the encoding the
+    * reference's WKB path uses for PointZ. */
+  def writePointZ(x: Double, y: Double, z: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(29).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(PointType | 0x80000000)
+      .putDouble(x).putDouble(y).putDouble(z)
+    bb.array()
+  }
+
   def writeLineString(pts: Array[(Double, Double)]): Array[Byte] = {
     val bb = ByteBuffer.allocate(9 + 16 * pts.length).order(ByteOrder.LITTLE_ENDIAN)
     bb.put(1.toByte).putInt(LineStringType).putInt(pts.length)
@@ -123,13 +132,19 @@ object Wkb {
     } else throw new IllegalArgumentException(s"unsupported WKT '$wkt0'")
   }
 
-  def asText(wkb: Array[Byte]): String = {
+  def asText(wkb: Array[Byte]): String = asText(wkb, -1)
+
+  /** WKT with coordinates rounded to `digits` decimals (digits < 0 = full
+    * precision) — asText/asEWKT's optional digits argument. */
+  def asText(wkb: Array[Byte], digits: Int): String = {
     if (((java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         .getInt(1)) & 0xFF) == GeometryCollectionType)
-      return collectionMembers(wkb).map(asText)
+      return collectionMembers(wkb).map(asText(_, digits))
         .mkString("GEOMETRYCOLLECTION(", ",", ")")
     val (t, pts) = read(wkb)
-    def fmt(p: (Double, Double)) = s"${TimeFmt.printFloat(p._1)} ${TimeFmt.printFloat(p._2)}"
+    def f1(v: Double) =
+      if (digits < 0) TimeFmt.printFloat(v) else TimeFmt.printFloat(v, digits)
+    def fmt(p: (Double, Double)) = s"${f1(p._1)} ${f1(p._2)}"
     t match {
       case PointType => s"POINT(${fmt(pts.head)})"
       case LineStringType => pts.map(fmt).mkString("LINESTRING(", ",", ")")
@@ -315,4 +330,53 @@ object Geo {
     val lat = math.toDegrees(2 * math.atan(math.exp(y / EarthRadius)) - math.Pi / 2)
     (lon, lat)
   }
+}
+
+/** Closed-form CRS transforms for the EPSG codes the reference's tests
+  * exercise (general PROJ is out of scope — SURVEY §7). */
+object Crs {
+
+  /** Lambert Conformal Conic 2SP forward (Snyder 1987, eqs. 15-1..15-10),
+    * ellipsoidal. */
+  final class Lcc2SP(a: Double, f: Double, lat1Deg: Double, lat2Deg: Double,
+                     lat0Deg: Double, lon0Deg: Double,
+                     x0: Double, y0: Double) {
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+    private def m(p: Double) = math.cos(p) / math.sqrt(1 - e2 * math.sin(p) * math.sin(p))
+    private def t(p: Double) =
+      math.tan(math.Pi / 4 - p / 2) /
+        math.pow((1 - e * math.sin(p)) / (1 + e * math.sin(p)), e / 2)
+    private val lat1 = math.toRadians(lat1Deg)
+    private val lat2 = math.toRadians(lat2Deg)
+    private val lat0 = math.toRadians(lat0Deg)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val n = (math.log(m(lat1)) - math.log(m(lat2))) /
+      (math.log(t(lat1)) - math.log(t(lat2)))
+    private val bigF = m(lat1) / (n * math.pow(t(lat1), n))
+    private val rho0 = a * bigF * math.pow(t(lat0), n)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = a * bigF * math.pow(t(math.toRadians(latDeg)), n)
+      val th = n * (math.toRadians(lonDeg) - lon0)
+      (x0 + rho * math.sin(th), y0 + rho0 - rho * math.cos(th))
+    }
+  }
+
+  /** EPSG:3812 — Belgian Lambert 2008 on GRS80 (published EPSG
+    * parameters; exercised by ref test/sql/geoset.test:49). */
+  val BelgianLambert2008 = new Lcc2SP(
+    a = 6378137.0, f = 1.0 / 298.257222101,
+    lat1Deg = 49.0 + 50.0 / 60, lat2Deg = 51.0 + 10.0 / 60,
+    lat0Deg = 50.797815, lon0Deg = 4.359215833333333,
+    x0 = 649328.0, y0 = 665262.0)
+
+  /** lon/lat (4326) point → target SRID. */
+  def transform(toSrid: Int, lon: Double, lat: Double): (Double, Double) =
+    toSrid match {
+      case 4326 => (lon, lat)
+      case 3857 => Geo.lonLatToMercator(lon, lat)
+      case 3812 => BelgianLambert2008.forward(lon, lat)
+      case other => throw new IllegalArgumentException(
+        s"transform: unsupported target SRID $other (supported: 4326, 3857, 3812)")
+    }
 }

@@ -16,6 +16,41 @@ case class SpanL(lower: Long, upper: Long, lowerInc: Boolean, upperInc: Boolean)
 /** Span over a Double domain (floatspan). Bounds keep their inclusivity. */
 case class SpanD(lower: Double, upper: Double, lowerInc: Boolean, upperInc: Boolean)
 
+/** Span over the text domain, lexicographic order (textspanset — the
+  * reference registers it at src/include/temporal/spanset.hpp:21). */
+case class SpanS(lower: String, upper: String, lowerInc: Boolean, upperInc: Boolean)
+
+object SpanSAlg {
+  def make(lo: String, hi: String, lInc: Boolean, uInc: Boolean): SpanS = {
+    require(lo < hi || (lo == hi && lInc && uInc), s"invalid span [$lo, $hi)")
+    SpanS(lo, hi, lInc, uInc)
+  }
+
+  /** Sort + merge overlapping/touching spans (continuous domain: merge
+    * when ranges intersect or share a closed bound). */
+  def normalize(spans: Array[SpanS]): Array[SpanS] = {
+    if (spans.isEmpty) return spans
+    val sorted = spans.sortBy(s => (s.lower, !s.lowerInc, s.upper))
+    val out = scala.collection.mutable.ArrayBuffer[SpanS](sorted.head)
+    var i = 1
+    while (i < sorted.length) {
+      val cur = sorted(i)
+      val last = out.last
+      val joinable = cur.lower < last.upper ||
+        (cur.lower == last.upper && (cur.lowerInc || last.upperInc))
+      if (joinable) {
+        val (u, ui) =
+          if (cur.upper > last.upper) (cur.upper, cur.upperInc)
+          else if (cur.upper == last.upper) (last.upper, last.upperInc || cur.upperInc)
+          else (last.upper, last.upperInc)
+        out(out.length - 1) = SpanS(last.lower, u, last.lowerInc, ui)
+      } else out += cur
+      i += 1
+    }
+    out.toArray
+  }
+}
+
 object SpanAlg {
 
   // ---- construction / canonicalization ----

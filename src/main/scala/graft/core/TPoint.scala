@@ -6,10 +6,12 @@ package graft.core
   * eDwithin/tDwithin/aDisjoint — ref tgeompoint.cpp:234-311).
   */
 case class TPointSeq(xs: Array[Double], ys: Array[Double], ts: Array[Long],
-                     lInc: Boolean, uInc: Boolean) {
+                     lInc: Boolean, uInc: Boolean,
+                     zs: Array[Double] = null) {
   def n: Int = ts.length
   def startT: Long = ts(0)
   def endT: Long = ts(ts.length - 1)
+  def is3d: Boolean = zs != null
 }
 
 case class TPoint(subtype: Byte, interp: Byte, srid: Int, seqs: Array[TPointSeq])
@@ -59,13 +61,21 @@ object TPointAlg {
   def stbox(t: TPoint): STBox = {
     var xmin = Double.MaxValue; var xmax = Double.MinValue
     var ymin = Double.MaxValue; var ymax = Double.MinValue
+    var zmin = Double.MaxValue; var zmax = Double.MinValue
+    var any3d = false
     for (s <- t.seqs; i <- 0 until s.n) {
       if (s.xs(i) < xmin) xmin = s.xs(i); if (s.xs(i) > xmax) xmax = s.xs(i)
       if (s.ys(i) < ymin) ymin = s.ys(i); if (s.ys(i) > ymax) ymax = s.ys(i)
+      if (s.is3d) {
+        any3d = true
+        if (s.zs(i) < zmin) zmin = s.zs(i); if (s.zs(i) > zmax) zmax = s.zs(i)
+      }
     }
     val ts = timeSpan(t)
-    STBox(xmin, xmax, ymin, ymax, 0, 0, ts.lower, ts.upper, ts.lowerInc, ts.upperInc,
-      t.srid, geodetic = false, hasX = true, hasZ = false, hasT = true)
+    STBox(xmin, xmax, ymin, ymax,
+      if (any3d) zmin else 0, if (any3d) zmax else 0,
+      ts.lower, ts.upper, ts.lowerInc, ts.upperInc,
+      t.srid, geodetic = false, hasX = true, hasZ = any3d, hasT = true)
   }
 
   /** Position at timestamp (linear interpolation); None outside domain
@@ -172,7 +182,13 @@ object TPointAlg {
     for (s <- t.seqs) {
       var i = 0
       while (i < s.n - 1) {
-        total += math.hypot(s.xs(i + 1) - s.xs(i), s.ys(i + 1) - s.ys(i))
+        val dx = s.xs(i + 1) - s.xs(i)
+        val dy = s.ys(i + 1) - s.ys(i)
+        // hypot for 2D (ulp-exact with the golden corpus); 3D via sqrt
+        total +=
+          (if (s.is3d) { val dz = s.zs(i + 1) - s.zs(i)
+                         math.sqrt(dx * dx + dy * dy + dz * dz) }
+           else math.hypot(dx, dy))
         i += 1
       }
     }

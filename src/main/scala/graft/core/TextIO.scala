@@ -90,6 +90,33 @@ object TextIO {
     (if (sp.lowerInc) "[" else "(") + TimeFmt.printFloat(sp.lower, digits) + ", " +
       TimeFmt.printFloat(sp.upper, digits) + (if (sp.upperInc) "]" else ")")
 
+  /** Text-domain span: bounds print quoted like textset elements. */
+  def parseSpanS(s0: String): SpanS = {
+    val s = s0.trim
+    require(s.length >= 3 && "[(".contains(s.head) && ")]".contains(s.last),
+      s"bad span literal '$s0'")
+    val parts = splitTop(s.substring(1, s.length - 1))
+    require(parts.length == 2, s"bad span literal '$s0'")
+    SpanSAlg.make(stripQuotes(parts(0).trim), stripQuotes(parts(1).trim),
+      s.head == '[', s.last == ']')
+  }
+
+  def printSpanS(sp: SpanS): String =
+    (if (sp.lowerInc) "[" else "(") + "\"" + sp.lower + "\", \"" + sp.upper +
+      "\"" + (if (sp.upperInc) "]" else ")")
+
+  def parseSpanSetS(s: String): Array[SpanS] =
+    SpanSAlg.normalize(splitTop(innerBraceS(s)).map(parseSpanS))
+
+  def printSpanSetS(ss: Array[SpanS]): String =
+    ss.map(printSpanS).mkString("{", ", ", "}")
+
+  private def innerBraceS(s0: String): String = {
+    val s = s0.trim
+    require(s.head == '{' && s.last == '}', s"bad spanset literal '$s0'")
+    s.substring(1, s.length - 1)
+  }
+
   // ---- sets ----
 
   private def innerBrace(s0: String): String = {
@@ -304,11 +331,15 @@ object TextIO {
 
   // ---- tgeompoint ----
 
-  private val pointRe = """(?i)\s*(?:srid=(\d+);)?\s*point\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*""".r
+  private val pointRe =
+    """(?i)\s*(?:srid=(\d+);)?\s*point\s*z?\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)(?:\s+([-\d.eE+]+))?\s*\)\s*""".r
 
-  def parsePointVal(s: String): (Double, Double, Int) = s match {
-    case pointRe(srid, x, y) =>
-      (x.toDouble, y.toDouble, if (srid == null) 0 else srid.toInt)
+  /** Parse `Point(x y)` / `Point(x y z)` (ref 3D literals,
+    * test/sql/tgeompoint.test:168). z = NaN when absent. */
+  def parsePointVal(s: String): (Double, Double, Double, Int) = s match {
+    case pointRe(srid, x, y, z) =>
+      (x.toDouble, y.toDouble, if (z == null) Double.NaN else z.toDouble,
+        if (srid == null) 0 else srid.toInt)
     case _ => throw new IllegalArgumentException(s"bad point literal '$s'")
   }
 
@@ -326,11 +357,21 @@ object TextIO {
       forcedInterp = Interp.parse(s.substring(7, i))
       s = s.substring(i + 1).trim
     }
-    def one(p: String): (Double, Double, Long) = {
+    def one(p: String): (Double, Double, Double, Long) = {
       val (v, t) = splitAtOf(p.trim)
-      val (x, y, sr) = parsePointVal(v)
+      val (x, y, z, sr) = parsePointVal(v)
       if (sr != 0) srid = sr
-      (x, y, TimeFmt.parseTs(t))
+      (x, y, z, TimeFmt.parseTs(t))
+    }
+    // a sequence is 3D iff its points carry z (mixed dims rejected like
+    // the reference's MEOS parser)
+    def mkSeq(ivs: Array[(Double, Double, Double, Long)],
+              lInc: Boolean, uInc: Boolean): TPointSeq = {
+      val any3d = ivs.exists(v => !v._3.isNaN)
+      if (any3d && ivs.exists(v => v._3.isNaN))
+        throw new IllegalArgumentException("mixed 2D/3D points in sequence")
+      TPointSeq(ivs.map(_._1), ivs.map(_._2), ivs.map(_._4), lInc, uInc,
+        if (any3d) ivs.map(_._3) else null)
     }
     def interpOr(d: Byte): Byte = if (forcedInterp >= 0) forcedInterp else d
     if (s.head == '{') {
@@ -339,21 +380,23 @@ object TextIO {
         val seqs = splitTop(innerBrace(s)).map { part =>
           val q = part.trim
           val ivs = splitTop(q.substring(1, q.length - 1)).map(one)
-          TPointSeq(ivs.map(_._1), ivs.map(_._2), ivs.map(_._3), q.head == '[', q.last == ']')
+          mkSeq(ivs, q.head == '[', q.last == ']')
         }
         TPoint(Subtype.SequenceSet, interpOr(Interp.Linear), srid, seqs.sortBy(_.startT))
       } else {
         val ivs = splitTop(inner).map(one)
         TPoint(Subtype.Sequence, Interp.Discrete, srid,
-          Array(TPointSeq(ivs.map(_._1), ivs.map(_._2), ivs.map(_._3), lInc = true, uInc = true)))
+          Array(mkSeq(ivs, lInc = true, uInc = true)))
       }
     } else if (s.head == '[' || s.head == '(') {
       val ivs = splitTop(s.substring(1, s.length - 1)).map(one)
       TPoint(Subtype.Sequence, interpOr(Interp.Linear), srid,
-        Array(TPointSeq(ivs.map(_._1), ivs.map(_._2), ivs.map(_._3), s.head == '[', s.last == ']')))
+        Array(mkSeq(ivs, s.head == '[', s.last == ']')))
     } else {
-      val (x, y, t) = one(s)
-      TPointAlg.instant(x, y, t, srid)
+      val (x, y, z, t) = one(s)
+      if (z.isNaN) TPointAlg.instant(x, y, t, srid)
+      else TPoint(Subtype.Instant, Interp.None, srid,
+        Array(TPointSeq(Array(x), Array(y), Array(t), lInc = true, uInc = true, Array(z))))
     }
   }
 
@@ -380,19 +423,24 @@ object TextIO {
   /** Default output: WKB hex per point (ref tgeompoint.test golden
     * `0101000000...@2012-01-01 08:00:00+00`). */
   def printTPoint(t: TPoint): String =
-    printTPointWith(t, (x, y) => hex(Wkb.writePoint(x, y)))
+    printTPointWith(t, (s, i) =>
+      if (s.is3d) hex(Wkb.writePointZ(s.xs(i), s.ys(i), s.zs(i)))
+      else hex(Wkb.writePoint(s.xs(i), s.ys(i))))
 
   /** asText / asEWKT output: `POINT(1 1)@...` (EWKT adds SRID=n; prefix). */
   def printTPointText(t: TPoint): String =
-    printTPointWith(t, (x, y) => s"POINT(${TimeFmt.printFloat(x)} ${TimeFmt.printFloat(y)})")
+    printTPointWith(t, (s, i) =>
+      if (s.is3d)
+        s"POINT Z (${TimeFmt.printFloat(s.xs(i))} ${TimeFmt.printFloat(s.ys(i))} ${TimeFmt.printFloat(s.zs(i))})"
+      else s"POINT(${TimeFmt.printFloat(s.xs(i))} ${TimeFmt.printFloat(s.ys(i))})")
 
   def printTPointEwkt(t: TPoint): String = {
     val base = printTPointText(t)
     if (t.srid != 0) s"SRID=${t.srid};$base" else base
   }
 
-  private def printTPointWith(t: TPoint, pf: (Double, Double) => String): String = {
-    def inst(s: TPointSeq, i: Int) = s"${pf(s.xs(i), s.ys(i))}@${TimeFmt.printTs(s.ts(i))}"
+  private def printTPointWith(t: TPoint, pf: (TPointSeq, Int) => String): String = {
+    def inst(s: TPointSeq, i: Int) = s"${pf(s, i)}@${TimeFmt.printTs(s.ts(i))}"
     def seq(s: TPointSeq): String = {
       val body = (0 until s.n).map(inst(s, _)).mkString(", ")
       (if (s.lInc) "[" else "(") + body + (if (s.uInc) "]" else ")")
@@ -510,11 +558,11 @@ object TextIO {
     GeoSet(elems, srid, geodetic)
   }
 
-  def printGeoSetText(g: GeoSet): String =
-    g.wkbs.map(w => "\"" + Wkb.asText(w) + "\"").mkString("{", ", ", "}")
+  def printGeoSetText(g: GeoSet, digits: Int = -1): String =
+    g.wkbs.map(w => "\"" + Wkb.asText(w, digits) + "\"").mkString("{", ", ", "}")
 
-  def printGeoSetEwkt(g: GeoSet): String = {
-    val base = printGeoSetText(g)
+  def printGeoSetEwkt(g: GeoSet, digits: Int = -1): String = {
+    val base = printGeoSetText(g, digits)
     if (g.gsrid != 0) s"SRID=${g.gsrid};$base" else base
   }
 

@@ -17,10 +17,11 @@ object GraftFunctions {
   /** Every registered function name (dispatch in [[MobRuntime]]). */
   val names: Seq[String] = Seq(
     // constructors / parsers
-    "tint", "tbool", "tfloat", "ttext", "tgeompoint",
+    "tint", "tbool", "tfloat", "ttext", "tgeompoint", "tgeogpoint",
     "intspan", "bigintspan", "floatspan", "datespan", "tstzspan", "period",
     "intset", "bigintset", "floatset", "textset", "dateset", "tstzset",
     "intspanset", "bigintspanset", "floatspanset", "datespanset", "tstzspanset",
+    "textspanset",
     "spanset", "set", "tbox", "stbox",
     "tintseq", "tboolseq", "tfloatseq", "tintseqset", "tboolseqset",
     "tfloatseqset", "tgeompointseq", "tgeompointseqset",

@@ -31,7 +31,7 @@ object MobRuntime {
       case "tbool" => S.tnumB
       case "tfloat" => S.tnumF
       case "ttext" => if (ts.length == 2) S.ttext else S.ttext
-      case "tgeompoint" => S.tpoint
+      case "tgeompoint" | "tgeogpoint" => S.tpoint
       case "intspan" | "bigintspan" | "datespan" | "tstzspan" | "period" => S.span
       case "floatspan" => S.spanF
       case "intset" | "bigintset" | "dateset" | "tstzset" => S.set
@@ -39,6 +39,7 @@ object MobRuntime {
       case "textset" => S.setS
       case "intspanset" | "bigintspanset" | "datespanset" | "tstzspanset" => S.spanSet
       case "floatspanset" => S.spanSetF
+      case "textspanset" => S.spanSetS
       case "spanset" => t0 match {
         case ArrayType(st: StructType, _) if mob(st) == "spanF" => S.spanSetF
         case st: StructType if mob(st) == "spanF" => S.spanSetF
@@ -272,7 +273,7 @@ object MobRuntime {
             Array(TTextSeq(Array(s), Array(a1.asInstanceOf[TsVal].us), true, true))))
           case _ => bad(name, args)
         }
-      case "tgeompoint" =>
+      case "tgeompoint" | "tgeogpoint" =>
         (a0, args.length) match {
           case (s: String, 1) => VTPoint(parseTPoint(s))
           case (w: Array[Byte], 2) =>
@@ -346,6 +347,15 @@ object MobRuntime {
         case s: String if args.length == 1 && s.trim.startsWith("{") => VSetS(parseSetS(s))
         case arr: Array[String] => VSetS(SetAlg.makeS(arr))
         case s: String => VSetS(Array(s))
+      }
+      case "textspanset" => a0 match {
+        // VARCHAR cast + set→spanset widening (ref registers the type at
+        // src/include/temporal/spanset.hpp:21; casts spanset.cpp:102-117)
+        case s: String if s.trim.startsWith("{") => VSpanSetS(parseSpanSetS(s))
+        case s: String => VSpanSetS(Array(SpanS(s, s, lowerInc = true, upperInc = true)))
+        case VSetS(vs) => VSpanSetS(SpanSAlg.normalize(
+          vs.map(v => SpanS(v, v, lowerInc = true, upperInc = true))))
+        case _ => bad(name, args)
       }
       case "intspanset" | "bigintspanset" | "datespanset" | "tstzspanset" =>
         val d = dom(name)
@@ -534,6 +544,7 @@ object MobRuntime {
       case "astext" => a0 match {
         case VTPoint(t) => printTPointText(t)
         case VTGeom(t) => printTGeomText(t)
+        case VGeoSet(g) if args.length == 2 => printGeoSetText(g, asLong(a1).toInt)
         case VGeoSet(g) => printGeoSetText(g)
         case VSetF(vs) if args.length == 2 => printSetD(vs, asLong(a1).toInt)
         case VSpanF(s) if args.length == 2 => printSpanD(s, asLong(a1).toInt)
@@ -546,6 +557,7 @@ object MobRuntime {
       case "asewkt" => a0 match {
         case VTPoint(t) => printTPointEwkt(t)
         case VTGeom(t) => printTGeomEwkt(t)
+        case VGeoSet(g) if args.length == 2 => printGeoSetEwkt(g, asLong(a1).toInt)
         case VGeoSet(g) => printGeoSetEwkt(g)
         case m: MobVal => MobCodec.format(m)
         case _ => bad(name, args)
@@ -841,6 +853,7 @@ object MobRuntime {
       case "numspans" => a0 match {
         case VSpanSet(ss, _) => ss.length
         case VSpanSetF(ss) => ss.length
+        case VSpanSetS(ss) => ss.length
         case _ => bad(name, args)
       }
       case "startspan" | "endspan" | "spann" => a0 match {
@@ -1063,16 +1076,33 @@ object MobRuntime {
         case VGeoSet(g) => VGeoSet(g.copy(gsrid = asLong(a1).toInt))
         case _ => bad(name, args)
       }
-      case "transform" => // only 4326 -> 3857 (SURVEY §7: BerlinMOD's only use)
+      case "transform" =>
+        // closed-form transforms FROM lon/lat for the EPSG codes the ref
+        // tests use: 3857 (BerlinMOD) and 3812 (geoset.test:49); general
+        // PROJ out of scope (SURVEY §7)
         a0 match {
           case VTPoint(t) =>
             val target = asLong(a1).toInt
-            require(target == 3857 && (t.srid == 4326 || t.srid == 0),
-              s"only 4326->3857 supported, got ${t.srid}->$target")
-            VTPoint(TPoint(t.subtype, t.interp, 3857, t.seqs.map { s =>
-              val conv = (0 until s.n).map(i => Geo.lonLatToMercator(s.xs(i), s.ys(i)))
+            require(t.srid == 4326 || t.srid == 0,
+              s"transform: source must be 4326, got ${t.srid}")
+            VTPoint(TPoint(t.subtype, t.interp, target, t.seqs.map { s =>
+              val conv = (0 until s.n).map(i => Crs.transform(target, s.xs(i), s.ys(i)))
               s.copy(xs = conv.map(_._1).toArray, ys = conv.map(_._2).toArray)
             }))
+          case VGeoSet(g) =>
+            val target = asLong(a1).toInt
+            require(g.gsrid == 4326 || g.gsrid == 0,
+              s"transform: source must be 4326, got ${g.gsrid}")
+            VGeoSet(g.copy(wkbs = g.wkbs.map { w =>
+              val (gt, pts) = Wkb.read(w)
+              val conv = pts.map { case (x, y) => Crs.transform(target, x, y) }
+              gt match {
+                case Wkb.PointType => Wkb.writePoint(conv(0)._1, conv(0)._2)
+                case Wkb.LineStringType => Wkb.writeLineString(conv)
+                case Wkb.PolygonType => Wkb.writePolygon(conv)
+                case _ => throw new IllegalArgumentException("transform: geometry type")
+              }
+            }, gsrid = target))
           case _ => bad(name, args)
         }
       case "setinterp" => a0 match {

@@ -52,6 +52,7 @@ case class VSetF(vs: Array[Double]) extends MobVal
 case class VSetS(vs: Array[String]) extends MobVal
 case class VSpanSet(ss: Array[SpanL], dom: Byte) extends MobVal
 case class VSpanSetF(ss: Array[SpanD]) extends MobVal
+case class VSpanSetS(ss: Array[SpanS]) extends MobVal
 case class VTNum(t: TNum, kind: Byte) extends MobVal
 case class VTGeom(t: TGeom) extends MobVal
 case class VGeoSet(g: GeoSet) extends MobVal
@@ -89,6 +90,11 @@ object MobSchemas {
     f("spans", ArrayType(spanPlain, containsNull = false)), f("dom", ByteType)))
   val spanSetF: StructType = StructType(Seq(
     f("fspans", ArrayType(spanPlainF, containsNull = false))))
+  val spanPlainS: StructType = StructType(Seq(
+    f("slower", StringType), f("supper", StringType),
+    f("lowerInc", BooleanType), f("upperInc", BooleanType)))
+  val spanSetS: StructType = StructType(Seq(
+    f("sspans", ArrayType(spanPlainS, containsNull = false))))
 
   val tnumSeq: StructType = StructType(Seq(
     f("vs", ArrayType(DoubleType, containsNull = false)),
@@ -120,7 +126,10 @@ object MobSchemas {
     f("xs", ArrayType(DoubleType, containsNull = false)),
     f("ys", ArrayType(DoubleType, containsNull = false)),
     f("ts", ArrayType(LongType, containsNull = false)),
-    f("lInc", BooleanType), f("uInc", BooleanType)))
+    f("lInc", BooleanType), f("uInc", BooleanType),
+    // null for 2D sequences; per-instant altitudes for 3D (Point Z)
+    StructField("zs", ArrayType(DoubleType, containsNull = false),
+      nullable = true)))
 
   val tpoint: StructType = StructType(Seq(
     f("subtype", ByteType), f("interp", ByteType), f("srid", IntegerType),
@@ -174,6 +183,7 @@ object MobSchemas {
       else if (n == names(ttext)) Some("ttext")
       else if (n == names(tpoint)) Some("tpoint")
       else if (n == names(tgeom)) Some("tgeom")
+      else if (n == names(spanSetS)) Some("spanSetS")
       else if (n == names(gset)) Some("gset")
       else if (n == names(tbox)) Some("tbox")
       else if (n == names(stbox)) Some("stbox")
@@ -189,6 +199,7 @@ object MobSchemas {
     case "setS" => setS
     case "spanSet" => spanSet
     case "spanSetF" => spanSetF
+    case "spanSetS" => spanSetS
     case "tnumI" => tnumI
     case "tnumF" => tnumF
     case "tnumB" => tnumB
@@ -229,6 +240,13 @@ object MobCodec {
           val r = arr.getStruct(i, 4)
           SpanD(r.getDouble(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3))
         }.toArray)
+      case "spanSetS" =>
+        val arr = row.getArray(0)
+        VSpanSetS((0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 4)
+          SpanS(r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+            r.getBoolean(2), r.getBoolean(3))
+        }.toArray)
       case "tnumI" | "tnumF" | "tnumB" =>
         val seqs = decodeSeqArr(row.getArray(2))
         val kind: Byte = MobSchemas.kindOf(dt).get match {
@@ -248,9 +266,10 @@ object MobCodec {
       case "tpoint" =>
         val arr = row.getArray(3)
         val seqs = (0 until arr.numElements()).map { i =>
-          val r = arr.getStruct(i, 5)
+          val r = arr.getStruct(i, 6)
           TPointSeq(r.getArray(0).toDoubleArray(), r.getArray(1).toDoubleArray(),
-            r.getArray(2).toLongArray(), r.getBoolean(3), r.getBoolean(4))
+            r.getArray(2).toLongArray(), r.getBoolean(3), r.getBoolean(4),
+            if (r.isNullAt(5)) null else r.getArray(5).toDoubleArray())
         }.toArray
         VTPoint(TPoint(row.getByte(0), row.getByte(1), row.getInt(2), seqs))
       case "tgeom" =>
@@ -310,6 +329,11 @@ object MobCodec {
       new GenericInternalRow(Array[Any](new GenericArrayData(ss.map(s =>
         new GenericInternalRow(Array[Any](s.lower, s.upper, s.lowerInc, s.upperInc))
           .asInstanceOf[Any]))))
+    case VSpanSetS(ss) =>
+      new GenericInternalRow(Array[Any](new GenericArrayData(ss.map(s =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(s.lower), UTF8String.fromString(s.upper),
+          s.lowerInc, s.upperInc)).asInstanceOf[Any]))))
     case VTNum(t, _) =>
       new GenericInternalRow(Array[Any](t.subtype, t.interp,
         new GenericArrayData(t.seqs.map(encodeSeq(_).asInstanceOf[Any]))))
@@ -333,7 +357,8 @@ object MobCodec {
         new GenericArrayData(t.seqs.map(s =>
           new GenericInternalRow(Array[Any](
             new GenericArrayData(s.xs), new GenericArrayData(s.ys),
-            new GenericArrayData(s.ts), s.lInc, s.uInc)).asInstanceOf[Any]))))
+            new GenericArrayData(s.ts), s.lInc, s.uInc,
+            if (s.zs == null) null else new GenericArrayData(s.zs))).asInstanceOf[Any]))))
     case VTBox(b) =>
       new GenericInternalRow(Array[Any](b.xmin, b.xmax, b.xminInc, b.xmaxInc,
         b.tmin, b.tmax, b.tminInc, b.tmaxInc, b.hasX, b.hasT, b.xInt))
@@ -354,6 +379,7 @@ object MobCodec {
     case _: VSetS => MobSchemas.setS
     case _: VSpanSet => MobSchemas.spanSet
     case _: VSpanSetF => MobSchemas.spanSetF
+    case _: VSpanSetS => MobSchemas.spanSetS
     case v: VTNum => MobSchemas.tnumFor(v.kind)
     case _: VTGeom => MobSchemas.tgeom
     case _: VGeoSet => MobSchemas.gset
@@ -373,6 +399,7 @@ object MobCodec {
     case VSetS(vs) => TextIO.printSetS(vs)
     case VSpanSet(ss, dom) => TextIO.printSpanSetL(ss, Dom.textDom(dom))
     case VSpanSetF(ss) => TextIO.printSpanSetD(ss)
+    case VSpanSetS(ss) => TextIO.printSpanSetS(ss)
     case VTNum(t, kind) => TextIO.printTNum(t, Kind.tkind(kind))
     case VTGeom(t) => TextIO.printTGeom(t)
     case VGeoSet(g) => TextIO.printGeoSet(g)

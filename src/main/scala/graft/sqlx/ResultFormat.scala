@@ -97,7 +97,8 @@ object ResultFormat {
         VTPoint(TPoint(r.getByte(0), r.getByte(1), r.getInt(2),
           r.getSeq[Row](3).map(x => TPointSeq(x.getSeq[Double](0).toArray,
             x.getSeq[Double](1).toArray, x.getSeq[Long](2).toArray,
-            x.getBoolean(3), x.getBoolean(4))).toArray))
+            x.getBoolean(3), x.getBoolean(4),
+            if (x.isNullAt(5)) null else x.getSeq[Double](5).toArray)).toArray))
       case "tbox" =>
         VTBox(TBox(r.getDouble(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3),
           r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),

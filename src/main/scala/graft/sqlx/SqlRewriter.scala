@@ -15,7 +15,7 @@ package graft.sqlx
 object SqlRewriter {
 
   private val mobTypes = Set(
-    "tint", "tbool", "tfloat", "ttext", "tgeompoint", "tgeometry",
+    "tint", "tbool", "tfloat", "ttext", "tgeompoint", "tgeogpoint", "tgeometry",
     "intspan", "bigintspan", "floatspan", "datespan", "tstzspan",
     "intset", "bigintset", "floatset", "textset", "dateset", "tstzset",
     "geomset", "geogset",
