@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // the driver-generated tables are single small parquet files; split
       // them finer so scans parallelize across all local cores
       .config("spark.sql.files.maxPartitionBytes", "1m")

@@ -15,6 +15,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long (Tables
       // normalizes back to micros TimestampType)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // the driver-generated tables are single small parquet files; split
       // them finer so scans parallelize across all local cores
       .config("spark.sql.files.maxPartitionBytes", "1m")

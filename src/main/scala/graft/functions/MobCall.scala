@@ -25,6 +25,11 @@ case class MobCall(fname: String, children: Seq[Expression])
     extends Expression with CodegenFallback {
 
   override def nullable: Boolean = true
+  // literal-only calls fold at plan time (stbox('...') etc.) — the
+  // analogue of the reference's CONSTANT_VECTOR fast path
+  // (ref src/temporal/temporal_functions.cpp:139-141, SURVEY §4), and
+  // what lets the box-predicate rule see a plain Literal box
+  override def foldable: Boolean = children.forall(_.foldable)
   override lazy val dataType: DataType =
     MobRuntime.retType(fname, children.map(_.dataType))
 

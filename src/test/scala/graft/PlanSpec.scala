@@ -25,6 +25,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
@@ -102,5 +103,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val filtered = boxed.filter(col("xmin") <= 120 && col("xmax") >= 0)
     val p = plan(filtered)
     assert(!p.contains("MobCall"), "box filter must not fall back to interpreted dispatch")
+  }
+
+  test("op_overlaps(boxcol, const) derives pushed range filters (R-tree analogue)") {
+    // natural predicate on a stored stbox struct column — the optimizer
+    // rule (graft.plans.BoxPredicateRule) must add min/max conjuncts that
+    // reach the parquet scan as PushedFilters on the nested box fields
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("boxrule").toString
+    spark.sql(
+      s"""SELECT id, to_stbox(tgeompoint(st_point(cast(id % 100 AS double),
+            cast(id % 77 AS double)), timestamp'2024-01-01')) AS box
+          FROM range(1000) t(id)""")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("boxed_tab")
+    val df = spark.sql(
+      """SELECT id FROM boxed_tab
+         WHERE op_overlaps(box, stbox('STBOX X((10.0,10.0),(20.0,20.0))'))""")
+    val f = formatted(df)
+    assert(f.contains("PushedFilters") &&
+      (f.contains("box.xmin") || f.contains("LessThanOrEqual(box.xmin")),
+      f.take(2000))
+    // and the result is still exact (superset ranges + original predicate)
+    assert(df.count() > 0)
   }
 }
