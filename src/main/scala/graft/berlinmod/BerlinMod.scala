@@ -229,6 +229,26 @@ object BerlinMod {
            cast(floor(PosY / 100) AS int) AS cy
          FROM Points""").createOrReplaceTempView("PointCells")
 
+    // Un-exploded per-trip segments in micros time (one row per motion
+    // segment): feeds the time-window clipping joins (q8/q9) directly
+    // and the bucket-exploded SegTime view below.
+    spark.sql(
+      """SELECT TripId, VehicleId, x1, y1, x2, y2, tl, tu,
+           least(x1, x2) AS sxmin, greatest(x1, x2) AS sxmax,
+           least(y1, y2) AS symin, greatest(y1, y2) AS symax
+         FROM (
+           SELECT TripId, VehicleId,
+             PosX AS x1, PosY AS y1, unix_micros(t) AS tl,
+             coalesce(lead(PosX) OVER w, PosX) AS x2,
+             coalesce(lead(PosY) OVER w, PosY) AS y2,
+             coalesce(unix_micros(lead(t) OVER w), unix_micros(t)) AS tu,
+             lead(PosX) OVER w IS NULL AS last_pt,
+             row_number() OVER w AS rn
+           FROM TripsInput
+           WINDOW w AS (PARTITION BY TripId ORDER BY t))
+         WHERE NOT last_pt OR rn = 1""")
+      .cache().createOrReplaceTempView("Segs")
+
     // Segments exploded by covered HOUR bucket: the trip-pair proximity
     // queries (q6/q10/q16) equi-join segments on the bucket — pairs per
     // bucket stay bounded as the fleet grows (density per hour, not
@@ -238,22 +258,8 @@ object BerlinMod {
     spark.sql(
       """SELECT TripId, VehicleId,
            array(x1, y1, cast(tl AS double), x2, y2, cast(tu AS double)) AS seg,
-           least(x1, x2) AS sxmin, greatest(x1, x2) AS sxmax,
-           least(y1, y2) AS symin, greatest(y1, y2) AS symax,
-           tl, tu, bucket
-         FROM (
-           SELECT TripId, VehicleId, x1, y1, x2, y2, tl, tu
-           FROM (
-             SELECT TripId, VehicleId,
-               PosX AS x1, PosY AS y1, unix_micros(t) AS tl,
-               coalesce(lead(PosX) OVER w, PosX) AS x2,
-               coalesce(lead(PosY) OVER w, PosY) AS y2,
-               coalesce(unix_micros(lead(t) OVER w), unix_micros(t)) AS tu,
-               lead(PosX) OVER w IS NULL AS last_pt,
-               row_number() OVER w AS rn
-             FROM TripsInput
-             WINDOW w AS (PARTITION BY TripId ORDER BY t))
-           WHERE NOT last_pt OR rn = 1)
+           sxmin, sxmax, symin, symax, tl, tu, bucket
+         FROM Segs
          LATERAL VIEW explode(sequence(
            cast(floor(tl / 3600000000) AS bigint),
            cast(floor(tu / 3600000000) AS bigint))) bk AS bucket""")
@@ -299,6 +305,31 @@ object BerlinMod {
         WHERE (h.x1 + h.u * h.dx - h.px) * (h.x1 + h.u * h.dx - h.px)
             + (h.y1 + h.u * h.dy - h.py) * (h.y1 + h.u * h.dy - h.py)
             < 1e-18"""
+
+  /** Per-(TripId, PeriodId) clipped trajectory length over a periods
+    * view: for linear motion, length(atTime(trip, period)) = sum over
+    * segments of the distance between the piece's interpolated
+    * endpoints. The CASE ladders replicate TPointAlg.clipSeq's posAt
+    * bit-for-bit (exact endpoint at window==instant, else
+    * f = (t - t1).toDouble / (t2 - t1)). */
+  private def clippedLenSql(periodsView: String): String = {
+    def pos(w: String, c: String) =
+      s"""(CASE WHEN $w = c.tl THEN c.${c}1 WHEN $w = c.tu THEN c.${c}2
+            ELSE c.${c}1 + (c.${c}2 - c.${c}1) *
+              (cast($w - c.tl AS double) / cast(c.tu - c.tl AS double)) END)"""
+    s"""SELECT c.TripId, c.PeriodId,
+          SUM(CASE WHEN c.shi > c.slo THEN hypot(
+            ${pos("c.shi", "x")} - ${pos("c.slo", "x")},
+            ${pos("c.shi", "y")} - ${pos("c.slo", "y")}) ELSE 0D END) AS len
+        FROM (
+          SELECT s.TripId, p.PeriodId, s.x1, s.y1, s.x2, s.y2, s.tl, s.tu,
+            greatest(s.tl, unix_micros(p.Tstart)) AS slo,
+            least(s.tu, unix_micros(p.Tend)) AS shi
+          FROM Segs s JOIN $periodsView p
+            ON s.tl <= unix_micros(p.Tend)
+           AND unix_micros(p.Tstart) <= s.tu) c
+        GROUP BY c.TripId, c.PeriodId"""
+  }
 
   /** The 17 queries (ref benchmark/BerlinMOD/sql/queries). */
   def queries(spark: SparkSession): Seq[(String, DataFrame)] = {
@@ -378,20 +409,42 @@ object BerlinMod {
            WHERE Instant <= mi
            ORDER BY PointId, Licence"""),
       "q8" -> s.sql(
-        """SELECT l.Licence, p.PeriodId,
-             round(SUM(length(atTime(t.Trip, p.Period))), 6) AS Dist
-           FROM Trips t, Licences1 l, Periods1 p
-           WHERE t.VehicleId = l.VehicleId
-             AND t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
-           GROUP BY l.Licence, p.PeriodId
-           ORDER BY l.Licence, p.PeriodId"""),
+        // SUM(length(atTime(trip, period))) decomposed to clipped-segment
+        // arithmetic; the pairs CTE keeps the original group membership
+        // (a pair whose spans only touch at the exclusive period end
+        // contributed NULL, not 0 — the CASE preserves that)
+        s"""WITH pairs AS (
+             SELECT l.Licence, p.PeriodId, t.TripId,
+               greatest(unix_micros(t.ttmin), unix_micros(p.Tstart)) AS g,
+               least(unix_micros(t.ttmax), unix_micros(p.Tend)) AS l2,
+               unix_micros(p.Tend) AS phi
+             FROM Trips t, Licences1 l, Periods1 p
+             WHERE t.VehicleId = l.VehicleId
+               AND t.ttmin <= p.Tend AND p.Tstart <= t.ttmax),
+           seglen AS (${clippedLenSql("Periods1")})
+           SELECT pr.Licence, pr.PeriodId,
+             round(SUM(CASE WHEN pr.g < pr.l2 OR (pr.g = pr.l2 AND pr.g <> pr.phi)
+               THEN coalesce(sl.len, 0D) END), 6) AS Dist
+           FROM pairs pr LEFT JOIN seglen sl
+             ON pr.TripId = sl.TripId AND pr.PeriodId = sl.PeriodId
+           GROUP BY pr.Licence, pr.PeriodId
+           ORDER BY pr.Licence, pr.PeriodId"""),
       "q9" -> s.sql(
-        """WITH Distances AS (
-             SELECT p.PeriodId, t.VehicleId,
-               SUM(length(atTime(t.Trip, p.Period))) AS Dist
+        s"""WITH pairs AS (
+             SELECT p.PeriodId, t.VehicleId, t.TripId,
+               greatest(unix_micros(t.ttmin), unix_micros(p.Tstart)) AS g,
+               least(unix_micros(t.ttmax), unix_micros(p.Tend)) AS l2,
+               unix_micros(p.Tend) AS phi
              FROM Trips t, Periods p
-             WHERE t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
-             GROUP BY p.PeriodId, t.VehicleId)
+             WHERE t.ttmin <= p.Tend AND p.Tstart <= t.ttmax),
+           seglen AS (${clippedLenSql("Periods")}),
+           Distances AS (
+             SELECT pr.PeriodId, pr.VehicleId,
+               SUM(CASE WHEN pr.g < pr.l2 OR (pr.g = pr.l2 AND pr.g <> pr.phi)
+                 THEN coalesce(sl.len, 0D) END) AS Dist
+             FROM pairs pr LEFT JOIN seglen sl
+               ON pr.TripId = sl.TripId AND pr.PeriodId = sl.PeriodId
+             GROUP BY pr.PeriodId, pr.VehicleId)
            SELECT PeriodId, round(MAX(Dist), 6) AS MaxDist
            FROM Distances GROUP BY PeriodId ORDER BY PeriodId"""),
       "q10" -> s.sql(
