@@ -54,30 +54,35 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Sign-projection LSH bucketed search: 8 deterministic pseudo-random
-    * hyperplanes -> 8-bit bucket; candidates share >= 7 of 8 signs with
-    * the query (multi-probe on 1-bit flips). Rows-only check: recall
-    * depends on the hash family, the exact baseline above is the oracle
-    * for quality inspection. */
-  def annLsh(s: SparkSession, d: String): DataFrame = {
-    val planes: Array[Array[Double]] = Array.tabulate(8) { p =>
-      // deterministic pseudo-random plane from a splitmix64 stream
-      var x = 0x9E3779B97F4A7C15L * (p + 1)
-      Array.fill(64) {
-        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-        ((x * 0x2545F4914F6CDD1DL) >>> 11).toDouble / (1L << 53).toDouble - 0.5
-      }
+  /** 8 deterministic pseudo-random hyperplanes (splitmix64 stream). */
+  private val planes: Array[Array[Double]] = Array.tabulate(8) { p =>
+    var x = 0x9E3779B97F4A7C15L * (p + 1)
+    Array.fill(64) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      ((x * 0x2545F4914F6CDD1DL) >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
-    val bucket = udf((v: Seq[Double]) => {
-      var b = 0
-      for (p <- planes.indices) {
-        var acc = 0.0
-        var i = 0
-        while (i < v.length) { acc += v(i) * planes(p)(i); i += 1 }
-        if (acc > 0) b |= (1 << p)
-      }
-      b
-    })
+  }
+
+  /** Sign-LSH bucket id (8-bit) of a vector. */
+  private val bucket = udf((v: Array[Double]) => {
+    var b = 0
+    for (p <- planes.indices) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i) * planes(p)(i); i += 1 }
+      if (acc > 0) b |= (1 << p)
+    }
+    b
+  })
+
+  /** A query bucket + its 1-bit flips (multi-probe). */
+  private val probes = udf((b: Int) => b +: (0 until 8).map(i => b ^ (1 << i)))
+
+  /** Sign-projection LSH bucketed search: candidates share >= 7 of 8
+    * signs with the query (multi-probe on 1-bit flips). Rows-only check:
+    * recall depends on the hash family, the exact baseline above is the
+    * oracle for quality inspection. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -85,7 +90,39 @@ object Similarity {
     // multi-probe: explode each query into its bucket + all 1-bit flips,
     // then EQUI-join on the bucket id — the join stays hash/broadcast
     // (a hamming-UDF join condition would force a nested loop)
-    val probes = udf((b: Int) => b +: (0 until 8).map(i => b ^ (1 << i)))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"), explode(probes(col("bkt"))).as("bkt"))
+    val scored = e.join(broadcast(q), Seq("bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The 100 TB path: the corpus is MATERIALIZED partitioned by LSH
+    * bucket (write-time layout), so a probe touches only the matching
+    * partition directories — Spark's dynamic partition pruning (visible
+    * as a dynamicpruning PartitionFilter) skips the rest of the corpus
+    * at the SCAN, where the in-memory variant above still reads every
+    * row. Same hash family and scoring as [[annLsh]] — identical rows. */
+  def annLshBucketed(s: SparkSession, d: String): DataFrame = {
+    val layout = new java.io.File(
+      s"target/ann_bucketed_${new java.io.File(d).getName}").getAbsoluteFile
+    if (!layout.exists()) {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("n", sqrt(dot(col("v"), col("v"))))
+        .withColumn("bkt", bucket(col("v")))
+        .write.partitionBy("bkt").mode("overwrite").parquet(layout.toString)
+    }
+    val e = s.read.parquet(layout.toString)
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n").as("qn"), explode(probes(col("bkt"))).as("bkt"))
@@ -104,7 +141,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
-    "ann_lsh" -> (annLsh _))
+    "ann_lsh" -> (annLsh _),
+    "ann_lsh_bucketed" -> (annLshBucketed _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" ->

@@ -105,6 +105,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("MobCall"), "box filter must not fall back to interpreted dispatch")
   }
 
+  test("bucketed-at-write-time ANN layout prunes partitions and matches ann_lsh") {
+    import graft.operators.Similarity
+    val a = Similarity.annLsh(spark, d).collect().map(_.toString).sorted
+    val b = Similarity.annLshBucketed(spark, d).collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"${a.length} vs ${b.length}")
+    val f = formatted(Similarity.annLshBucketed(spark, d))
+    // the corpus scan must be partition-filtered on the LSH bucket
+    // (dynamic partition pruning from the broadcast probe side)
+    assert(f.contains("dynamicpruning") || f.contains("PartitionFilters: [isnotnull(bkt"),
+      f.take(2000))
+  }
+
   test("op_overlaps(boxcol, const) derives pushed range filters (R-tree analogue)") {
     // natural predicate on a stored stbox struct column — the optimizer
     // rule (graft.plans.BoxPredicateRule) must add min/max conjuncts that
