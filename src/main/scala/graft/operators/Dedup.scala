@@ -87,6 +87,10 @@ object Dedup {
     val sh = shingles(s, d)
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .persist()
+    // pin the cache before fan-out: three downstream branches (dfreq,
+    // prefix, sets) otherwise race to materialize it concurrently and
+    // can recompute the window+distinct per branch
+    sh.count()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
     val prefix = sh.join(dfreq, "h")
@@ -146,6 +150,7 @@ object Dedup {
     val docSh = shingles(s, d)
       .groupBy("doc_id").agg(collect_list("sh").as("shs"))
       .persist()
+    docSh.count() // pin before the band/verify branches fan out
     val bandHash = udf((sig: Array[Long], band: Int) =>
       sig.slice(band * rowsPerBand, (band + 1) * rowsPerBand).toSeq.hashCode.toLong)
     // ids-only through the band explode + self-join: the full shingle

@@ -260,4 +260,29 @@ class CoreSpec extends AnyFunSuite {
     val (lon, lat) = Geo.mercatorToLonLat(x, y)
     assert(math.abs(lon - 13.405) < 1e-9 && math.abs(lat - 52.52) < 1e-9)
   }
+
+  test("text spanset parse/normalize/print (textspanset)") {
+    val ss = TextIO.parseSpanSetS("""{["a", "c"], ["b", "d"], ["x", "y")}""")
+    assert(TextIO.printSpanSetS(ss) == """{["a", "d"], ["x", "y")}""")
+    // touching closed bounds merge; open-against-closed stays split
+    val t2 = TextIO.parseSpanSetS("""{["a", "b"], ["b", "c"]}""")
+    assert(TextIO.printSpanSetS(t2) == """{["a", "c"]}""")
+    val t3 = TextIO.parseSpanSetS("""{["a", "b"), ("b", "c"]}""")
+    assert(TextIO.printSpanSetS(t3) == """{["a", "b"), ("b", "c"]}""")
+  }
+
+  test("3D point literals parse, measure and print") {
+    val t = TextIO.parseTPoint("[Point(1 1 1)@2000-01-01, Point(2 2 2)@2000-01-02]")
+    assert(t.seqs.head.is3d)
+    assert(math.abs(TPointAlg.length(t) - math.sqrt(3)) < 1e-12)
+    assert(TextIO.printTPointText(t).contains("POINT Z (1 1 1)@"))
+    val box = TPointAlg.stbox(t)
+    assert(box.hasZ && box.zmin == 1.0 && box.zmax == 2.0)
+  }
+
+  test("EPSG:3812 forward matches published EPSG sample coordinates") {
+    val (x, y) = Crs.transform(3812, 2.340088, 49.400250)
+    assert(math.abs(x - 502773.429981) < 1e-5, s"x=$x")
+    assert(math.abs(y - 511805.120402) < 1e-5, s"y=$y")
+  }
 }
