@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // untimed warm-up: JIT/codegen/shuffle-machinery spin-up otherwise
+    // lands entirely on whichever query sorts first (~8 s of noise)
+    try {
+      SparkEntry.entry(spark).count()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => () }
     // fixed order + cache isolation so one query's cached/cached-adjacent
     // state cannot inflate the next one's wall clock. berlinmod_e2e is
     // skipped here: the brussels-scale per-query timings below replace it.

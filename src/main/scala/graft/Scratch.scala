@@ -16,41 +16,17 @@ object Scratch {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    def oldQ8 = spark.sql(
-      """SELECT l.Licence, p.PeriodId,
-           round(SUM(length(atTime(t.Trip, p.Period))), 6) AS Dist
-         FROM Trips t, Licences1 l, Periods1 p
-         WHERE t.VehicleId = l.VehicleId
-           AND t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
-         GROUP BY l.Licence, p.PeriodId
-         ORDER BY l.Licence, p.PeriodId""")
-    def oldQ9 = spark.sql(
-      """WITH Distances AS (
-           SELECT p.PeriodId, t.VehicleId,
-             SUM(length(atTime(t.Trip, p.Period))) AS Dist
-           FROM Trips t, Periods p
-           WHERE t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
-           GROUP BY p.PeriodId, t.VehicleId)
-         SELECT PeriodId, round(MAX(Dist), 6) AS MaxDist
-         FROM Distances GROUP BY PeriodId ORDER BY PeriodId""")
-
-    for ((nv, tmin, tmax, pmin, pmax) <- Seq((20, 2, 4, 10, 50), (60, 5, 8, 20, 80),
-        (141, 9, 14, 30, 120))) {
-      berlinmod.BerlinMod.load(spark, nVehicles = nv,
-        tripsMin = tmin, tripsMax = tmax, ptsMin = pmin, ptsMax = pmax)
-      val qs = berlinmod.BerlinMod.queries(spark).toMap
-      for ((name, oldDf, newDf) <- Seq(("q8", oldQ8, qs("q8")), ("q9", oldQ9, qs("q9")))) {
-        val a = oldDf.collect().map(_.toString).sorted
-        val b = newDf.collect().map(_.toString).sorted
-        val ok = a.sameElements(b)
-        println(s"[scratch] nv=$nv $name old=${a.length} new=${b.length} match=$ok")
-        if (!ok) {
-          (a.toSet -- b.toSet).take(3).foreach(r => println(s"  only-old: $r"))
-          (b.toSet -- a.toSet).take(3).foreach(r => println(s"  only-new: $r"))
-        }
-      }
+    val d = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.1")
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scratch] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      spark.catalog.clearCache()
+      System.gc()
     }
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if name != "berlinmod_e2e")
+      time(name) { fn(spark, d).count() }
     spark.stop()
   }
 }

@@ -62,7 +62,7 @@ object GraftFunctions {
     "to_datespan", "to_floatspan", "to_tstzspanset", "to_intspanset",
     "to_bigintspanset", "to_datespanset", "to_floatspanset", "to_tfloat",
     "to_tstzset", "to_intset", "to_dateset", "to_floatset", "to_textset",
-    "to_geometry", "span")
+    "to_geometry", "geometry", "span")
 
   // Register once per session: re-registering is harmless but makes
   // SimpleFunctionRegistry log a replace-WARN per name per call — hundreds

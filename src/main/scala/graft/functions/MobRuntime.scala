@@ -59,7 +59,7 @@ object MobRuntime {
       case "tgeometry" | "tgeometryseq" | "tgeometryseqset" | "tgeometryinst" => S.tgeom
       case "geomset" | "geogset" => S.gset
       case "merge" => t0
-      case "to_geometry" => StringType
+      case "to_geometry" | "geometry" => StringType
       case "ttextseq" | "ttextseqset" => S.ttext
       case "tgeompointseq" | "tgeompointseqset" => S.tpoint
       // ---- text output ----
@@ -535,8 +535,17 @@ object MobRuntime {
         case s: String => VGeoSet(parseGeoSet(s, geodetic = true))
         case _ => bad(name, args)
       }
-      case "to_geometry" => a0 match {
+      case "to_geometry" | "geometry" => a0 match {
         case w: Array[Byte] => duckWkt(w)
+        // STBOX -> its spatial footprint (ref `geometry(STBOX)` cast,
+        // src/geo/stbox.cpp:140-152 Stbox_to_geo): point if degenerate,
+        // corner-ring polygon otherwise
+        case VSTBox(b) if b.hasX =>
+          if (b.xmin == b.xmax && b.ymin == b.ymax)
+            duckWkt(Wkb.writePoint(b.xmin, b.ymin))
+          else duckWkt(Wkb.writePolygon(Array(
+            (b.xmin, b.ymin), (b.xmax, b.ymin), (b.xmax, b.ymax),
+            (b.xmin, b.ymax), (b.xmin, b.ymin))))
         case _ => bad(name, args)
       }
 
