@@ -31,7 +31,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 35+ queries share one JVM in Bench; the box has 128 GiB — a roomy
-  // heap keeps allocation-heavy stages out of GC thrash
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // -Xms == -Xmx, and deliberately COMPACT (8g): this guest runs
+  // virtio_balloon free-page reporting, so any page the guest frees is
+  // discarded by the hypervisor and costs ~100µs/4k page to re-supply on
+  // next touch (measured: 876 s of kernel time re-faulting 8 GB during
+  // one query). A fixed-size heap is never reported free once touched,
+  // and a compact one is fully materialized after HeapWarm.pretouch()
+  // + one query — a 32g heap kept paying first-touch for the whole run
+  // as G1 cycled eden across fresh regions (measured: 2x slower
+  // steady-state on identical queries).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -24,9 +24,18 @@ object Scratch {
       spark.catalog.clearCache()
       System.gc()
     }
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if name != "berlinmod_e2e")
-      time(name) { fn(spark, d).count() }
+    if (sys.env.contains("SCRATCH_PRETOUCH")) {
+      val t0 = System.nanoTime()
+      graft.util.HeapWarm.pretouch()
+      println(f"[scratch] pretouch ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val only = sys.env.get("SCRATCH_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SCRATCH_REPS", "1").toInt
+    for {
+      _ <- 1 to reps
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if name != "berlinmod_e2e" && only.forall(_.contains(name))
+    } time(name) { fn(spark, d).count() }
     spark.stop()
   }
 }

@@ -25,6 +25,10 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // materialize the heap once up front — this guest's balloon
+    // free-page reporting makes first-touch pages ~100x normal cost, and
+    // with -Xms == -Xmx the heap never shrinks back into that state
+    graft.util.HeapWarm.pretouch()
     new java.io.File(outDir).mkdirs()
     val manifest = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {

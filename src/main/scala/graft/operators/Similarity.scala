@@ -112,7 +112,9 @@ object Similarity {
     * as a dynamicpruning PartitionFilter) skips the rest of the corpus
     * at the SCAN, where the in-memory variant above still reads every
     * row. Same hash family and scoring as [[annLsh]] — identical rows. */
-  def annLshBucketed(s: SparkSession, d: String): DataFrame = {
+  /** Materialize the bucket-partitioned corpus layout if absent (the
+    * write-time "index build" — callable from a load/warm-up phase). */
+  def buildLshLayout(s: SparkSession, d: String): java.io.File = {
     val layout = new java.io.File(
       s"target/ann_bucketed_${new java.io.File(d).getName}").getAbsoluteFile
     if (!layout.exists()) {
@@ -122,8 +124,20 @@ object Similarity {
         .withColumn("bkt", bucket(col("v")))
         .write.partitionBy("bkt").mode("overwrite").parquet(layout.toString)
     }
+    layout
+  }
+
+  def annLshBucketed(s: SparkSession, d: String): DataFrame = {
+    val layout = buildLshLayout(s, d)
     val e = s.read.parquet(layout.toString)
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
+    // query side reads the BASE table (single file, isin pushed to the
+    // scan), not the 256-directory layout — scanning every partition to
+    // find 10 ids would defeat the pruning the layout exists for
+    val q = Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bkt", bucket(col("v")))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n").as("qn"), explode(probes(col("bkt"))).as("bkt"))
     val scored = e.join(broadcast(q), Seq("bkt"))
@@ -139,10 +153,106 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Nearest-centroid assignment against a small broadcast codebook.
+    * Returns the index of the closest centroid by L2 (equivalently max
+    * dot for normalized data — we use true L2 so skewed norms still
+    * land in the right cell). */
+  private def nearestCellUdf(cents: Array[Array[Double]]) =
+    udf((v: Array[Double]) => {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        var dist = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - ct(i); dist += t * t; i += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      best
+    })
+
+  /** The `nprobe` nearest centroids of a query vector. */
+  private def probeCellsUdf(cents: Array[Array[Double]], nprobe: Int) =
+    udf((v: Array[Double]) =>
+      cents.indices
+        .map { c =>
+          val ct = cents(c)
+          var dist = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - ct(i); dist += t * t; i += 1 }
+          (dist, c)
+        }
+        .sorted.take(nprobe).map(_._2))
+
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer, then per-query
+    * search restricted to the `nprobe` nearest cells.
+    *
+    * Scale design: the quantizer is trained on a BOUNDED deterministic
+    * sample (k x 100 vectors, smallest xxhash64(vec_id) — a few MB no
+    * matter the corpus size, the same regime faiss trains in) with
+    * Lloyd's on the driver; only the k x 64 codebook is broadcast back.
+    * The corpus is scanned once for cell assignment and never shuffled;
+    * search is an equi-join on cell id. At 100 TB the corpus would be
+    * written partitioned by cell (same layout trick as [[annLshBucketed]])
+    * so a probe reads ~nprobe/k of the data. Rows-only check (recall vs
+    * [[annTopK]] is the quality measure; k-means is not SQL-expressible). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val k = 32
+    val nprobe = 6
+    val iters = 8
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sample: Array[Array[Double]] = e
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy("hk").limit(k * 100)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ct = cents(c)
+          var dist = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - ct(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val sb = sums(best)
+        var i = 0
+        while (i < v.length) { sb(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    val withCell = e
+      .withColumn("cell", nearestCellUdf(cents)(col("v")))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val q = withCell.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"), explode(probeCellsUdf(cents, nprobe)(col("v"))).as("cell"))
+    val scored = withCell.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    val out = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
-    "ann_lsh_bucketed" -> (annLshBucketed _))
+    "ann_lsh_bucketed" -> (annLshBucketed _),
+    "ann_ivf" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" ->

@@ -139,4 +139,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the result is still exact (superset ranges + original predicate)
     assert(df.count() > 0)
   }
+
+  test("IVF ANN: 50 rows, corpus never shuffled, recall vs exact baseline") {
+    import graft.operators.Similarity
+    val exact = Similarity.annTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annIvf(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivf.length == 50, s"expected 10 queries x top-5, got ${ivf.length}")
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, f"IVF recall $recall%.2f < 0.5 (nprobe=6/32 cells)")
+    // the corpus side must not shuffle: the only exchanges allowed are
+    // broadcasts (codebook/query side) and the final top-k window
+    val f = formatted(Similarity.annIvf(spark, d))
+    assert(!f.contains("SortMergeJoin"), f.take(2000))
+  }
 }
