@@ -37,18 +37,33 @@ object Bench {
     // fixed order + cache isolation so one query's cached/cached-adjacent
     // state cannot inflate the next one's wall clock. berlinmod_e2e is
     // skipped here: the brussels-scale per-query timings below replace it.
-    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1 == "berlinmod_e2e")
-      .map { case (name, fn) =>
+    // Two passes, min per query: this box is a shared tenant with ±2-3x
+    // CPU-contention swings — the min of two spaced runs is the
+    // engine's cost, the max is the neighbors'.
+    // clearCache defaults on (query isolation); the BerlinMOD block turns
+    // it off because its cached views ARE the untimed load artifacts.
+    def timed(work: Seq[(String, () => Unit)],
+              clear: Boolean = true): Seq[(String, Double)] =
+      for (pass <- 0 to 1; (name, run) <- work) yield {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try run() catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        // ContextCleaner frees broadcasts/shuffles via weak refs: force a
-        // GC so one query's debris cannot stall the next one's executors
-        System.gc()
+        if (clear) {
+          spark.catalog.clearCache()
+          // ContextCleaner frees broadcasts/shuffles via weak refs: force
+          // a GC so one query's debris cannot stall the next's executors
+          System.gc()
+        }
         name -> dt
       }
+    def minPerQuery(ts: Seq[(String, Double)]): Seq[(String, Double)] =
+      ts.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }.toSeq
+    val results0 = minPerQuery(timed(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(_._1 == "berlinmod_e2e")
+        .map { case (name, fn) =>
+          name -> (() => { fn(spark, sfDir).count(); () })
+        }))
     // BerlinMOD at the reference's brussels scale (141 vehicles,
     // ~1600 trips — BASELINE.md) for a direct per-query comparison
     val bmTimes = try {
@@ -59,11 +74,10 @@ object Bench {
       spark.sql("SELECT * FROM Trips").count()
       spark.sql("SELECT * FROM SegCells").count()
       spark.sql("SELECT * FROM SegTime").count()
-      graft.berlinmod.BerlinMod.queries(spark).map { case (n, df) =>
-        val t0 = System.nanoTime()
-        try df.count() catch { case _: Throwable => -1L }
-        s"berlinmod_$n" -> (System.nanoTime() - t0) / 1e9
-      }
+      minPerQuery(timed(
+        graft.berlinmod.BerlinMod.queries(spark).map { case (n, df) =>
+          s"berlinmod_$n" -> (() => { df.count(); () })
+        }, clear = false))
     } catch { case _: Throwable => Seq.empty }
     val results = (results0 ++ bmTimes).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

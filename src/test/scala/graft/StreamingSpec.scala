@@ -87,4 +87,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(x => x._1 == "a" || x._1 == "b") == Seq(("a", 4L), ("b", 2L)))
     } finally q.stop()
   }
+
+  test("streaming dedup drops within-horizon duplicates, keeps first") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.StreamDedup.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "the quick brown fox"),
+        (2L, ts("2024-01-01 10:01:00"), "The Quick Brown Fox  "),
+        (3L, ts("2024-01-01 10:02:00"), "something else"))
+      q.processAllAvailable()
+      // same normalized content again within the horizon -> dropped
+      input.addData((4L, ts("2024-01-01 10:30:00"), "the quick brown fox"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
 }
