@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // heap pre-touch BEFORE Spark threads exist: this guest's balloon
+    // free-page reporting makes first-touch ~100x cost (see HeapWarm),
+    // and holding most of the heap live is only safe in a bare JVM
+    graft.util.HeapWarm.pretouch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,11 +25,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // untimed warm-up: JIT/codegen/shuffle-machinery spin-up otherwise
-    // lands entirely on whichever query sorts first (~8 s of noise), and
-    // heap pre-touch so no timed query pays this guest's balloon-reporting
-    // page-supply cost (see HeapWarm) — with -Xms == -Xmx the heap stays
-    // materialized for the whole run once touched
-    graft.util.HeapWarm.pretouch()
+    // lands entirely on whichever query sorts first (~8 s of noise)
     try {
       SparkEntry.entry(spark).count()
       // build the write-time ANN partition layout outside the timings,

@@ -5,6 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc profiling entry (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    if (sys.env.contains("SCRATCH_PRETOUCH")) {
+      val t0 = System.nanoTime()
+      graft.util.HeapWarm.pretouch()
+      println(f"[scratch] pretouch ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,11 +28,6 @@ object Scratch {
       println(f"[scratch] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
       spark.catalog.clearCache()
       System.gc()
-    }
-    if (sys.env.contains("SCRATCH_PRETOUCH")) {
-      val t0 = System.nanoTime()
-      graft.util.HeapWarm.pretouch()
-      println(f"[scratch] pretouch ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     val only = sys.env.get("SCRATCH_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SCRATCH_REPS", "1").toInt

@@ -7,6 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // heap pre-touch before Spark threads exist (see HeapWarm scaladoc)
+    graft.util.HeapWarm.pretouch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,13 +27,10 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // materialize the heap once up front — this guest's balloon
-    // free-page reporting makes first-touch pages ~100x normal cost, and
-    // with -Xms == -Xmx the heap never shrinks back into that state
-    graft.util.HeapWarm.pretouch()
     new java.io.File(outDir).mkdirs()
     val manifest = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try {
+      val t0 = System.nanoTime()
+      val r = try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         val rows = spark.read.parquet(s"$outDir/$name").count()
@@ -40,6 +39,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         (name, -1L, s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
+      System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

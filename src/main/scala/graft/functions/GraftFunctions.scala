@@ -74,6 +74,11 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val registry = spark.sessionState.functionRegistry
+    // native codegen'd vector kernels (not MobCall dispatch)
+    registry.createOrReplaceTempFunction("vec_dot",
+      (e: Seq[Expression]) => VecDot(e(0), e(1)), "built-in")
+    registry.createOrReplaceTempFunction("vec_inter_sorted",
+      (e: Seq[Expression]) => SortedLongIntersect(e(0), e(1)), "built-in")
     names.foreach { n =>
       // In Spark 4 even the Column API (functions.round etc.) resolves
       // through the session registry, so a name like `round`/`length`/

@@ -54,19 +54,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact intersection size of two ascending-sorted Long arrays.
-    * Array[Long] (not Seq[Long]) parameters: the UDF decoder's primitive
-    * fast path vs per-element boxing — 3x on the verification stage. */
-  private val interSortedUdf = udf((a: Array[Long], b: Array[Long]) => {
-    var i = 0; var j = 0; var n = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i); val y = b(j)
-      if (x == y) { n += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    n
-  })
+  /** Exact intersection size of two ascending-sorted Long arrays —
+    * native codegen'd kernel ([[graft.functions.SortedLongIntersect]]):
+    * stays in whole-stage codegen, reads the unsafe arrays directly. */
+  private def interSorted(a: org.apache.spark.sql.Column,
+                          b: org.apache.spark.sql.Column) =
+    call_function("vec_inter_sorted", a, b)
+
+  private def reg(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
 
   /** Near-duplicate pairs by exact shingle Jaccard >= 0.5, with exact
     * PREFIX FILTERING (Bayardo et al., WWW'07): order each doc's
@@ -79,6 +75,7 @@ object Dedup {
     * and the result is still exact because every candidate is verified
     * with the full shingle sets. */
   def jaccard(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val minJ = 0.5
     // 64-bit shingle hashes from here on: set intersection on sorted
     // primitive longs, not ~30-byte strings (collision odds across a
@@ -118,7 +115,7 @@ object Dedup {
         col("sz").as("sza")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shb"),
         col("sz").as("szb")), "id_b")
-      .withColumn("i", interSortedUdf(col("sha"), col("shb")))
+      .withColumn("i", interSorted(col("sha"), col("shb")))
       .withColumn("j", col("i") / (col("sza") + col("szb") - col("i")))
       .filter(col("j") >= minJ)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jac"))
@@ -147,6 +144,7 @@ object Dedup {
     * min-wise independent enough for banding, ~20x less work than 32
     * string hashes per shingle. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val numHashes = 32
     val rowsPerBand = 4
     val seeds = Array.tabulate(numHashes)(i => 0x9E3779B97F4A7C15L * (i + 1))
@@ -193,7 +191,7 @@ object Dedup {
     cand
       .join(docSh.select(col("doc_id").as("id_a"), col("shs").as("sha")), "id_a")
       .join(docSh.select(col("doc_id").as("id_b"), col("shs").as("shb")), "id_b")
-      .withColumn("i", interSortedUdf(col("sha"), col("shb")))
+      .withColumn("i", interSorted(col("sha"), col("shb")))
       .withColumn("j", col("i") /
         (size(col("sha")) + size(col("shb")) - col("i")))
       .filter(col("j") >= 0.5)

@@ -19,24 +19,22 @@ import graft.util.Tables
   */
 object Similarity {
 
-  /** Tight-loop dot product UDF — ~10x the throughput of the
-    * zip_with+aggregate higher-order expression on 64-dim vectors.
-    * Array[Double] params hit the UDF decoder's primitive fast path
-    * (a Seq signature boxes every element). */
-  private val dotUdf = udf((a: Array[Double], b: Array[Double]) => {
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  })
-  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Native codegen'd dot product ([[graft.functions.VecDot]], resolved
+    * through the session registry) — stays inside whole-stage codegen
+    * and reads the unsafe array directly; no UDF invocation or boxing
+    * in the per-candidate hot loop. Callers register via [[reg]]. */
+  private def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  private def reg(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
 
   private val queryIds = Seq(1L, 7L, 42L, 99L, 123L, 200L, 256L, 300L, 404L, 499L)
 
   /** Exact brute-force cosine top-5 per query vector (the correctness
     * baseline an ANN index is judged against). */
   def annTopK(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -83,6 +81,7 @@ object Similarity {
     * recall depends on the hash family, the exact baseline above is the
     * oracle for quality inspection. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -115,6 +114,7 @@ object Similarity {
   /** Materialize the bucket-partitioned corpus layout if absent (the
     * write-time "index build" — callable from a load/warm-up phase). */
   def buildLshLayout(s: SparkSession, d: String): java.io.File = {
+    reg(s)
     val layout = new java.io.File(
       s"target/ann_bucketed_${new java.io.File(d).getName}").getAbsoluteFile
     if (!layout.exists()) {
@@ -128,6 +128,7 @@ object Similarity {
   }
 
   def annLshBucketed(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val layout = buildLshLayout(s, d)
     val e = s.read.parquet(layout.toString)
     // query side reads the BASE table (single file, isin pushed to the
@@ -196,6 +197,7 @@ object Similarity {
     * so a probe reads ~nprobe/k of the data. Rows-only check (recall vs
     * [[annTopK]] is the quality measure; k-means is not SQL-expressible). */
   def annIvf(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val k = 32
     val nprobe = 6
     val iters = 8

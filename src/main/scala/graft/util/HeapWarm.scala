@@ -15,7 +15,7 @@ object HeapWarm {
   /** Touch ~`fraction` of the max heap in 1 MiB chunks (one write per
     * 4 KiB page), then release. Safe to call repeatedly; cost after the
     * first call is just the writes (~1 s for 24 GiB). */
-  def pretouch(fraction: Double = 0.75): Unit = {
+  def pretouch(fraction: Double = 0.6): Unit = {
     val target = (Runtime.getRuntime.maxMemory() * fraction).toLong
     val chunk = 1 << 20
     val nChunks = (target / chunk).toInt
