@@ -140,6 +140,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("vector kernels are native expressions inside whole-stage codegen") {
+    import graft.operators.Similarity
+    val f = formatted(Similarity.annTopK(spark, d))
+    // the scoring projection must sit in a WholeStageCodegen span and
+    // use the native vec_dot expression, not a ScalaUDF
+    assert(f.contains("vec_dot"), f.take(1500))
+    assert(!f.contains("UDF"), f.take(1500))
+    // AQE prints codegen spans only once the final plan exists — execute
+    val df = Similarity.annTopK(spark, d)
+    df.collect()
+    // "*(n)" prefixes mark WholeStageCodegen spans in the final plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("IVF ANN: 50 rows, corpus never shuffled, recall vs exact baseline") {
     import graft.operators.Similarity
     val exact = Similarity.annTopK(spark, d).collect()
