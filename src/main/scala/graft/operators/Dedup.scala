@@ -40,19 +40,21 @@ object Dedup {
 
   // ---- word 3-gram shingles (shared by jaccard + minhash) ----
 
-  /** (doc_id, shingle) pairs, distinct. Shingles are 3-word windows. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    toks
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+  /** (doc_id, shingle-hash) pairs, distinct. Shingles are 3-word
+    * windows, built directly from the split array with a higher-order
+    * transform — a pure map, where the old posexplode + lead-window
+    * formulation shuffled and sorted EVERY token just to see its two
+    * successors. Hashing (xxhash64) happens inside the lambda so the
+    * distinct shuffles 8-byte longs, not ~30-byte strings. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+           i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""))
+        .as("h"))
       .distinct()
-  }
 
   /** Exact intersection size of two ascending-sorted Long arrays —
     * native codegen'd kernel ([[graft.functions.SortedLongIntersect]]):
@@ -81,9 +83,7 @@ object Dedup {
     // primitive longs, not ~30-byte strings (collision odds across a
     // pair of ~100-element sets: ~2^-51 — immaterial, incl. vs the
     // string-based oracle)
-    val sh = shingles(s, d)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .persist()
+    val sh = shingleHashes(s, d).persist()
     // pin the cache before fan-out: three downstream branches (dfreq,
     // prefix, sets) otherwise race to materialize it concurrently and
     // can recompute the window+distinct per branch
@@ -161,8 +161,7 @@ object Dedup {
         while (i < hs.length) { val v = mix(hs(i) ^ sd); if (v < m) m = v; i += 1 }
         m
       })
-    val docSh = shingles(s, d)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val docSh = shingleHashes(s, d)
       .groupBy("doc_id").agg(sort_array(collect_list("h")).as("shs"))
       .persist()
     docSh.count() // pin before the band/verify branches fan out
