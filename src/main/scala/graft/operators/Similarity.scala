@@ -250,11 +250,50 @@ object Similarity {
     out
   }
 
+  /** Sign-LSH bucketed near-duplicate PAIRS (cos >= 0.4) — the sublinear
+    * 100 TB path for embedding dedup: candidates must share >= 7 of 8
+    * projection signs (own bucket + 1-bit flips), so the corpus
+    * self-joins per bucket instead of all-pairs. Candidate volume is
+    * sum over buckets of |b|^2 / corpus^2 of the exact join's work; at
+    * 100 TB the bucket count scales up (more planes) to hold bucket
+    * sizes bounded. Rows-only check — recall is measured against the
+    * exact [[graft.operators.Dedup.embCosinePairs]] in the spec. */
+  def embLshPairs(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    embLshPairsFrom(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      minCos = 0.4)
+  }
+
+  /** Core of [[embLshPairs]] over any (vec_id, v) frame — also driven by
+    * the planted-duplicates recall spec. Recall contract: sign agreement
+    * per plane is 1 - angle/pi, so >= 7/8 shared signs retains
+    * essentially all TRUE near-duplicates (cos >= 0.9 -> ~97%+) but only
+    * a sample of weak-similarity pairs (cos ~ 0.45 -> ~17%); use the
+    * exact block-nested join (Dedup.embCosinePairs) when the threshold
+    * sits in that regime. */
+  def embLshPairsFrom(vecs: DataFrame, minCos: Double): DataFrame = {
+    val e = vecs
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bkt", bucket(col("v")))
+    val probed = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("n").as("nb"), explode(probes(col("bkt"))).as("bkt"))
+    e.join(probed, Seq("bkt"))
+      .filter(col("vec_id") < col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"),
+        (dot(col("v"), col("vb")) / (col("n") * col("nb"))).as("cos0"))
+      .filter(col("cos0") >= minCos)
+      .groupBy("id_a", "id_b").agg(round(max("cos0"), 5).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
-    "ann_ivf" -> (annIvf _))
+    "ann_ivf" -> (annIvf _),
+    "dedup_emb_lsh" -> (embLshPairs _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" ->

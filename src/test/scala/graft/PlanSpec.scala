@@ -154,6 +154,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("LSH-bucketed embedding near-dup pairs: subset of exact, finds planted dups") {
+    import graft.operators.{Dedup, Similarity}
+    // every emitted pair is cosine-verified — a subset of the exact join
+    val exact = Dedup.embCosinePairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embLshPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted non-pairs: ${(lsh -- exact).take(3)}")
+    // recall contract holds in the operator's regime (true near-dups):
+    // plant perturbed copies (cos >= 0.99) and require ~all found
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val planted = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + rnd.nextDouble() * 0.01))
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "v")
+    val found = Similarity.embLshPairsFrom(vecs, minCos = 0.98).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 20L).map(i => (i, i + 1000L)).toSet
+    val recall = want.count(found.contains).toDouble / want.size
+    assert(recall >= 0.9, f"planted-dup recall $recall%.2f < 0.9")
+  }
+
   test("IVF ANN: 50 rows, corpus never shuffled, recall vs exact baseline") {
     import graft.operators.Similarity
     val exact = Similarity.annTopK(spark, d).collect()
