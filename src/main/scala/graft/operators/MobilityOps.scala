@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -148,6 +149,38 @@ object MobilityOps {
       .orderBy("user_id")
   }
 
+  /** AS-OF JOIN: for every (user, day boundary), the latest event at or
+    * before the boundary. Composed the scale-right way: tag-union the
+    * probe grid with the events, ONE shuffle on user_id, and carry the
+    * last event forward with an ignore-nulls last_value window — the
+    * classic distributed as-of (no per-probe range join, no skew:
+    * each user's stream is one sorted partition-run regardless of probe
+    * count). DuckDB's native ASOF JOIN is the oracle. */
+  def q8AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val dayGrid = s.range(1, 31)
+      .select(timestamp_add("DAY", col("id").cast("int"),
+        to_timestamp(lit("2024-01-01"))).as("gts"))
+    val probe = e.select("user_id").distinct().crossJoin(broadcast(dayGrid))
+    val tagE = e.select(col("user_id"), col("ts"), col("event_id"),
+      col("value"), lit(1).as("is_e"))
+    val tagP = probe.select(col("user_id"), col("gts").as("ts"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"), lit(0).as("is_e"))
+    // at an exact-boundary tie the event sorts first (is_e desc), so
+    // ts <= gts semantics match ASOF JOIN's >=
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_e").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagE.unionByName(tagP)
+      .withColumn("last_event_id", last("event_id", ignoreNulls = true).over(w))
+      .withColumn("lv", last("value", ignoreNulls = true).over(w))
+      .filter(col("is_e") === 0 && col("last_event_id").isNotNull)
+      .select(col("user_id"), col("ts").as("gts"), col("last_event_id"),
+        round(col("lv"), 2).as("last_value"))
+      .orderBy("user_id", "gts")
+  }
+
   /** Oracle SQL (DuckDB) — all wrapped in a micros-truncation CTE so both
     * engines see identical timestamps (Spark reads the nanos parquet
     * truncated to micros). */
@@ -238,7 +271,17 @@ object MobilityOps {
          SELECT user_id,
            round(coalesce(sum(CASE WHEN hot AND nxt IS NOT NULL
              THEN epoch(nxt) - epoch(ts) END), 0), 6) AS true_s
-         FROM s GROUP BY user_id ORDER BY user_id""")
+         FROM s GROUP BY user_id ORDER BY user_id""",
+    "mob_q8_asof_join" ->
+      s"""$E, probe AS (
+           SELECT u.user_id, TIMESTAMP '2024-01-01' + g.d * INTERVAL 1 DAY AS gts
+           FROM (SELECT DISTINCT user_id FROM e) u,
+                generate_series(1, 30) AS g(d))
+         SELECT p.user_id, p.gts, ev.event_id AS last_event_id,
+                round(ev.value, 2) AS last_value
+         FROM probe p ASOF JOIN e ev
+           ON p.user_id = ev.user_id AND p.gts >= ev.ts
+         ORDER BY p.user_id, p.gts""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mob_q1_timespan" -> (q1TimeSpan _),
@@ -247,5 +290,6 @@ object MobilityOps {
     "mob_q4_sessions" -> (q4Sessions _),
     "mob_q5_traj_length" -> (q5TrajLength _),
     "mob_q6_stbox_filter" -> (q6StboxFilter _),
-    "mob_q7_when_true" -> (q7WhenTrue _))
+    "mob_q7_when_true" -> (q7WhenTrue _),
+    "mob_q8_asof_join" -> (q8AsofJoin _))
 }
