@@ -28,20 +28,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    val manifest = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val r = try {
-        val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        val rows = spark.read.parquet(s"$outDir/$name").count()
-        (name, rows, null: String)
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        (name, -1L, s"${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
-      System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      r
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -54,17 +40,42 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver parses BARE STDOUT (proven by BENCH_r02: outputStrategy :=
+    // StdoutOutput in build.sbt keeps it prefix-free). Mirror the Bench
+    // pattern exactly: one JSON line per query as it completes, plus ONE
+    // final manifest line. Progress/diagnostics stay on stderr; the files
+    // (parquet per query, manifest.json, oracle_sql.json) are kept too.
+    val manifest = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val r = try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        (name, rows, null: String)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        (name, -1L, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val (n, rows, err) = r
+      val e = if (err == null) "null" else q(err)
+      println(s"""{"name":${q(n)},"rows":$rows,"error":$e}""")
+      // free cached RDDs/broadcasts between queries so one query's cache
+      // cannot pressure the fixed heap for the rest of the run
+      spark.catalog.clearCache()
+      r
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Per-query run manifest (fixed file, machine-readable): lets the
-    // driver/judge see what ran and with how many rows even if the sbt
-    // console output is unusable.
+    // Per-query run manifest: fixed file AND one bare stdout JSON line —
+    // stdout is the channel the driver demonstrably parses (BENCH_r02).
     val mjson = manifest.map { case (n, rows, err) =>
       val e = if (err == null) "null" else q(err)
       s"${q(n)}: {\"rows\": $rows, \"error\": $e}"
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), mjson)
+    println(s"""{"queries": $mjson}""")
     spark.stop()
   }
 }
