@@ -64,34 +64,40 @@ object BoxPredicateRule extends Rule[LogicalPlan] {
     GetStructField(col, st.fieldIndex(name), Some(name))
   }
 
+  /** Box dimensions are optional PER ROW (hasX/hasT): overlapsST/overlapsT
+    * skip a dimension absent on either side, so a T-only row can overlap an
+    * XT literal via time alone. Each derived comparison is therefore guarded
+    * by the row's own flag — `hasX = false OR cmp` — which stays a superset
+    * filter for every row. The guard is an Or of two simple comparisons, so
+    * DataSourceStrategy still translates it into a pushable parquet filter;
+    * on the common all-flags-true data, row-group stats collapse the guard
+    * branch to false and the range side alone prunes. */
+  private def guarded(col: Expression, flag: String,
+                      cs: Seq[Expression]): Seq[Expression] =
+    cs.map(c => Or(EqualTo(field(col, flag), Literal(false)), c))
+
   private def derive(col: Expression, litE: Expression): Seq[Expression] = {
     val v = litE.eval(null)
     if (v == null) return Nil
     MobCodec.decode(litE.dataType, v) match {
       case VSTBox(b) =>
-        val out = Seq.newBuilder[Expression]
-        if (b.hasX) {
-          out += LessThanOrEqual(field(col, "xmin"), Literal(b.xmax, DoubleType))
-          out += GreaterThanOrEqual(field(col, "xmax"), Literal(b.xmin, DoubleType))
-          out += LessThanOrEqual(field(col, "ymin"), Literal(b.ymax, DoubleType))
-          out += GreaterThanOrEqual(field(col, "ymax"), Literal(b.ymin, DoubleType))
-        }
-        if (b.hasT) {
-          out += LessThanOrEqual(field(col, "tmin"), Literal(b.tmax, LongType))
-          out += GreaterThanOrEqual(field(col, "tmax"), Literal(b.tmin, LongType))
-        }
-        out.result()
+        val x = if (!b.hasX) Nil else guarded(col, "hasX", Seq(
+          LessThanOrEqual(field(col, "xmin"), Literal(b.xmax, DoubleType)),
+          GreaterThanOrEqual(field(col, "xmax"), Literal(b.xmin, DoubleType)),
+          LessThanOrEqual(field(col, "ymin"), Literal(b.ymax, DoubleType)),
+          GreaterThanOrEqual(field(col, "ymax"), Literal(b.ymin, DoubleType))))
+        val t = if (!b.hasT) Nil else guarded(col, "hasT", Seq(
+          LessThanOrEqual(field(col, "tmin"), Literal(b.tmax, LongType)),
+          GreaterThanOrEqual(field(col, "tmax"), Literal(b.tmin, LongType))))
+        x ++ t
       case VTBox(b) =>
-        val out = Seq.newBuilder[Expression]
-        if (b.hasX) {
-          out += LessThanOrEqual(field(col, "xmin"), Literal(b.xmax, DoubleType))
-          out += GreaterThanOrEqual(field(col, "xmax"), Literal(b.xmin, DoubleType))
-        }
-        if (b.hasT) {
-          out += LessThanOrEqual(field(col, "tmin"), Literal(b.tmax, LongType))
-          out += GreaterThanOrEqual(field(col, "tmax"), Literal(b.tmin, LongType))
-        }
-        out.result()
+        val x = if (!b.hasX) Nil else guarded(col, "hasX", Seq(
+          LessThanOrEqual(field(col, "xmin"), Literal(b.xmax, DoubleType)),
+          GreaterThanOrEqual(field(col, "xmax"), Literal(b.xmin, DoubleType))))
+        val t = if (!b.hasT) Nil else guarded(col, "hasT", Seq(
+          LessThanOrEqual(field(col, "tmin"), Literal(b.tmax, LongType)),
+          GreaterThanOrEqual(field(col, "tmax"), Literal(b.tmin, LongType))))
+        x ++ t
       case VSpan(s, _) => Seq(
         LessThanOrEqual(field(col, "lower"), Literal(s.upper, LongType)),
         GreaterThanOrEqual(field(col, "upper"), Literal(s.lower, LongType)))

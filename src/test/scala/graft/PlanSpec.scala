@@ -140,6 +140,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("derived range filters keep mixed-dimension boxes (per-row flag guard)") {
+    // overlapsST skips a dimension absent on EITHER side: a T-only row box
+    // can overlap an XT literal via time alone. The derived xmin/xmax
+    // conjuncts must be guarded by the row's own hasX flag or such rows
+    // would be wrongly dropped (they carry placeholder coords).
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(
+      """SELECT * FROM VALUES
+           (1, to_stbox(tgeompoint(st_point(15.0d, 15.0d), timestamp'2024-01-01'))),
+           (2, stbox('STBOX T([2024-01-01, 2024-01-02])')),
+           (3, stbox('STBOX X((90.0,90.0),(95.0,95.0))'))
+         AS t(id, box)""").createOrReplaceTempView("mixed_boxes")
+    val df = spark.sql(
+      """SELECT id FROM mixed_boxes
+         WHERE op_overlaps(box, stbox('STBOX XT(((10.0,10.0),(20.0,20.0)),[2024-01-01, 2024-01-03])'))""")
+    val got = df.collect().map(_.getInt(0)).sorted
+    // row 1 overlaps in X and T; row 2 has no X and overlaps in T;
+    // row 3 has no T and does not overlap in X
+    assert(got.sameElements(Array(1, 2)), got.mkString(","))
+  }
+
   test("vector kernels are native expressions inside whole-stage codegen") {
     import graft.operators.Similarity
     val f = formatted(Similarity.annTopK(spark, d))
