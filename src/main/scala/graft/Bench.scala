@@ -79,7 +79,26 @@ object Bench {
           s"berlinmod_$n" -> (() => { df.count(); () })
         }, clear = false))
     } catch { case _: Throwable => Seq.empty }
-    val results = (results0 ++ bmTimes).toMap
+    // Scale curve: same workload at 10x vehicles in the SAME city area.
+    // With the (hour, cell) segment join key, pair work grows with local
+    // density (~linear in fleet at fixed area x duration), not fleet^2 —
+    // these four timings vs their 1x rows are the evidence. Load stays
+    // untimed, like the 1x block.
+    val bm10Times = try {
+      spark.catalog.clearCache() // drop the 1x load artifacts first
+      graft.berlinmod.BerlinMod.load(spark, nVehicles = 1410,
+        tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120)
+      spark.sql("SELECT * FROM Trips").count()
+      spark.sql("SELECT * FROM SegCells").count()
+      spark.sql("SELECT * FROM SegTime").count()
+      val wanted = Set("q6", "q10", "q16", "q17")
+      minPerQuery(timed(
+        graft.berlinmod.BerlinMod.queries(spark)
+          .filter(p => wanted(p._1)).map { case (n, df) =>
+            s"berlinmod_${n}_10x" -> (() => { df.count(); () })
+          }, clear = false))
+    } catch { case _: Throwable => Seq.empty }
+    val results = (results0 ++ bmTimes ++ bm10Times).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -24,6 +24,23 @@ object BerlinMod {
 
   private def cf(name: String, cols: Column*): Column = call_function(name, cols: _*)
 
+  /** Space-time key geometry for the trip-pair queries: pad = d/2 + eps
+    * with d = 10 m (the largest proximity threshold in q6/q10/q16); cell
+    * size is free for correctness (see the SegTime comment) and chosen
+    * coarse so the explode stays ~1-2 rows per segment. */
+  private val CellSize = "500.0D"
+  private val CellPad = "5.000001D"
+
+  /** The segment-pair equi-join clause: (hour bucket × grid cell) key +
+    * time-overlap + padded-bbox prefilters. `cells = false` reproduces the
+    * hour-only key for the diff test. */
+  private def segJoinOn(pad: String, cells: Boolean): String =
+    s"""a.bucket = b.bucket
+        ${if (cells) "AND a.cx = b.cx AND a.cy = b.cy" else ""}
+        AND a.tl <= b.tu AND b.tl <= a.tu
+        AND a.sxmin <= b.sxmax + $pad AND b.sxmin <= a.sxmax + $pad
+        AND a.symin <= b.symax + $pad AND b.symin <= a.symax + $pad"""
+
   /** Deterministic LCG so every run generates identical data. */
   private final class Rng(seed0: Long) {
     private var s = seed0
@@ -249,21 +266,51 @@ object BerlinMod {
          WHERE NOT last_pt OR rn = 1""")
       .cache().createOrReplaceTempView("Segs")
 
-    // Segments exploded by covered HOUR bucket: the trip-pair proximity
-    // queries (q6/q10/q16) equi-join segments on the bucket — pairs per
-    // bucket stay bounded as the fleet grows (density per hour, not
-    // fleet^2), which is the plan that survives 100x data. A segment
-    // lasts minutes, so the explode adds ~1 row each. Box prefilters get
-    // a 1e-6 epsilon pad for consistency with the solvers' tolerances.
+    // Segments exploded by covered (HOUR bucket × coarse grid cell): the
+    // trip-pair proximity queries (q6/q10/q16) equi-join segments on
+    // (bucket, cx, cy) — pairs per key are bounded by LOCAL density
+    // (segments near one place in one hour), not fleet size. An hour-only
+    // key is density-quadratic: at 100x fleet in the same city, rush-hour
+    // buckets hold 100x segments and pair work grows 10,000x. The cell
+    // key caps that at (local density)^2 — the plan that survives 100x.
+    //
+    // Exactness: each side pads its bbox by pad = d/2 + eps before taking
+    // covered cells (d = 10 m, the largest threshold across q6/q10/q16).
+    // For any pair within d there are points pa, pb with |pa-pb| <= d;
+    // their midpoint m is within d/2 of both (Euclidean >= Chebyshev), so
+    // m's cell is covered by both padded bboxes — every within-d pair
+    // shares >= 1 (bucket, cell) key for ANY cell size. Cell = 500 m
+    // keeps the explode factor ~1-2 rows/segment (steps are <= ~100 m).
+    // Duplicate matches across shared keys are absorbed by the queries'
+    // DISTINCT (q6/q16) / spanset normalization (q10).
+    spark.sql(
+      s"""SELECT TripId, VehicleId,
+           array(x1, y1, cast(tl AS double), x2, y2, cast(tu AS double)) AS seg,
+           sxmin, sxmax, symin, symax, tl, tu, bucket, cx, cy
+         FROM Segs
+         LATERAL VIEW explode(sequence(
+           cast(floor(tl / 3600000000) AS bigint),
+           cast(floor(tu / 3600000000) AS bigint))) bk AS bucket
+         LATERAL VIEW explode(sequence(
+           cast(floor((sxmin - $CellPad) / $CellSize) AS int),
+           cast(floor((sxmax + $CellPad) / $CellSize) AS int))) cxs AS cx
+         LATERAL VIEW explode(sequence(
+           cast(floor((symin - $CellPad) / $CellSize) AS int),
+           cast(floor((symax + $CellPad) / $CellSize) AS int))) cys AS cy""")
+      .cache().createOrReplaceTempView("SegTime")
+    // Hour-only variant (no cells, uncached, lazy): kept for the
+    // old-vs-new diff test in BerlinModSpec — proves the cell key drops
+    // no pairs at multiple generator scales.
     spark.sql(
       """SELECT TripId, VehicleId,
            array(x1, y1, cast(tl AS double), x2, y2, cast(tu AS double)) AS seg,
-           sxmin, sxmax, symin, symax, tl, tu, bucket
+           sxmin, sxmax, symin, symax, tl, tu, bucket,
+           0 AS cx, 0 AS cy
          FROM Segs
          LATERAL VIEW explode(sequence(
            cast(floor(tl / 3600000000) AS bigint),
            cast(floor(tu / 3600000000) AS bigint))) bk AS bucket""")
-      .cache().createOrReplaceTempView("SegTime")
+      .createOrReplaceTempView("SegTimeHourOnly")
 
     // LIMIT-10 dimension views (ref sql/load/01_instants.sql:9-13 etc.)
     spark.sql("SELECT * FROM Licences ORDER BY LicenceId LIMIT 10")
@@ -331,6 +378,79 @@ object BerlinMod {
         GROUP BY c.TripId, c.PeriodId"""
   }
 
+  /** q6: eDwithin(trip1, trip2, d) = EXISTS a time-overlapping segment
+    * pair whose min distance over the overlap is <= d — segment
+    * (bucket, cell) equi-join + per-pair quadratic (same solver, same
+    * tolerance), instead of the all-overlapping-trip-pairs BNLJ.
+    * `cells = false` keeps the hour-only key (diff-test baseline). */
+  private[graft] def q6Sql(cells: Boolean): String = {
+    val seg = if (cells) "SegTime" else "SegTimeHourOnly"
+    s"""WITH T AS (
+         SELECT s.* FROM $seg s
+         JOIN Vehicles v ON s.VehicleId = v.VehicleId
+         WHERE v.VehicleType = 'truck'),
+       pairs AS (
+         SELECT DISTINCT a.VehicleId AS v1, b.VehicleId AS v2
+         FROM T a JOIN T b
+           ON ${segJoinOn("10.000001", cells)}
+          AND a.VehicleId < b.VehicleId
+          AND seg_edwithin(a.seg, b.seg, 10.0D))
+       SELECT va.Licence AS Licence1, vb.Licence AS Licence2
+       FROM pairs
+       JOIN Vehicles va ON pairs.v1 = va.VehicleId
+       JOIN Vehicles vb ON pairs.v2 = vb.VehicleId
+       ORDER BY Licence1, Licence2"""
+  }
+
+  /** q10: whenTrue(tDwithin(t1, t2, d)) decomposes into the union of the
+    * per-segment-pair within-d intervals (identical quadratic solver +
+    * rounding), normalized and formatted once per trip pair. Duplicate
+    * candidate matches across shared (bucket, cell) keys collapse in the
+    * spanset normalization. */
+  private[graft] def q10Sql(cells: Boolean): String = {
+    val seg = if (cells) "SegTime" else "SegTimeHourOnly"
+    s"""WITH cand AS (
+         SELECT l1.Licence AS Licence1, b.VehicleId AS Car2Id,
+           a.TripId AS TripId1, b.TripId AS TripId2,
+           seg_dwithin_spans(a.seg, b.seg, 3.0D) AS sp
+         FROM $seg a
+         JOIN Licences1 l1 ON a.VehicleId = l1.VehicleId
+         JOIN $seg b
+           ON ${segJoinOn("3.000001", cells)}
+          AND a.VehicleId <> b.VehicleId)
+       SELECT Licence1, Car2Id, pair_spanset_text(collect_list(sp)) AS Periods
+       FROM cand WHERE sp IS NOT NULL
+       GROUP BY Licence1, Car2Id, TripId1, TripId2
+       ORDER BY Licence1, Car2Id, Periods"""
+  }
+
+  /** q16: aDisjoint(trip1, trip2) = NOT EXISTS a segment-pair overlap
+    * where positions coincide — time-overlapping trip pairs ANTI JOIN
+    * the "ever-touching" trip pairs from the (bucket, cell) join. */
+  private[graft] def q16Sql(cells: Boolean): String = {
+    val seg = if (cells) "SegTime" else "SegTimeHourOnly"
+    s"""WITH base AS (
+         SELECT t1.TripId AS TripId1, t2.TripId AS TripId2,
+           l1.Licence AS Licence1, l2.Licence AS Licence2
+         FROM Trips t1, Licences1 l1, Trips t2, Licences2 l2
+         WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = l2.VehicleId
+           AND t1.VehicleId < t2.VehicleId
+           AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax),
+       ec AS (
+         SELECT DISTINCT a.TripId AS TripId1, b.TripId AS TripId2
+         FROM $seg a
+         JOIN Licences1 l1 ON a.VehicleId = l1.VehicleId
+         JOIN $seg b
+           ON ${segJoinOn("1e-6", cells)}
+          AND a.VehicleId < b.VehicleId
+          AND seg_touches(a.seg, b.seg)
+         JOIN Licences2 l2 ON b.VehicleId = l2.VehicleId)
+       SELECT DISTINCT Licence1, Licence2
+       FROM base LEFT ANTI JOIN ec
+         ON base.TripId1 = ec.TripId1 AND base.TripId2 = ec.TripId2
+       ORDER BY Licence1, Licence2"""
+  }
+
   /** The 17 queries (ref benchmark/BerlinMOD/sql/queries). */
   def queries(spark: SparkSession): Seq[(String, DataFrame)] = {
     val s = spark
@@ -366,28 +486,7 @@ object BerlinMod {
              round(st_distance(t1.Trajs, t2.Trajs), 6) AS MinDist
            FROM Temp1 t1, Temp2 t2
            ORDER BY Licence1, Licence2"""),
-      "q6" -> s.sql(
-        // eDwithin(trip1, trip2, d) = EXISTS a time-overlapping segment
-        // pair whose min distance over the overlap is <= d — segment
-        // bucket equi-join + per-pair quadratic (same solver, same
-        // tolerance), instead of the all-overlapping-trip-pairs BNLJ
-        """WITH T AS (
-             SELECT s.* FROM SegTime s
-             JOIN Vehicles v ON s.VehicleId = v.VehicleId
-             WHERE v.VehicleType = 'truck'),
-           pairs AS (
-             SELECT DISTINCT a.VehicleId AS v1, b.VehicleId AS v2
-             FROM T a JOIN T b
-               ON a.bucket = b.bucket AND a.VehicleId < b.VehicleId
-              AND a.tl <= b.tu AND b.tl <= a.tu
-              AND a.sxmin <= b.sxmax + 10.000001 AND b.sxmin <= a.sxmax + 10.000001
-              AND a.symin <= b.symax + 10.000001 AND b.symin <= a.symax + 10.000001
-              AND seg_edwithin(a.seg, b.seg, 10.0D))
-           SELECT va.Licence AS Licence1, vb.Licence AS Licence2
-           FROM pairs
-           JOIN Vehicles va ON pairs.v1 = va.VehicleId
-           JOIN Vehicles vb ON pairs.v2 = vb.VehicleId
-           ORDER BY Licence1, Licence2"""),
+      "q6" -> s.sql(q6Sql(cells = true)),
       "q7" -> s.sql(
         // Semantics note: atGeometry(trip, POINT) restricts to instants
         // whose position equals the point exactly (MobRuntime atvalues),
@@ -447,25 +546,7 @@ object BerlinMod {
              GROUP BY pr.PeriodId, pr.VehicleId)
            SELECT PeriodId, round(MAX(Dist), 6) AS MaxDist
            FROM Distances GROUP BY PeriodId ORDER BY PeriodId"""),
-      "q10" -> s.sql(
-        // whenTrue(tDwithin(t1, t2, d)) decomposes into the union of the
-        // per-segment-pair within-d intervals (identical quadratic solver
-        // + rounding), normalized and formatted once per trip pair
-        """WITH cand AS (
-             SELECT l1.Licence AS Licence1, b.VehicleId AS Car2Id,
-               a.TripId AS TripId1, b.TripId AS TripId2,
-               seg_dwithin_spans(a.seg, b.seg, 3.0D) AS sp
-             FROM SegTime a
-             JOIN Licences1 l1 ON a.VehicleId = l1.VehicleId
-             JOIN SegTime b
-               ON a.bucket = b.bucket AND a.VehicleId <> b.VehicleId
-              AND a.tl <= b.tu AND b.tl <= a.tu
-              AND a.sxmin <= b.sxmax + 3.000001 AND b.sxmin <= a.sxmax + 3.000001
-              AND a.symin <= b.symax + 3.000001 AND b.symin <= a.symax + 3.000001)
-           SELECT Licence1, Car2Id, pair_spanset_text(collect_list(sp)) AS Periods
-           FROM cand WHERE sp IS NOT NULL
-           GROUP BY Licence1, Car2Id, TripId1, TripId2
-           ORDER BY Licence1, Car2Id, Periods"""),
+      "q10" -> s.sql(q10Sql(cells = true)),
       "q11" -> s.sql(
         """WITH Temp AS (
              SELECT p.PointId, i.InstantId, i.Instant, t.VehicleId
@@ -529,32 +610,7 @@ object BerlinMod {
            SELECT DISTINCT t.PointId, t.PeriodId, v.Licence
            FROM Temp t JOIN Vehicles v ON t.VehicleId = v.VehicleId
            ORDER BY t.PointId, t.PeriodId, v.Licence"""),
-      "q16" -> s.sql(
-        // aDisjoint(trip1, trip2) = NOT EXISTS a segment-pair overlap
-        // where positions coincide — time-overlapping trip pairs ANTI
-        // JOIN the "ever-touching" trip pairs from the bucket join
-        """WITH base AS (
-             SELECT t1.TripId AS TripId1, t2.TripId AS TripId2,
-               l1.Licence AS Licence1, l2.Licence AS Licence2
-             FROM Trips t1, Licences1 l1, Trips t2, Licences2 l2
-             WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = l2.VehicleId
-               AND t1.VehicleId < t2.VehicleId
-               AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax),
-           ec AS (
-             SELECT DISTINCT a.TripId AS TripId1, b.TripId AS TripId2
-             FROM SegTime a
-             JOIN Licences1 l1 ON a.VehicleId = l1.VehicleId
-             JOIN SegTime b
-               ON a.bucket = b.bucket AND a.VehicleId < b.VehicleId
-              AND a.tl <= b.tu AND b.tl <= a.tu
-              AND a.sxmin <= b.sxmax + 1e-6 AND b.sxmin <= a.sxmax + 1e-6
-              AND a.symin <= b.symax + 1e-6 AND b.symin <= a.symax + 1e-6
-              AND seg_touches(a.seg, b.seg)
-             JOIN Licences2 l2 ON b.VehicleId = l2.VehicleId)
-           SELECT DISTINCT Licence1, Licence2
-           FROM base LEFT ANTI JOIN ec
-             ON base.TripId1 = ec.TripId1 AND base.TripId2 = ec.TripId2
-           ORDER BY Licence1, Licence2"""),
+      "q16" -> s.sql(q16Sql(cells = true)),
       "q17" -> s.sql(
         // max-ties via one window over the 100-row aggregate (a scalar
         // subquery would recompute the whole hits CTE a second time)

@@ -113,13 +113,16 @@ object Geodesy {
     (om2 - om1) - F * math.sin(a0) * i3
   }
 
-  /** c-normalized area between the equator and the geodesic joining
-    * (phi0, 0) and (phi0, dLam), phi0 > 0: Integral q(phi) dlambda. */
-  private[graft] def edgeQIntegral(phi0: Double, dLam: Double): Double = {
-    if (phi0 == 0.0 || dLam == 0.0) return 0.0
-    val beta0 = math.atan((1 - F) * math.tan(phi0))
-    // bisect the node azimuth: edgeLambda decreases as a0 -> pi/2 - beta0
-    var lo = math.max(1e-12, math.Pi / 2 - beta0 - 1.5)
+  /** Node azimuth a0 of the symmetric equal-latitude geodesic edge with
+    * endpoints at reduced latitude beta0 and longitude swing dLam, by
+    * bisection over the FULL range (eps, pi/2 - beta0 - eps): edgeLambda
+    * decreases monotonically from ~pi (a0 -> 0: the edge grazes the
+    * pole) to 0 (a0 -> pi/2 - beta0: the degenerate edge), so any
+    * dLam in (0, pi) brackets. (A narrower lower bound once silently
+    * pinned low-latitude wide edges — dLam near pi — to the bracket
+    * endpoint.) */
+  private[graft] def solveNodeAzimuth(beta0: Double, dLam: Double): Double = {
+    var lo = 1e-15
     var hi = math.Pi / 2 - beta0 - 1e-15
     var it = 0
     while (it < 100) {
@@ -127,7 +130,21 @@ object Geodesy {
       if (edgeLambda(mid, beta0) > dLam) lo = mid else hi = mid
       it += 1
     }
-    val a0 = (lo + hi) / 2
+    (lo + hi) / 2
+  }
+
+  private[graft] def edgeLambdaAt(beta0: Double, a0: Double): Double =
+    edgeLambda(a0, beta0)
+
+  /** c-normalized area between the equator and the geodesic joining
+    * (phi0, 0) and (phi0, dLam), phi0 > 0, dLam < pi:
+    * Integral q(phi) dlambda. */
+  private[graft] def edgeQIntegral(phi0: Double, dLam: Double): Double = {
+    if (phi0 == 0.0 || dLam == 0.0) return 0.0
+    require(dLam < math.Pi,
+      s"geodesic edge undefined for half-circumference swings (dLam=$dLam)")
+    val beta0 = math.atan((1 - F) * math.tan(phi0))
+    val a0 = solveNodeAzimuth(beta0, dLam)
     if (DebugRoot) println(f"[geodesy] a0($phi0%.6f) = $a0%.18f")
     // The integral is ill-conditioned IN a0 (dE/da0 ~ -150): a half-ulp
     // root error costs ~2e-14 on E. But dE/da0 = q(phi0) * dLambda/da0
@@ -153,10 +170,22 @@ object Geodesy {
 
   /** Area (m^2) of the geodetic rectangle [lonMin,lonMax]x[latMin,latMax]
     * (degrees), bounded by meridians and geodesics — the semantics of
-    * MEOS `stbox_area(box, spheroid=true)`. */
+    * MEOS `stbox_area(box, spheroid=true)`.
+    *
+    * Boxes spanning >= 180 deg of longitude are split at their midpoint
+    * meridian and summed: a single equal-latitude geodesic edge is
+    * undefined at half a circumference (it degenerates through the
+    * pole), so each panel gets its own well-defined edges — the
+    * polygon-with-intermediate-vertex interpretation. */
   def boxArea(lonMinDeg: Double, lonMaxDeg: Double,
               latMinDeg: Double, latMaxDeg: Double): Double = {
-    val dLam = math.toRadians(lonMaxDeg - lonMinDeg)
+    val dLonDeg = lonMaxDeg - lonMinDeg
+    if (dLonDeg >= 180.0) {
+      val midDeg = lonMinDeg + dLonDeg / 2
+      return boxArea(lonMinDeg, midDeg, latMinDeg, latMaxDeg) +
+        boxArea(midDeg, lonMaxDeg, latMinDeg, latMaxDeg)
+    }
+    val dLam = math.toRadians(dLonDeg)
     def signedEdge(latDeg: Double): Double = {
       val phi = math.toRadians(latDeg)
       if (phi >= 0) edgeQIntegral(phi, dLam)

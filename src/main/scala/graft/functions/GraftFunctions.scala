@@ -79,6 +79,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => VecDot(e(0), e(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_inter_sorted",
       (e: Seq[Expression]) => SortedLongIntersect(e(0), e(1)), "built-in")
+    registry.createOrReplaceTempFunction("minhash_sig",
+      (e: Seq[Expression]) => MinHashSig(e(0)), "built-in")
+    registry.createOrReplaceTempFunction("simhash64",
+      (e: Seq[Expression]) => SimHash64(e(0)), "built-in")
     names.foreach { n =>
       // In Spark 4 even the Column API (functions.round etc.) resolves
       // through the session registry, so a name like `round`/`length`/

@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd vector kernels for the similarity/dedup hot paths.
   *
@@ -99,4 +100,110 @@ case class SortedLongIntersect(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongIntersect =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared kernels for [[MinHashSig]]/[[SimHash64]]: a standalone Scala
+  * object gets static forwarders, so generated Java calls these directly
+  * — the expressions stay inside whole-stage codegen with one static
+  * call per row (vs a ScalaUDF's encoder round-trip + boxing). */
+object VectorKernels {
+
+  val NumHashes = 32
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 32-coordinate minhash signature: coordinate i is the min over the
+    * (already xxhash64'd) shingle hashes of splitmix(h ^ seed_i) —
+    * min-wise independent enough for banding, one 64-bit mix per
+    * (shingle, coordinate) instead of 32 string hashes per shingle. */
+  def minhashSig(hs: ArrayData): Array[Long] = {
+    val out = new Array[Long](NumHashes)
+    val n = hs.numElements()
+    var s = 0
+    while (s < NumHashes) {
+      val seed = 0x9E3779B97F4A7C15L * (s + 1)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = mix(hs.getLong(i) ^ seed)
+        if (v < m) m = v
+        i += 1
+      }
+      out(s) = m
+      s += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over single-space-separated words (deterministic
+    * seeded polynomial word hash; bit b set iff more word hashes have
+    * bit b than not). */
+  def simhash64(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val words = text.toString.split(" ")
+    var w = 0
+    while (w < words.length) {
+      val str = words(w)
+      var h = 0x517CC1B727220A95L
+      var i = 0
+      while (i < str.length) { h = h * 1000003L + str.charAt(i); i += 1 }
+      h ^= (h >>> 29)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** MinHash signature of a doc's (sorted or not) shingle-hash array —
+  * array<long> of 32 band-able coordinates. */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.minhashSig(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorKernels.minhashSig($a));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** 64-bit SimHash of a text column. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.simhash64(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.simhash64($a);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
 }

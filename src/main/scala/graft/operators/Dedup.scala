@@ -124,17 +124,6 @@ object Dedup {
 
   // ---- MinHash + LSH banding ----
 
-  /** Deterministic 64-bit polynomial string hash (seeded). */
-  private def polyHash(sd: Long)(str: String): Long = {
-    var h = sd
-    var i = 0
-    while (i < str.length) {
-      h = h * 1000003L + str.charAt(i)
-      i += 1
-    }
-    h ^ (h >>> 29)
-  }
-
   /** MinHash+LSH candidate pairs verified with exact Jaccard >= 0.5.
     * 32 hashes, 8 bands x 4 rows (P(detect) at J=0.5: 1-(1-0.0625)^8=0.40;
     * at J=0.8: 0.97). No SQL oracle (hash family is ours) — rows-only.
@@ -147,34 +136,22 @@ object Dedup {
     reg(s)
     val numHashes = 32
     val rowsPerBand = 4
-    val seeds = Array.tabulate(numHashes)(i => 0x9E3779B97F4A7C15L * (i + 1))
-    @inline def mix(z0: Long): Long = {
-      var z = z0
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    val mh = udf((hs: Array[Long]) =>
-      seeds.map { sd =>
-        var m = Long.MaxValue
-        var i = 0
-        while (i < hs.length) { val v = mix(hs(i) ^ sd); if (v < m) m = v; i += 1 }
-        m
-      })
     val docSh = shingleHashes(s, d)
       .groupBy("doc_id").agg(sort_array(collect_list("h")).as("shs"))
       .persist()
     docSh.count() // pin before the band/verify branches fan out
-    val bandHash = udf((sig: Array[Long], band: Int) =>
-      sig.slice(band * rowsPerBand, (band + 1) * rowsPerBand).toSeq.hashCode.toLong)
     // ids-only through the band explode + self-join: the full shingle
     // arrays do NOT ride the 8-way band shuffle — they re-join exactly
-    // once, onto the deduplicated candidate pairs, for verification
+    // once, onto the deduplicated candidate pairs, for verification.
+    // minhash_sig is a native codegen kernel (VectorExprs); the band key
+    // is xxhash64 over the signature slice — codegen'd, and stable across
+    // JVM versions where Seq.hashCode was only stable per JVM era.
     val bands = docSh
-      .withColumn("sig", mh(col("shs")))
+      .withColumn("sig", call_function("minhash_sig", col("shs")))
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"))
-      .withColumn("bh", bandHash(col("sig"), col("band")))
+      .withColumn("bh",
+        xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
       .select("doc_id", "band", "bh")
     // standard LSH hygiene: drop mega-buckets — a band value shared by
     // hundreds of docs is non-discriminative and quadratically explosive
@@ -201,29 +178,16 @@ object Dedup {
   // ---- SimHash ----
 
   /** 64-bit SimHash over word hashes; near dups = hamming distance <= 8
-    * among 16-bit-band candidates. Rows-only check (our hash family). */
+    * among 16-bit-band candidates. Rows-only check (our hash family).
+    * simhash64 is a native codegen kernel (VectorExprs); the hamming
+    * distance is the builtin bit_count over xor — no ScalaUDF anywhere. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sim = udf((text: String) => {
-      val counts = new Array[Int](64)
-      text.split(" ").foreach { w =>
-        val h = polyHash(0x517CC1B727220A95L)(w)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-      out
-    })
+    reg(s)
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), sim(col("text")).as("sh64"))
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sh64"))
     val banded = docs.select(col("doc_id"), col("sh64"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bh", expr("(sh64 >> (band * 16)) & 65535"))
-    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -231,7 +195,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sh64").as("ha"), col("b.sh64").as("hb"))
       .distinct()
-      .withColumn("dist", hamming(col("ha"), col("hb")))
+      .withColumn("dist", expr("bit_count(ha ^ hb)"))
       .filter(col("dist") <= 8)
       .select("id_a", "id_b", "dist")
       .orderBy("id_a", "id_b")

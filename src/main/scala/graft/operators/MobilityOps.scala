@@ -172,12 +172,18 @@ object MobilityOps {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("is_e").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE ignore-nulls window over a struct that is null for probe rows:
+    // both output fields come from the SAME matched event row. (Two
+    // independent last_value aggregates could mix fields from different
+    // rows when an event carries a NULL value — ASOF JOIN returns one row.)
     tagE.unionByName(tagP)
-      .withColumn("last_event_id", last("event_id", ignoreNulls = true).over(w))
-      .withColumn("lv", last("value", ignoreNulls = true).over(w))
-      .filter(col("is_e") === 0 && col("last_event_id").isNotNull)
-      .select(col("user_id"), col("ts").as("gts"), col("last_event_id"),
-        round(col("lv"), 2).as("last_value"))
+      .withColumn("last_ev", last(
+        when(col("is_e") === 1, struct(col("event_id"), col("value"))),
+        ignoreNulls = true).over(w))
+      .filter(col("is_e") === 0 && col("last_ev").isNotNull)
+      .select(col("user_id"), col("ts").as("gts"),
+        col("last_ev.event_id").as("last_event_id"),
+        round(col("last_ev.value"), 2).as("last_value"))
       .orderBy("user_id", "gts")
   }
 

@@ -61,20 +61,17 @@ object Similarity {
     }
   }
 
-  /** Sign-LSH bucket id (8-bit) of a vector. */
-  private val bucket = udf((v: Array[Double]) => {
-    var b = 0
-    for (p <- planes.indices) {
-      var acc = 0.0
-      var i = 0
-      while (i < v.length) { acc += v(i) * planes(p)(i); i += 1 }
-      if (acc > 0) b |= (1 << p)
-    }
-    b
-  })
+  /** Sign-LSH bucket id (8-bit) of a vector: 8 plane dot products via the
+    * native vec_dot kernel, sign bits OR'd — pure codegen'd expressions,
+    * no ScalaUDF (the planes ride along as array literals). */
+  private def bucket(v: Column): Column =
+    planes.indices.map { p =>
+      when(dot(v, typedLit(planes(p).toSeq)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
 
-  /** A query bucket + its 1-bit flips (multi-probe). */
-  private val probes = udf((b: Int) => b +: (0 until 8).map(i => b ^ (1 << i)))
+  /** A query bucket + its 1-bit flips (multi-probe) — builtin array/xor. */
+  private def probes(b: Column): Column =
+    array(b +: (0 until 8).map(i => b.bitwiseXOR(lit(1 << i))): _*)
 
   /** Sign-projection LSH bucketed search: candidates share >= 7 of 8
     * signs with the query (multi-probe on 1-bit flips). Rows-only check:
@@ -111,13 +108,26 @@ object Similarity {
     * as a dynamicpruning PartitionFilter) skips the rest of the corpus
     * at the SCAN, where the in-memory variant above still reads every
     * row. Same hash family and scoring as [[annLsh]] — identical rows. */
-  /** Materialize the bucket-partitioned corpus layout if absent (the
-    * write-time "index build" — callable from a load/warm-up phase). */
+  /** Materialize the bucket-partitioned corpus layout if absent or stale
+    * (the write-time "index build" — callable from a load/warm-up phase).
+    * The layout path carries a full-path fingerprint so two datasets with
+    * the same basename cannot collide, and the build reruns whenever the
+    * source parquet is newer than the layout's _SUCCESS marker — a
+    * regenerated dataset cannot silently keep serving a stale index. */
   def buildLshLayout(s: SparkSession, d: String): java.io.File = {
     reg(s)
+    val src = new java.io.File(d).getCanonicalFile
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
     val layout = new java.io.File(
-      s"target/ann_bucketed_${new java.io.File(d).getName}").getAbsoluteFile
-    if (!layout.exists()) {
+      s"target/ann_bucketed_${src.getName}_$fp").getAbsoluteFile
+    val srcFile = new java.io.File(src, "embeddings.parquet")
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
+    val marker = new java.io.File(layout, "_SUCCESS")
+    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -274,6 +284,7 @@ object Similarity {
     * exact block-nested join (Dedup.embCosinePairs) when the threshold
     * sits in that regime. */
   def embLshPairsFrom(vecs: DataFrame, minCos: Double): DataFrame = {
+    reg(vecs.sparkSession)
     val e = vecs
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .withColumn("bkt", bucket(col("v")))

@@ -92,4 +92,21 @@ class BerlinModSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits = q17.map(_.getLong(1))
     assert(hits.distinct.length == 1)
   }
+
+  test("q6/q10/q16 space-time cell key = hour-only key (diff at 2 scales)") {
+    // the (bucket, cx, cy) join key is a pure prefilter refinement: at
+    // any generator scale it must produce exactly the rows the hour-only
+    // key did (the d/2-padded-cell argument in BerlinMod.load)
+    for ((nv, seed) <- Seq((20, 42L), (35, 7L))) {
+      BerlinMod.load(spark, nVehicles = nv, seed = seed)
+      for ((name, mk) <- Seq[(String, Boolean => String)](
+          ("q6", BerlinMod.q6Sql), ("q10", BerlinMod.q10Sql),
+          ("q16", BerlinMod.q16Sql))) {
+        val withCells = spark.sql(mk(true)).collect().map(_.toString).sorted
+        val hourOnly = spark.sql(mk(false)).collect().map(_.toString).sorted
+        assert(withCells.sameElements(hourOnly),
+          s"$name at nVehicles=$nv: ${withCells.length} vs ${hourOnly.length}")
+      }
+    }
+  }
 }

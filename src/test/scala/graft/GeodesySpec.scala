@@ -34,4 +34,29 @@ class GeodesySpec extends AnyFunSuite {
     val s = Geodesy.boxArea(10, 13, -43, -40)
     assert(math.abs(n - s) < 1e-3, s"$n vs $s")
   }
+
+  test("node azimuth root actually solves edgeLambda = dLam (wide, low-lat)") {
+    // the old bracket lower bound pinned low-latitude wide edges (dLam
+    // near pi) to the bracket endpoint — verify the residual across the
+    // previously-broken regime
+    for (latDeg <- Seq(0.5, 2.0, 10.0, 45.0, 80.0);
+         dLamDeg <- Seq(1.0, 45.0, 120.0, 170.0, 179.5)) {
+      val beta0 = math.atan(
+        (1 - Geodesy.F) * math.tan(math.toRadians(latDeg)))
+      val dLam = math.toRadians(dLamDeg)
+      val a0 = Geodesy.solveNodeAzimuth(beta0, dLam)
+      val residual = math.abs(Geodesy.edgeLambdaAt(beta0, a0) - dLam)
+      assert(residual < 1e-9, s"lat=$latDeg dLam=$dLamDeg residual=$residual")
+    }
+  }
+
+  test("wide boxes (>= 180 deg lon) split at the midpoint meridian") {
+    val whole = Geodesy.boxArea(-100, 100, 10, 20)
+    val halves = Geodesy.boxArea(-100, 0, 10, 20) + Geodesy.boxArea(0, 100, 10, 20)
+    assert(math.abs(whole - halves) / halves < 1e-12)
+    // monotone in width and finite through the old failure regime
+    val a179 = Geodesy.boxArea(0, 179, 0, 10)
+    val a90 = Geodesy.boxArea(0, 90, 0, 10)
+    assert(a179.isFinite && a179 > a90 && a90 > 0)
+  }
 }

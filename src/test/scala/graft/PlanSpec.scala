@@ -161,6 +161,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(Array(1, 2)), got.mkString(","))
   }
 
+  test("simhash/minhash-LSH/ann-LSH plans carry no ScalaUDF") {
+    // hash/banding/bucketing are native kernels or builtins now — the
+    // only ScalaUDFs left anywhere should be the BerlinMOD geometry
+    // solvers, which none of these plans use
+    import graft.operators.{Dedup, Similarity}
+    for ((name, df) <- Seq(
+        ("dedup_simhash", Dedup.simhash(spark, d)),
+        ("dedup_minhash_lsh", Dedup.minhashLsh(spark, d)),
+        ("ann_lsh", Similarity.annLsh(spark, d)))) {
+      val p = plan(df)
+      assert(!p.contains("UDF"), s"$name plan has a ScalaUDF:\n${p.take(1500)}")
+    }
+  }
+
   test("vector kernels are native expressions inside whole-stage codegen") {
     import graft.operators.Similarity
     val f = formatted(Similarity.annTopK(spark, d))
