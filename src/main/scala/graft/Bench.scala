@@ -32,6 +32,7 @@ object Bench {
       // like the BerlinMOD load below (index builds are load phase — the
       // reference builds its R-tree outside per-query timings too)
       graft.operators.Similarity.buildLshLayout(spark, sfDir)
+      graft.operators.Similarity.buildIvfLayout(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // fixed order + cache isolation so one query's cached/cached-adjacent

@@ -5,91 +5,178 @@ import org.apache.spark.sql.functions._
 
 import graft.util.Tables
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, processed in batches per partition.
+/** Multimodal column plumbing: image/audio as opaque `binary` columns
+  * with typed metadata, processed in batches per partition.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (byte-level statistics standing in for pixel
-  * decoding — clearly marked below). Everything around it is the real
-  * Spark-side design: binary payload + metadata struct schema, batched
-  * per-partition processing via mapPartitions over a typed Dataset (the
-  * Scala analogue of mapInPandas: one iterator pass, no per-row UDF
-  * overhead, constant memory), and feature columns that flow back into
-  * ordinary relational ops. At 100 TB the same plan holds: decode is
-  * map-side only, no shuffle until the final small aggregate.
+  * The decode step is REAL for two header+raw formats that need no
+  * external codec: PPM P6 images (even doc_ids) and PCM WAV audio (odd
+  * doc_ids). Payloads are synthesized from each document's utf8 bytes —
+  * a full binary ENCODE, then an honest header-parsing DECODE that
+  * derives width/height/sample-count from the bytes and computes true
+  * pixel/sample statistics. The DuckDB oracle replays the same stats
+  * from the same source bytes.
+  *
+  * The Spark-side shape is the 100 TB design: binary payload + metadata
+  * struct schema, batched per-partition processing via mapPartitions
+  * over a typed Dataset (the Scala analogue of mapInPandas: one iterator
+  * pass, no per-row UDF overhead, constant memory); decode is map-side
+  * only, no shuffle until the final small aggregate.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int,
                       height: Int, format: String)
-  case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
-                           frames: Int, thumb_hash: Long)
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
+                           n_units: Long, mean_unit: Double)
 
-  /** STUB decode: byte statistics in place of a real image decode.
-    * A production build swaps this body for an actual codec; the
-    * signature (batch iterator -> batch iterator) is the real contract. */
-  private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-    rows.map { r =>
-      var sum = 0L
-      var i = 0
-      while (i < r.payload.length) { sum += r.payload(i) & 0xFF; i += 1 }
-      // "frame sampling": one frame per 64-byte block, as a stand-in
-      val frames = math.max(1, r.payload.length / 64)
-      // "thumbnail": polynomial hash of the first 32 bytes
-      var h = 1469598103934665603L
-      i = 0
-      while (i < math.min(32, r.payload.length)) {
-        h = (h ^ (r.payload(i) & 0xFF)) * 1099511628211L
-        i += 1
-      }
-      MediaFeatures(r.doc_id, r.payload.length,
-        if (r.payload.length == 0) 0.0 else sum.toDouble / r.payload.length,
-        frames, h)
+  // ---- encode: synthesize real PPM/WAV binaries from text bytes ----
+
+  /** PPM P6: "P6\n<w> <h>\n255\n" + w*h*3 raw RGB bytes. Pixels are the
+    * doc's utf8 bytes (cycled if the doc is shorter than one row). */
+  private def encodePpm(id: Long, tb: Array[Byte]): MediaRow = {
+    val w = 8
+    val h = math.max(1, tb.length / 24) // 24 bytes = one 8-pixel RGB row
+    val n = w * h * 3
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) { out(header.length + i) = tb(i % tb.length); i += 1 }
+    MediaRow(id, out, w, h, "ppm")
+  }
+
+  /** Canonical 44-byte PCM WAV header + 16-bit LE mono samples: sample j
+    * is the doc's utf8 byte pair (2j, 2j+1), little-endian signed. */
+  private def encodeWav(id: Long, tb: Array[Byte]): MediaRow = {
+    val n = tb.length / 2
+    val dataSize = n * 2
+    val out = new Array[Byte](44 + dataSize)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    System.arraycopy(tb, 0, out, 44, dataSize)
+    MediaRow(id, out, 0, 0, "wav")
+  }
+
+  private def encodeBatch(rows: Iterator[(Long, String)]): Iterator[MediaRow] =
+    rows.map { case (id, text) =>
+      val tb = text.getBytes("UTF-8")
+      if (id % 2 == 0) encodePpm(id, tb) else encodeWav(id, tb)
     }
 
-  /** Build the media table (payload = utf8 bytes of the text standing in
-    * for an encoded image), run the batched decode, aggregate features. */
+  // ---- decode: parse the headers, compute true pixel/sample stats ----
+
+  /** Parse "P6\n<w> <h>\n255\n" + raw RGB; returns pixel count and the
+    * mean RGB byte value. The parsed dims are cross-checked against the
+    * row's metadata. */
+  private def decodePpm(r: MediaRow): MediaFeatures = {
+    val p = r.payload
+    require(p(0) == 'P' && p(1) == '6', "not a P6 PPM")
+    // header = 3 whitespace-separated ints after the magic
+    var i = 2
+    def nextInt(): Int = {
+      while (Character.isWhitespace(p(i))) i += 1
+      var v = 0
+      while (!Character.isWhitespace(p(i))) { v = v * 10 + (p(i) - '0'); i += 1 }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    i += 1 // single whitespace after maxval, then raw data
+    require(maxval == 255 && w == r.width && h == r.height,
+      s"PPM header ($w x $h, $maxval) disagrees with metadata")
+    val n = w * h * 3
+    var sum = 0L
+    var k = 0
+    while (k < n) { sum += p(i + k) & 0xFF; k += 1 }
+    MediaFeatures(r.doc_id, r.format, p.length, w.toLong * h,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Parse the PCM WAV header + 16-bit LE samples; returns sample count
+    * and the mean absolute sample value. */
+  private def decodeWav(r: MediaRow): MediaFeatures = {
+    val p = r.payload
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(p(0) == 'R' && p(1) == 'I' && p(8) == 'W', "not a RIFF/WAVE")
+    val channels = bb.getShort(22)
+    val bits = bb.getShort(34)
+    val dataSize = bb.getInt(40)
+    require(channels == 1 && bits == 16, "expected 16-bit mono PCM")
+    val n = dataSize / 2
+    var sum = 0L
+    var j = 0
+    while (j < n) { sum += math.abs(bb.getShort(44 + 2 * j).toInt); j += 1 }
+    MediaFeatures(r.doc_id, r.format, p.length, n.toLong,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map(r => if (r.format == "ppm") decodePpm(r) else decodeWav(r))
+
+  /** Encode each doc's bytes as a real PPM/WAV binary, run the batched
+    * header-parsing decode, aggregate per-format feature stats. */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
-      .select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        lit(480).as("height"),
-        lit("fake/raw").as("format"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(encodeBatch)
     media
       .mapPartitions(decodeBatch)
       .toDF()
+      .groupBy("format")
       .agg(
         count(lit(1)).as("n_media"),
         sum("n_bytes").as("total_bytes"),
-        round(avg("mean_byte"), 4).as("avg_mean_byte"),
-        sum("frames").as("total_frames"),
-        countDistinct("thumb_hash").as("distinct_thumbs"))
+        sum("n_units").as("total_units"),
+        round(avg("mean_unit"), 4).as("avg_unit"))
+      .orderBy("format")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _))
 
-  /** Oracle covers the REAL plumbing invariants (payload sizes, frame
-    * count arithmetic, batch cardinality); mean_byte/thumb_hash are
-    * stub-internal but mean_byte is byte arithmetic DuckDB can replay
-    * over the same utf8 bytes. */
+  /** The oracle replays the true pixel/sample statistics from the same
+    * source bytes: PPM pixels are the doc's bytes cycled over w*h*3,
+    * WAV samples are LE signed 16-bit byte pairs; header sizes are
+    * reproduced arithmetically ("P6\n8 <h>\n255\n" = 10 + digits(h);
+    * WAV = 44). Documents are ASCII, so ascii(char) = utf8 byte. */
   val oracles: Map[String, String] = Map(
     "media_features" ->
       """WITH m AS (
-           SELECT doc_id,
-             octet_length(CAST(text AS BLOB)) AS n_bytes,
-             greatest(1, octet_length(CAST(text AS BLOB)) // 64) AS frames,
-             list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
-               / CAST(length(text) AS DOUBLE) AS mean_byte,
-             substr(text, 1, 32) AS thumb_src
-           FROM documents)
-         SELECT count(*) AS n_media,
-           sum(n_bytes) AS total_bytes,
-           round(avg(mean_byte), 4) AS avg_mean_byte,
-           sum(frames) AS total_frames,
-           count(DISTINCT thumb_src) AS distinct_thumbs
-         FROM m""")
+           SELECT doc_id, string_split(text, '') AS cs,
+             octet_length(CAST(text AS BLOB)) AS len
+           FROM documents),
+         ppm AS (
+           SELECT doc_id, len, cs,
+             greatest(1, len // 24) AS h
+           FROM m WHERE doc_id % 2 = 0),
+         ppm_f AS (
+           SELECT 'ppm' AS format,
+             10 + length(CAST(h AS VARCHAR)) + 24 * h AS n_bytes,
+             8 * h AS n_units,
+             list_avg(list_transform(range(24 * h),
+               i -> ascii(cs[1 + (i % len)]))) AS mean_unit
+           FROM ppm),
+         wav AS (
+           SELECT doc_id, len, cs, len // 2 AS n FROM m WHERE doc_id % 2 = 1),
+         wav_f AS (
+           SELECT 'wav' AS format,
+             44 + 2 * n AS n_bytes,
+             n AS n_units,
+             coalesce(list_avg(list_transform(
+               list_transform(range(n),
+                 j -> ascii(cs[2*j + 1]) + 256 * ascii(cs[2*j + 2])),
+               v -> abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END))),
+               0.0) AS mean_unit
+           FROM wav),
+         allf AS (SELECT * FROM ppm_f UNION ALL SELECT * FROM wav_f)
+         SELECT format, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+           sum(n_units) AS total_units,
+           round(avg(mean_unit), 4) AS avg_unit
+         FROM allf GROUP BY format ORDER BY format""")
 }

@@ -206,13 +206,17 @@ object Similarity {
     * written partitioned by cell (same layout trick as [[annLshBucketed]])
     * so a probe reads ~nprobe/k of the data. Rows-only check (recall vs
     * [[annTopK]] is the quality measure; k-means is not SQL-expressible). */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val k = 32
-    val nprobe = 6
+  private val IvfK = 32
+  private val IvfNProbe = 6
+
+  /** Deterministic k-means codebook: trained on a BOUNDED sample (k x 100
+    * vectors with smallest xxhash64(vec_id) — a few MB at any corpus
+    * size, the regime faiss trains in), Lloyd's on the driver, only the
+    * k x dim codebook leaves. Identical data -> identical codebook, so
+    * the in-memory and write-time IVF paths assign identical cells. */
+  private def trainCodebook(e: DataFrame): Array[Array[Double]] = {
+    val k = IvfK
     val iters = 8
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val sample: Array[Array[Double]] = e
       .withColumn("hk", xxhash64(col("vec_id")))
       .orderBy("hk").limit(k * 100)
@@ -240,6 +244,15 @@ object Similarity {
         if (counts(c) == 0) cents(c)
         else sums(c).map(_ / counts(c)))
     }
+    cents
+  }
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val nprobe = IvfNProbe
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = trainCodebook(e)
     val withCell = e
       .withColumn("cell", nearestCellUdf(cents)(col("v")))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -258,6 +271,71 @@ object Similarity {
         round(col("cos"), 5).as("cos"))
       .orderBy("query_id", "rank")
     out
+  }
+
+  /** Write-time IVF layout: the corpus materialized PARTITIONED BY its
+    * coarse-quantizer cell (parity with [[buildLshLayout]]), codebook
+    * persisted beside it — a probe reads only its nprobe cell
+    * directories (partition pruning at the scan), ~nprobe/k of the
+    * corpus at any scale. Same staleness rules as the LSH layout. */
+  def buildIvfLayout(s: SparkSession, d: String): java.io.File = {
+    reg(s)
+    val src = new java.io.File(d).getCanonicalFile
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    val layout = new java.io.File(
+      s"target/ann_ivf_${src.getName}_$fp").getAbsoluteFile
+    val srcFile = new java.io.File(src, "embeddings.parquet")
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
+    val marker = new java.io.File(layout, "_SUCCESS")
+    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = trainCodebook(e)
+      import s.implicits._
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_codebook")
+      e.withColumn("cell", nearestCellUdf(cents)(col("v")))
+        .withColumn("n", sqrt(dot(col("v"), col("v"))))
+        .write.partitionBy("cell").mode("overwrite").parquet(layout.toString)
+    }
+    layout
+  }
+
+  /** IVF search over the write-time layout — identical rows to
+    * [[annIvf]] (same deterministic codebook), but the corpus scan is
+    * partition-pruned to the probed cells instead of reading every row. */
+  def annIvfBucketed(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val layout = buildIvfLayout(s, d)
+    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val e = s.read.parquet(layout.toString)
+    // query side reads the BASE table (single file, isin pushed to the
+    // scan), not the k cell directories
+    val q = Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"),
+        explode(probeCellsUdf(cents, IvfNProbe)(col("v"))).as("cell"))
+    val scored = e.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
   }
 
   /** Sign-LSH bucketed near-duplicate PAIRS (cos >= 0.4) — the sublinear
@@ -304,6 +382,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_bucketed" -> (annIvfBucketed _),
     "dedup_emb_lsh" -> (embLshPairs _))
 
   val oracles: Map[String, String] = Map(

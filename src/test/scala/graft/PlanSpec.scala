@@ -161,6 +161,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(Array(1, 2)), got.mkString(","))
   }
 
+  test("write-time IVF layout prunes cell partitions and matches ann_ivf") {
+    import graft.operators.Similarity
+    val a = Similarity.annIvf(spark, d).collect().map(_.toString).sorted
+    val b = Similarity.annIvfBucketed(spark, d).collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"${a.length} vs ${b.length}")
+    val f = formatted(Similarity.annIvfBucketed(spark, d))
+    // the corpus scan must be partition-filtered on the IVF cell
+    assert(f.contains("dynamicpruning") || f.contains("PartitionFilters: [isnotnull(cell"),
+      f.take(2000))
+  }
+
   test("simhash/minhash-LSH/ann-LSH plans carry no ScalaUDF") {
     // hash/banding/bucketing are native kernels or builtins now — the
     // only ScalaUDFs left anywhere should be the BerlinMOD geometry
