@@ -303,9 +303,12 @@ object SqlRewriter {
       if (!done) k -= 1
     }
     if (!done) start = 0
-    // strip leading keywords (SELECT, WHERE, AND, OR, ON, WHEN, THEN)
+    // strip everything through the LAST leading keyword (SELECT, WHERE,
+    // AND, OR, ON, WHEN, THEN...) — greedy .* so a multi-clause prefix
+    // ("SELECT id FROM t WHERE box && ...") strips to just the operand,
+    // not to the first keyword of the statement
     val seg = s.substring(start, end)
-    val kw = """(?is)^(.*?\b(?:select|where|and|or|on|when|then|from|not)\b)(.*)$""".r
+    val kw = """(?is)^(.*\b(?:select|where|and|or|on|when|then|from|not)\b)(.*)$""".r
     seg match {
       case kw(pre, rest) if rest.trim.nonEmpty => (start + pre.length, end)
       case _ => (start, end)

@@ -140,6 +140,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("CREATE INDEX ... USING TRTREE materializes a clustered layout") {
+    // the DDL is accepted and mapped to a write-time range-clustered
+    // parquet layout; the rebound view serves identical rows, and a box
+    // predicate against it still derives pushed range filters
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(
+      s"""SELECT id, to_stbox(tgeompoint(st_point(cast(id % 50 AS double),
+            cast(id % 31 AS double)), timestamp'2024-01-01')) AS box
+          FROM range(500) t(id)""").createOrReplaceTempView("trtree_tab")
+    val before = spark.table("trtree_tab").collect().map(_.getLong(0)).sorted
+    val ddl = graft.sqlx.MobSql.run(spark,
+      "CREATE INDEX idx_tt ON trtree_tab USING TRTREE(box)")
+    assert(ddl.isEmpty)
+    val after = spark.table("trtree_tab").collect().map(_.getLong(0)).sorted
+    assert(before.sameElements(after))
+    val q = graft.sqlx.MobSql.run(spark,
+      """SELECT id FROM trtree_tab
+         WHERE box && stbox('STBOX X((10.0,10.0),(20.0,20.0))')""")
+    val f = formatted(q)
+    assert(f.contains("PushedFilters") && f.contains("box.xmin"), f.take(2000))
+    assert(q.count() > 0)
+  }
+
   test("derived range filters keep mixed-dimension boxes (per-row flag guard)") {
     // overlapsST skips a dimension absent on EITHER side: a T-only row box
     // can overlap an XT literal via time alone. The derived xmin/xmax
