@@ -437,14 +437,18 @@ object BerlinMod {
            AND t1.VehicleId < t2.VehicleId
            AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax),
        ec AS (
+         -- BOTH sides restrict to their broadcast licence views BEFORE
+         -- the segment pair join: the expensive (bucket, cell) self-join
+         -- then sees 10 vehicles per side regardless of fleet size,
+         -- instead of pairing the full fleet and filtering after
          SELECT DISTINCT a.TripId AS TripId1, b.TripId AS TripId2
-         FROM $seg a
-         JOIN Licences1 l1 ON a.VehicleId = l1.VehicleId
-         JOIN $seg b
+         FROM (SELECT s.* FROM $seg s
+               JOIN Licences1 l ON s.VehicleId = l.VehicleId) a
+         JOIN (SELECT s.* FROM $seg s
+               JOIN Licences2 l ON s.VehicleId = l.VehicleId) b
            ON ${segJoinOn("1e-6", cells)}
           AND a.VehicleId < b.VehicleId
-          AND seg_touches(a.seg, b.seg)
-         JOIN Licences2 l2 ON b.VehicleId = l2.VehicleId)
+          AND seg_touches(a.seg, b.seg))
        SELECT DISTINCT Licence1, Licence2
        FROM base LEFT ANTI JOIN ec
          ON base.TripId1 = ec.TripId1 AND base.TripId2 = ec.TripId2

@@ -370,13 +370,79 @@ object Crs {
     lat0Deg = 50.797815, lon0Deg = 4.359215833333333,
     x0 = 649328.0, y0 = 665262.0)
 
+  /** Transverse Mercator forward on WGS84 via the 6th-order Krüger
+    * series in the conformal latitude (Karney 2011, "Transverse Mercator
+    * with an accuracy of a few nanometers" — the same series PROJ's
+    * default etmerc uses; published, nm-accurate within UTM zones). */
+  object TransverseMercator {
+    private val f = 1.0 / 298.257223563
+    private val n = f / (2 - f)
+    private val a = 6378137.0
+    // rectifying radius and the alpha series coefficients (Karney eq. 14,
+    // 35): A1 = a/(1+n) (1 + n^2/4 + n^4/64 + ...)
+    private val A1 = a / (1 + n) *
+      (1 + n * n / 4 + math.pow(n, 4) / 64 + math.pow(n, 6) / 256)
+    private val alpha = Array(
+      n / 2 - 2.0 / 3 * n * n + 5.0 / 16 * math.pow(n, 3) +
+        41.0 / 180 * math.pow(n, 4) - 127.0 / 288 * math.pow(n, 5) +
+        7891.0 / 37800 * math.pow(n, 6),
+      13.0 / 48 * n * n - 3.0 / 5 * math.pow(n, 3) +
+        557.0 / 1440 * math.pow(n, 4) + 281.0 / 630 * math.pow(n, 5) -
+        1983433.0 / 1935360 * math.pow(n, 6),
+      61.0 / 240 * math.pow(n, 3) - 103.0 / 140 * math.pow(n, 4) +
+        15061.0 / 26880 * math.pow(n, 5) + 167603.0 / 181440 * math.pow(n, 6),
+      49561.0 / 161280 * math.pow(n, 4) - 179.0 / 168 * math.pow(n, 5) +
+        6601661.0 / 7257600 * math.pow(n, 6),
+      34729.0 / 80640 * math.pow(n, 5) - 3418889.0 / 1995840 * math.pow(n, 6),
+      212378941.0 / 319334400 * math.pow(n, 6))
+    private val e = math.sqrt(f * (2 - f))
+
+    /** (easting, northing) about `lon0Deg` with scale k0, no offsets. */
+    def forward(lon0Deg: Double, k0: Double,
+                lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg - lon0Deg)
+      // conformal latitude (exact): tan(chi) per Karney eq. 7-9
+      val sphi = math.sin(phi)
+      val t = math.tan(phi)
+      val sig = math.sinh(e * atanh(e * sphi))
+      val tp = t * math.sqrt(1 + sig * sig) - sig * math.sqrt(1 + t * t)
+      val xip = math.atan2(tp, math.cos(lam))
+      val etap = asinh(math.sin(lam) /
+        math.sqrt(tp * tp + math.cos(lam) * math.cos(lam)))
+      var xi = xip
+      var eta = etap
+      var j = 1
+      while (j <= 6) {
+        xi += alpha(j - 1) * math.sin(2 * j * xip) * math.cosh(2 * j * etap)
+        eta += alpha(j - 1) * math.cos(2 * j * xip) * math.sinh(2 * j * etap)
+        j += 1
+      }
+      (k0 * A1 * eta, k0 * A1 * xi)
+    }
+    private def atanh(x: Double) = 0.5 * math.log((1 + x) / (1 - x))
+    private def asinh(x: Double) = math.log(x + math.sqrt(x * x + 1))
+  }
+
+  /** UTM (EPSG:326zz north / 327zz south): central meridian zz*6 - 183,
+    * k0 = 0.9996, false easting 500 km, false northing 10 000 km south. */
+  private def utm(srid: Int, lon: Double, lat: Double): (Double, Double) = {
+    val south = srid >= 32701
+    val zone = srid - (if (south) 32700 else 32600)
+    val (x, y) = TransverseMercator.forward(zone * 6 - 183, 0.9996, lon, lat)
+    (x + 500000.0, y + (if (south) 10000000.0 else 0.0))
+  }
+
   /** lon/lat (4326) point → target SRID. */
   def transform(toSrid: Int, lon: Double, lat: Double): (Double, Double) =
     toSrid match {
       case 4326 => (lon, lat)
       case 3857 => Geo.lonLatToMercator(lon, lat)
       case 3812 => BelgianLambert2008.forward(lon, lat)
+      case utmZone if (utmZone >= 32601 && utmZone <= 32660) ||
+        (utmZone >= 32701 && utmZone <= 32760) => utm(utmZone, lon, lat)
       case other => throw new IllegalArgumentException(
-        s"transform: unsupported target SRID $other (supported: 4326, 3857, 3812)")
+        s"transform: unsupported target SRID $other " +
+          "(supported: 4326, 3857, 3812, UTM 32601-32660/32701-32760)")
     }
 }

@@ -50,6 +50,23 @@ class GeodesySpec extends AnyFunSuite {
     }
   }
 
+  test("UTM transform matches published sample coordinates") {
+    import graft.core.Crs
+    // CN Tower, 43.642567 N 79.387139 W — UTM zone 17N (EPSG:32617):
+    // easting 630084, northing 4833438 (widely published sample)
+    val (e17, n17) = Crs.transform(32617, -79.387139, 43.642567)
+    assert(math.abs(e17 - 630084) < 1.0, s"easting $e17")
+    assert(math.abs(n17 - 4833438) < 1.0, s"northing $n17")
+    // central meridian maps to the 500 km false easting exactly
+    val (e0, n0) = Crs.transform(32632, 9.0, 0.0)
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    // south zone = mirrored north + 10 000 km false northing
+    val (eN, nN) = Crs.transform(32656, 153.0, 27.5)
+    val (eS, nS) = Crs.transform(32756, 153.0, -27.5)
+    assert(math.abs(eN - eS) < 1e-6)
+    assert(math.abs((10000000.0 - nN) - nS) < 1e-6)
+  }
+
   test("wide boxes (>= 180 deg lon) split at the midpoint meridian") {
     val whole = Geodesy.boxArea(-100, 100, 10, 20)
     val halves = Geodesy.boxArea(-100, 0, 10, 20) + Geodesy.boxArea(0, 100, 10, 20)
