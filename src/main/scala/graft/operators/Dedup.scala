@@ -278,12 +278,60 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- end-to-end corpus cleaning (the composed training-data pipeline) ----
+
+  /** The full cleaning pipeline a pretraining corpus runs, composed from
+    * the oracle-checked stages: exact dedup (keep min doc_id per
+    * normalized-content hash) -> near-dup removal (drop the larger id of
+    * every exact-Jaccard >= 0.5 pair) -> quality filter (the text_stats
+    * score >= 0.5). One summary row with per-stage survivor counts and
+    * kept-corpus stats; every stage is SQL-expressible, so the WHOLE
+    * pipeline is DuckDB-oracle-checked end to end.
+    *
+    * Scale shape: one scan + one hash window for the exact stage, the
+    * prefix-filtered Jaccard join for pairs (see [[jaccard]]), one
+    * broadcast-able anti join of the tiny id_b set, map-side quality
+    * expressions, single final aggregate. */
+  def corpusClean(s: SparkSession, d: String): DataFrame = {
+    val stopwords = Seq("the", "a", "an", "and", "or", "of", "in",
+      "on", "to", "is", "are", "was", "for", "with", "by", "at", "from")
+    val docs = Tables.documents(s, d)
+      .withColumn("h", md5(lower(trim(col("text")))))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val dropB = jaccard(s, d).select(col("id_b").as("doc_id")).distinct()
+    val toks = size(split(col("text"), " "))
+    val stopHits = size(filter(split(col("text"), " "),
+      t => t.isin(stopwords: _*)))
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[\\.,;:!\\?]", ""))
+    val quality = round(
+      lit(0.4) * (stopHits.cast("double") / toks) +
+        lit(0.3) * least(lit(1.0), toks.cast("double") / 50) +
+        lit(0.3) * (lit(1.0) - punct.cast("double") / length(col("text"))), 4)
+    val flagged = docs
+      .withColumn("rn", row_number().over(w))
+      .join(dropB.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+      .withColumn("exact_kept", col("rn") === 1)
+      .withColumn("near_kept", col("exact_kept") && col("is_dup").isNull)
+      .withColumn("n_tokens", toks)
+      .withColumn("quality", quality)
+      .withColumn("final_kept", col("near_kept") && col("quality") >= 0.5)
+    flagged.agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("exact_kept"), 1).otherwise(0)).as("n_exact_kept"),
+      sum(when(col("near_kept"), 1).otherwise(0)).as("n_near_kept"),
+      sum(when(col("final_kept"), 1).otherwise(0)).as("n_final"),
+      round(avg(when(col("final_kept"), col("quality"))), 4).as("avg_quality"),
+      sum(when(col("final_kept"), col("n_tokens"))).as("total_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_jaccard" -> (jaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
-    "dedup_emb_cosine" -> (embCosinePairs _))
+    "dedup_emb_cosine" -> (embCosinePairs _),
+    "dedup_pipeline" -> (corpusClean _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -315,6 +363,54 @@ object Dedup {
          JOIN sz zb ON zb.doc_id = id_b
          WHERE i / (za.sz + zb.sz - i) >= 0.5
          ORDER BY id_a, id_b""",
+    "dedup_pipeline" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
+                AND len(string_split(sh, ' ')) = 3),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dropb AS (
+           SELECT DISTINCT id_b AS doc_id FROM inter
+           JOIN sz za ON za.doc_id = id_a
+           JOIN sz zb ON zb.doc_id = id_b
+           WHERE i / (za.sz + zb.sz - i) >= 0.5),
+         flags AS (
+           SELECT d.doc_id,
+             row_number() OVER (PARTITION BY md5(lower(trim(text)))
+               ORDER BY d.doc_id) = 1 AS exact_kept,
+             dropb.doc_id IS NULL AS not_dup,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(0.4 * (CAST(len(list_filter(string_split(text, ' '),
+                 x -> list_contains(['the','a','an','and','or','of','in','on',
+                   'to','is','are','was','for','with','by','at','from'], x)))
+                 AS DOUBLE) / len(string_split(text, ' ')))
+               + 0.3 * least(1.0,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) / 50)
+               + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text,
+                   '[\.,;:!\?]', '', 'g')) AS DOUBLE) / length(text)), 4)
+               AS quality
+           FROM documents d LEFT JOIN dropb ON d.doc_id = dropb.doc_id),
+         f2 AS (
+           SELECT *, exact_kept AND not_dup AS near_kept,
+             exact_kept AND not_dup AND quality >= 0.5 AS final_kept
+           FROM flags)
+         SELECT count(*) AS n_input,
+           sum(CASE WHEN exact_kept THEN 1 ELSE 0 END) AS n_exact_kept,
+           sum(CASE WHEN near_kept THEN 1 ELSE 0 END) AS n_near_kept,
+           sum(CASE WHEN final_kept THEN 1 ELSE 0 END) AS n_final,
+           round(avg(CASE WHEN final_kept THEN quality END), 4) AS avg_quality,
+           sum(CASE WHEN final_kept THEN n_tokens END) AS total_tokens
+         FROM f2""",
     "dedup_emb_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -88,6 +88,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches events within the probe window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val evIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val prIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      evIn.toDF().toDF("user_id", "ts", "value"),
+      prIn.toDF().toDF("user_id", "pts"))
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      evIn.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),  // 5 min before probe: in
+        (1L, ts("2024-01-01 09:50:00"), 2.0),  // 15 min before: out
+        (2L, ts("2024-01-01 10:03:00"), 3.0),  // other user: out for u1
+        (1L, ts("2024-01-01 10:06:00"), 4.0))  // after probe: out
+      prIn.addData((1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance both watermarks so all matches flush
+      evIn.addData((99L, ts("2024-01-02 00:00:00"), 0.0))
+      prIn.addData((99L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, value FROM sj_out WHERE user_id = 1 ORDER BY value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((1L, 1.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-horizon duplicates, keeps first") {
     val sp = spark
     import sp.implicits._
