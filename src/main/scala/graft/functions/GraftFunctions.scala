@@ -83,6 +83,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => MinHashSig(e(0)), "built-in")
     registry.createOrReplaceTempFunction("simhash64",
       (e: Seq[Expression]) => SimHash64(e(0)), "built-in")
+    registry.createOrReplaceTempFunction("vec_nearest_cell",
+      (e: Seq[Expression]) => VecNearestCell(e(0), e(1)), "built-in")
+    registry.createOrReplaceTempFunction("vec_probe_cells",
+      (e: Seq[Expression]) => VecProbeCells(e(0), e(1), e(2)), "built-in")
     names.foreach { n =>
       // In Spark 4 even the Column API (functions.round etc.) resolves
       // through the session registry, so a name like `round`/`length`/

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -140,6 +140,52 @@ object VectorKernels {
     out
   }
 
+  /** Index of the L2-nearest centroid: `cents` is the k x dim codebook
+    * flattened row-major (k = cents.length / v.length). */
+  def nearestCell(v: ArrayData, cents: ArrayData): Int = {
+    val dim = v.numElements()
+    val k = cents.numElements() / dim
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var dist = 0.0; var i = 0
+      while (i < dim) {
+        val t = v.getDouble(i) - cents.getDouble(c * dim + i)
+        dist += t * t; i += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nprobe L2-nearest centroid indices, ascending by distance
+    * (ties by index — insertion keeps the earlier cell). */
+  def probeCells(v: ArrayData, cents: ArrayData, nprobe: Int): Array[Int] = {
+    val dim = v.numElements()
+    val k = cents.numElements() / dim
+    val n = math.min(nprobe, k)
+    val bestD = Array.fill(n)(Double.MaxValue)
+    val bestI = new Array[Int](n)
+    var c = 0
+    while (c < k) {
+      var dist = 0.0; var i = 0
+      while (i < dim) {
+        val t = v.getDouble(i) - cents.getDouble(c * dim + i)
+        dist += t * t; i += 1
+      }
+      if (dist < bestD(n - 1)) {
+        var j = n - 1
+        while (j > 0 && bestD(j - 1) > dist) {
+          bestD(j) = bestD(j - 1); bestI(j) = bestI(j - 1); j -= 1
+        }
+        bestD(j) = dist; bestI(j) = c
+      }
+      c += 1
+    }
+    bestI
+  }
+
   /** 64-bit SimHash over single-space-separated words (deterministic
     * seeded polynomial word hash; bit b set iff more word hashes have
     * bit b than not). */
@@ -187,6 +233,53 @@ case class MinHashSig(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
+}
+
+/** Index of the L2-nearest centroid in a flattened row-major codebook
+  * (k inferred as cents.length / v.length) — the IVF cell assignment. */
+case class VecNearestCell(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_nearest_cell"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.nearestCell(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCell($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecNearestCell =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The nprobe nearest centroid indices of a vector (IVF multi-cell
+  * probe), ascending by L2 distance. */
+case class VecProbeCells(first: Expression, second: Expression,
+                         third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_probe_cells"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.probeCells(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], c.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorKernels.probeCells($a, $b, $c));""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VecProbeCells =
+    copy(first = f, second = s, third = t)
 }
 
 /** 64-bit SimHash of a text column. */

@@ -164,35 +164,16 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Nearest-centroid assignment against a small broadcast codebook.
-    * Returns the index of the closest centroid by L2 (equivalently max
-    * dot for normalized data — we use true L2 so skewed norms still
-    * land in the right cell). */
-  private def nearestCellUdf(cents: Array[Array[Double]]) =
-    udf((v: Array[Double]) => {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        val ct = cents(c)
-        var dist = 0.0; var i = 0
-        while (i < v.length) { val t = v(i) - ct(i); dist += t * t; i += 1 }
-        if (dist < bestD) { bestD = dist; best = c }
-        c += 1
-      }
-      best
-    })
+  /** Nearest-centroid assignment against the codebook: the flattened
+    * centroid matrix rides along as an array literal and the argmin runs
+    * in the native vec_nearest_cell kernel — codegen'd, no ScalaUDF.
+    * True L2 (not max-dot) so skewed norms still land in the right cell. */
+  private def nearestCell(cents: Array[Array[Double]])(v: Column): Column =
+    call_function("vec_nearest_cell", v, typedLit(cents.flatten.toSeq))
 
-  /** The `nprobe` nearest centroids of a query vector. */
-  private def probeCellsUdf(cents: Array[Array[Double]], nprobe: Int) =
-    udf((v: Array[Double]) =>
-      cents.indices
-        .map { c =>
-          val ct = cents(c)
-          var dist = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - ct(i); dist += t * t; i += 1 }
-          (dist, c)
-        }
-        .sorted.take(nprobe).map(_._2))
+  /** The `nprobe` nearest centroids of a query vector (native kernel). */
+  private def probeCells(cents: Array[Array[Double]], nprobe: Int)(v: Column): Column =
+    call_function("vec_probe_cells", v, typedLit(cents.flatten.toSeq), lit(nprobe))
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer, then per-query
     * search restricted to the `nprobe` nearest cells.
@@ -254,11 +235,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = trainCodebook(e)
     val withCell = e
-      .withColumn("cell", nearestCellUdf(cents)(col("v")))
+      .withColumn("cell", nearestCell(cents)(col("v")))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val q = withCell.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"), explode(probeCellsUdf(cents, nprobe)(col("v"))).as("cell"))
+        col("n").as("qn"), explode(probeCells(cents, nprobe)(col("v"))).as("cell"))
     val scored = withCell.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
@@ -299,7 +280,7 @@ object Similarity {
       cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"${layout}_codebook")
-      e.withColumn("cell", nearestCellUdf(cents)(col("v")))
+      e.withColumn("cell", nearestCell(cents)(col("v")))
         .withColumn("n", sqrt(dot(col("v"), col("v"))))
         .write.partitionBy("cell").mode("overwrite").parquet(layout.toString)
     }
@@ -324,7 +305,7 @@ object Similarity {
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n").as("qn"),
-        explode(probeCellsUdf(cents, IvfNProbe)(col("v"))).as("cell"))
+        explode(probeCells(cents, IvfNProbe)(col("v"))).as("cell"))
     val scored = e.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))

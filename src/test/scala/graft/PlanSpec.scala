@@ -203,7 +203,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((name, df) <- Seq(
         ("dedup_simhash", Dedup.simhash(spark, d)),
         ("dedup_minhash_lsh", Dedup.minhashLsh(spark, d)),
-        ("ann_lsh", Similarity.annLsh(spark, d)))) {
+        ("ann_lsh", Similarity.annLsh(spark, d)),
+        ("ann_ivf", Similarity.annIvf(spark, d)))) {
       val p = plan(df)
       assert(!p.contains("UDF"), s"$name plan has a ScalaUDF:\n${p.take(1500)}")
     }
