@@ -117,6 +117,85 @@ object Multimodal {
   private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map(r => if (r.format == "ppm") decodePpm(r) else decodeWav(r))
 
+  // ---- video analogue: multi-frame payloads, frame sampling, resize ----
+
+  case class FrameFeatures(doc_id: Long, n_frames: Int, n_sampled: Int,
+                           mean_sampled: Double, mean_resized: Double)
+
+  /** "Video" = K concatenated P6 frames (K = 1 + doc_id % 4), each frame
+    * the doc's PPM from [[encodePpm]]. */
+  private def encodeFrames(id: Long, tb: Array[Byte]): (Long, Array[Byte]) = {
+    val one = encodePpm(id, tb).payload
+    val k = 1 + (id % 4).toInt
+    val out = new Array[Byte](one.length * k)
+    var f = 0
+    while (f < k) { System.arraycopy(one, 0, out, f * one.length, one.length); f += 1 }
+    (id, out)
+  }
+
+  /** Frame-sample (every 2nd frame, starting at 0) and resize (x2
+    * nearest-neighbor decimation: pixels at even (x, y)) — both computed
+    * from a REAL parse of each concatenated P6 frame. */
+  private def decodeFrames(id: Long, p: Array[Byte]): FrameFeatures = {
+    var off = 0
+    var frame = 0
+    var sampled = 0
+    var sumAll = 0L; var nAll = 0L
+    var sumRz = 0L; var nRz = 0L
+    while (off < p.length) {
+      require(p(off) == 'P' && p(off + 1) == '6', "not a P6 frame")
+      var i = off + 2
+      def nextInt(): Int = {
+        while (Character.isWhitespace(p(i))) i += 1
+        var v = 0
+        while (!Character.isWhitespace(p(i))) { v = v * 10 + (p(i) - '0'); i += 1 }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); nextInt() // maxval
+      i += 1
+      if (frame % 2 == 0) { // frame sampling: keep even frames
+        sampled += 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = i + (y * w + x) * 3
+            val px = (p(base) & 0xFF) + (p(base + 1) & 0xFF) + (p(base + 2) & 0xFF)
+            sumAll += px; nAll += 3
+            if (x % 2 == 0 && y % 2 == 0) { sumRz += px; nRz += 3 }
+            x += 1
+          }
+          y += 1
+        }
+      }
+      off = i + w * h * 3
+      frame += 1
+    }
+    FrameFeatures(id, frame, sampled,
+      if (nAll == 0) 0.0 else sumAll.toDouble / nAll,
+      if (nRz == 0) 0.0 else sumRz.toDouble / nRz)
+  }
+
+  /** Frame-sampling + resize feature extraction over multi-frame
+    * payloads — same batched map-side shape as [[mediaFeatures]]. */
+  def mediaFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        encodeFrames(id, text.getBytes("UTF-8"))
+      })
+      .mapPartitions(_.map { case (id, p) => decodeFrames(id, p) })
+      .toDF()
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("n_frames").as("total_frames"),
+        sum("n_sampled").as("total_sampled"),
+        round(avg("mean_sampled"), 4).as("avg_sampled"),
+        round(avg("mean_resized"), 4).as("avg_resized"))
+  }
+
   /** Encode each doc's bytes as a real PPM/WAV binary, run the batched
     * header-parsing decode, aggregate per-format feature stats. */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
@@ -138,7 +217,8 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_features" -> (mediaFeatures _))
+    "media_features" -> (mediaFeatures _),
+    "media_frames" -> (mediaFrames _))
 
   /** The oracle replays the true pixel/sample statistics from the same
     * source bytes: PPM pixels are the doc's bytes cycled over w*h*3,
@@ -146,6 +226,28 @@ object Multimodal {
     * reproduced arithmetically ("P6\n8 <h>\n255\n" = 10 + digits(h);
     * WAV = 44). Documents are ASCII, so ascii(char) = utf8 byte. */
   val oracles: Map[String, String] = Map(
+    "media_frames" ->
+      """WITH m AS (
+           SELECT doc_id, string_split(text, '') AS cs,
+             octet_length(CAST(text AS BLOB)) AS len,
+             greatest(1, octet_length(CAST(text AS BLOB)) // 24) AS h,
+             1 + doc_id % 4 AS k
+           FROM documents),
+         f AS (
+           SELECT doc_id, k, (k + 1) // 2 AS sampled,
+             list_avg(list_transform(range(24 * h),
+               i -> ascii(cs[1 + (i % len)]))) AS mean_sampled,
+             list_avg(list_transform(
+               flatten(flatten(list_transform(range(0, h, 2), y ->
+                 list_transform([0, 2, 4, 6], x ->
+                   list_transform(range(3), c -> (y * 8 + x) * 3 + c))))),
+               i -> ascii(cs[1 + (i % len)]))) AS mean_resized
+           FROM m)
+         SELECT count(*) AS n_media, sum(k) AS total_frames,
+           sum(sampled) AS total_sampled,
+           round(avg(mean_sampled), 4) AS avg_sampled,
+           round(avg(mean_resized), 4) AS avg_resized
+         FROM f""",
     "media_features" ->
       """WITH m AS (
            SELECT doc_id, string_split(text, '') AS cs,

@@ -58,4 +58,31 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((i, a, b) <- cases)
       assert(got(i) == a.toSet.intersect(b.toSet).size, s"case $i")
   }
+
+  test("vec_nearest_cell / vec_probe_cells match brute-force argmin (codegen)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val k = 5
+    val cents = Array.fill(k, dim)(rnd.nextDouble() * 10 - 5)
+    val flat = cents.flatten
+    val cases = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 10 - 5))
+    }
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val got = cases.toDF("i", "v")
+      .withColumn("cents", org.apache.spark.sql.functions.typedLit(flat.toSeq))
+      .selectExpr("i", "vec_nearest_cell(v, cents) AS cell",
+        "vec_probe_cells(v, cents, 3) AS probes")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2).toSeq))).toMap
+    for ((i, v) <- cases) {
+      val ranked = cents.indices.sortBy(c => (d2(v, cents(c)), c))
+      val (cell, probes) = got(i)
+      assert(cell == ranked.head, s"case $i: cell $cell vs ${ranked.head}")
+      assert(probes == ranked.take(3), s"case $i: $probes vs ${ranked.take(3)}")
+    }
+  }
 }
