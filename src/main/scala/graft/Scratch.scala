@@ -31,11 +31,18 @@ object Scratch {
     }
     val only = sys.env.get("SCRATCH_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SCRATCH_REPS", "1").toInt
+    val explain = sys.env.contains("SCRATCH_EXPLAIN")
     for {
       _ <- 1 to reps
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if name != "berlinmod_e2e" && only.forall(_.contains(name))
-    } time(name) { fn(spark, d).count() }
+    } {
+      if (explain) {
+        println(s"===== $name =====")
+        println(fn(spark, d).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } else time(name) { fn(spark, d).count() }
+    }
     spark.stop()
   }
 }

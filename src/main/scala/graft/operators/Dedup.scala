@@ -310,7 +310,9 @@ object Dedup {
         lit(0.3) * (lit(1.0) - punct.cast("double") / length(col("text"))), 4)
     val flagged = docs
       .withColumn("rn", row_number().over(w))
-      .join(dropB.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+      // the near-dup id set is tiny relative to the corpus — broadcast
+      // it so the left join adds no shuffle of the full document set
+      .join(broadcast(dropB.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
       .withColumn("exact_kept", col("rn") === 1)
       .withColumn("near_kept", col("exact_kept") && col("is_dup").isNull)
       .withColumn("n_tokens", toks)
