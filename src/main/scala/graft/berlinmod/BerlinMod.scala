@@ -424,36 +424,40 @@ object BerlinMod {
        ORDER BY Licence1, Car2Id, Periods"""
   }
 
-  /** q16: aDisjoint(trip1, trip2) = NOT EXISTS a segment-pair overlap
-    * where positions coincide — time-overlapping trip pairs ANTI JOIN
-    * the "ever-touching" trip pairs from the (bucket, cell) join. */
-  private[graft] def q16Sql(cells: Boolean): String = {
-    val seg = if (cells) "SegTime" else "SegTimeHourOnly"
-    s"""WITH base AS (
-         SELECT t1.TripId AS TripId1, t2.TripId AS TripId2,
-           l1.Licence AS Licence1, l2.Licence AS Licence2
-         FROM Trips t1, Licences1 l1, Trips t2, Licences2 l2
-         WHERE t1.VehicleId = l1.VehicleId AND t2.VehicleId = l2.VehicleId
-           AND t1.VehicleId < t2.VehicleId
-           AND t1.ttmin <= t2.ttmax AND t2.ttmin <= t1.ttmax),
-       ec AS (
-         -- BOTH sides restrict to their broadcast licence views BEFORE
-         -- the segment pair join: the expensive (bucket, cell) self-join
-         -- then sees 10 vehicles per side regardless of fleet size,
-         -- instead of pairing the full fleet and filtering after
-         SELECT DISTINCT a.TripId AS TripId1, b.TripId AS TripId2
-         FROM (SELECT s.* FROM $seg s
-               JOIN Licences1 l ON s.VehicleId = l.VehicleId) a
-         JOIN (SELECT s.* FROM $seg s
-               JOIN Licences2 l ON s.VehicleId = l.VehicleId) b
-           ON ${segJoinOn("1e-6", cells)}
-          AND a.VehicleId < b.VehicleId
-          AND seg_touches(a.seg, b.seg))
-       SELECT DISTINCT Licence1, Licence2
-       FROM base LEFT ANTI JOIN ec
-         ON base.TripId1 = ec.TripId1 AND base.TripId2 = ec.TripId2
-       ORDER BY Licence1, Licence2"""
-  }
+  /** q16 (ref query_16.sql): licence pairs whose period-clipped trips
+    * BOTH intersect a region yet are always disjoint during the period —
+    * `aDisjoint(atTime(t1, p), atTime(t2, p))`.
+    *
+    * Spark-first shape: a `hits` CTE computes each candidate trip's
+    * period-clip + region-intersect ONCE per (trip, period, region) —
+    * restricted to the 20 licence-view vehicles up front (broadcast
+    * semi), with the flattened bbox prefilters that the reference's own
+    * commented-out `&& stbox(...)` lines describe (pure supersets of the
+    * exact predicates). Pairing then equi-joins hits on (region, period)
+    * — bounded by the 10-row licence views regardless of fleet size —
+    * and runs the exact aDisjoint solver per surviving pair. The
+    * reference emits one row per qualifying (t1, t2, p, r) combination
+    * (no DISTINCT); so do we. */
+  private[graft] def q16Sql: String =
+    s"""WITH hits AS (
+         SELECT r.RegionId, p.PeriodId, t.TripId, t.VehicleId,
+           atTime(t.Trip, p.Period) AS clip
+         FROM Trips t, Regions1 r, Periods1 p
+         WHERE t.VehicleId IN (SELECT VehicleId FROM Licences1
+                               UNION SELECT VehicleId FROM Licences2)
+           AND t.txmin <= r.rxmax AND r.rxmin <= t.txmax
+           AND t.tymin <= r.rymax AND r.rymin <= t.tymax
+           AND t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
+           AND atTime(t.Trip, p.Period) IS NOT NULL
+           AND st_intersects(trajectory(atTime(t.Trip, p.Period)), r.Geom))
+       SELECT h1.PeriodId, h1.RegionId,
+         l1.Licence AS Licence1, l2.Licence AS Licence2
+       FROM hits h1
+       JOIN Licences1 l1 ON h1.VehicleId = l1.VehicleId
+       JOIN hits h2 ON h1.RegionId = h2.RegionId AND h1.PeriodId = h2.PeriodId
+       JOIN Licences2 l2 ON h2.VehicleId = l2.VehicleId
+       WHERE l1.Licence < l2.Licence AND aDisjoint(h1.clip, h2.clip)
+       ORDER BY PeriodId, RegionId, Licence1, Licence2"""
 
   /** The 17 queries (ref benchmark/BerlinMOD/sql/queries). */
   def queries(spark: SparkSession): Seq[(String, DataFrame)] = {
@@ -614,7 +618,7 @@ object BerlinMod {
            SELECT DISTINCT t.PointId, t.PeriodId, v.Licence
            FROM Temp t JOIN Vehicles v ON t.VehicleId = v.VehicleId
            ORDER BY t.PointId, t.PeriodId, v.Licence"""),
-      "q16" -> s.sql(q16Sql(cells = true)),
+      "q16" -> s.sql(q16Sql),
       "q17" -> s.sql(
         // max-ties via one window over the 100-row aggregate (a scalar
         // subquery would recompute the whole hits CTE a second time)

@@ -54,6 +54,8 @@ object GraftFunctions {
     "mindistance", "st_point", "st_transform", "st_geomfromtext",
     "st_intersects", "st_contains", "st_distance", "st_collect",
     "set_elements",
+    // the reference benchmark q5's _gs spellings (aliased in MobRuntime)
+    "collect_gs", "trajectory_gs", "distance_gs",
     // topological operators (SQL spellings && / @> / <@ are rewritten to
     // these names by the query translation layer — SURVEY §2.2 note)
     "op_overlaps", "op_contains", "op_contained", "op_adjacent",

@@ -20,8 +20,18 @@ object MobRuntime {
   private def mob(dt: DataType): String = kd(dt).getOrElse("")
 
   /** Static return type per (name, argument types). */
+  /** The reference's benchmark q5 calls the `_gs`-suffixed geometry
+    * functions (disabled in its HEAD but used by the recorded results —
+    * SURVEY SS2.2 "Disabled-in-HEAD"): alias them to our equivalents. */
+  private def canonical(n: String): String = n match {
+    case "collect_gs" => "st_collect"
+    case "trajectory_gs" => "trajectory"
+    case "distance_gs" => "st_distance"
+    case other => other
+  }
+
   def retType(name0: String, ts: Seq[DataType]): DataType = {
-    val name = name0.toLowerCase
+    val name = canonical(name0.toLowerCase)
     def t0 = ts.head
     def k0 = mob(t0)
     def k1 = if (ts.length > 1) mob(ts(1)) else ""
@@ -226,7 +236,7 @@ object MobRuntime {
     * String / Long / Int / Double / Boolean / Array[Byte] / Array[Long] /
     * Array[Double] / Array[String] / IndexedSeq[MobVal]. */
   def eval(name0: String, args: IndexedSeq[Any]): Any = {
-    val name = name0.toLowerCase
+    val name = canonical(name0.toLowerCase)
     def a0 = args(0)
     def a1 = args(1)
     def str0 = a0.asInstanceOf[String]

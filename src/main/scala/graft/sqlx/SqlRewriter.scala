@@ -64,6 +64,9 @@ object SqlRewriter {
     // function spelling differences
     s = s.replaceAll("(?i)\\bST_AsText\\s*\\(", "st_astext(")
     s = s.replaceAll("(?i)\\bST_GeomFromText\\s*\\(", "st_geomfromtext(")
+    // DuckDB's list() aggregate = Spark's collect_list() (benchmark q5;
+    // \b keeps collect_list/string_split intact — '_' is a word char)
+    s = s.replaceAll("(?i)\\blist\\s*\\(", "collect_list(")
     s = """(?is)^\s*SELECT\s+\*\s+FROM\s+setUnnest\s*\((.*)\)\s*$""".r
       .replaceAllIn(s, m => s"SELECT explode(set_elements(${m.group(1)}))")
 
