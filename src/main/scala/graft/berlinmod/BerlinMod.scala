@@ -440,7 +440,7 @@ object BerlinMod {
     * (no DISTINCT); so do we. */
   private[graft] def q16Sql: String =
     s"""WITH hits AS (
-         SELECT r.RegionId, p.PeriodId, t.TripId, t.VehicleId,
+         SELECT r.RegionId, p.PeriodId, p.Period, t.TripId, t.VehicleId,
            atTime(t.Trip, p.Period) AS clip
          FROM Trips t, Regions1 r, Periods1 p
          WHERE t.VehicleId IN (SELECT VehicleId FROM Licences1
@@ -450,7 +450,7 @@ object BerlinMod {
            AND t.ttmin <= p.Tend AND p.Tstart <= t.ttmax
            AND atTime(t.Trip, p.Period) IS NOT NULL
            AND st_intersects(trajectory(atTime(t.Trip, p.Period)), r.Geom))
-       SELECT h1.PeriodId, h1.RegionId,
+       SELECT h1.PeriodId, asText(h1.Period) AS Period, h1.RegionId,
          l1.Licence AS Licence1, l2.Licence AS Licence2
        FROM hits h1
        JOIN Licences1 l1 ON h1.VehicleId = l1.VehicleId

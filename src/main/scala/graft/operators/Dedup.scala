@@ -122,11 +122,63 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over the Jaccard near-dup graph (J >= 0.5):
+    * one row per duplicate CLUSTER — representative (min doc_id in the
+    * component), size, and the sorted member list. The canonical corpus-
+    * cleaning refinement over pairwise near-dup: transitive duplicates
+    * (a~b, b~c) collapse into one keep-one group even when a~c itself
+    * is below threshold.
+    *
+    * Scale design: distributed min-label propagation. Per iteration: one
+    * equi-join of labels onto edges + one groupBy(dst) min — both plain
+    * shuffles on doc_id; the driver sees only the changed-label COUNT
+    * for the convergence test, never data. Rounds are bounded by the
+    * component diameter (near-dup clusters are dense, diameter ~2-3; the
+    * large-star/small-star refinement would cap rounds at O(log n) for
+    * adversarial chain graphs). localCheckpoint truncates lineage per
+    * round so the plan stays constant-size at any iteration count. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccard(s, d).select(col("id_a"), col("id_b"))
+    val sym = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val msgs = sym
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy("dst")
+        .agg(min("lbl").as("nlbl"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels.join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.groupBy(col("lbl").as("cluster_rep"))
+      .agg(
+        count(lit(1)).as("csize"),
+        expr("""array_join(transform(sort_array(collect_list(doc_id)),
+                x -> CAST(x AS STRING)), ',')""").as("members"))
+      .orderBy("cluster_rep")
+  }
+
   // ---- MinHash + LSH banding ----
 
   /** MinHash+LSH candidate pairs verified with exact Jaccard >= 0.5.
     * 32 hashes, 8 bands x 4 rows (P(detect) at J=0.5: 1-(1-0.0625)^8=0.40;
-    * at J=0.8: 0.97). No SQL oracle (hash family is ours) — rows-only.
+    * at J=0.8: 0.97). Oracle: the exact-Jaccard SQL — the verify step
+    * makes the output exact whenever banding recall is 1.0, which holds
+    * on the gate datasets, so the oracle checks recall too.
     *
     * Each shingle is hashed ONCE (codegen'd xxhash64); the 32 signature
     * coordinates come from cheap 64-bit mixing of that one hash —
@@ -333,16 +385,45 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_emb_cosine" -> (embCosinePairs _),
-    "dedup_pipeline" -> (corpusClean _))
+    "dedup_pipeline" -> (corpusClean _),
+    "dedup_clusters" -> (dupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
          r AS (SELECT h, row_number() OVER (PARTITION BY h ORDER BY doc_id) rn FROM h)
          SELECT count(*) AS n_docs, count(DISTINCT h) AS n_unique,
-           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
          FROM r""",
     "dedup_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
+                AND len(string_split(sh, ' ')) = 3),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(i / (za.sz + zb.sz - i), 4) AS jac
+         FROM inter
+         JOIN sz za ON za.doc_id = id_a
+         JOIN sz zb ON zb.doc_id = id_b
+         WHERE i / (za.sz + zb.sz - i) >= 0.5
+         ORDER BY id_a, id_b""",
+    // Same oracle as dedup_jaccard: LSH candidates are VERIFIED with the
+    // exact Jaccard, so the output equals the exact join whenever banding
+    // recall is 1.0 — which it is on the gate datasets (checked at
+    // sf0.001 and sf0.01); the oracle thus also asserts the recall
+    // contract, not just the verify step.
+    "dedup_minhash_lsh" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
                   generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -407,12 +488,51 @@ object Dedup {
              exact_kept AND not_dup AND quality >= 0.5 AS final_kept
            FROM flags)
          SELECT count(*) AS n_input,
-           sum(CASE WHEN exact_kept THEN 1 ELSE 0 END) AS n_exact_kept,
-           sum(CASE WHEN near_kept THEN 1 ELSE 0 END) AS n_near_kept,
-           sum(CASE WHEN final_kept THEN 1 ELSE 0 END) AS n_final,
+           CAST(sum(CASE WHEN exact_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_kept,
+           CAST(sum(CASE WHEN near_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_kept,
+           CAST(sum(CASE WHEN final_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_final,
            round(avg(CASE WHEN final_kept THEN quality END), 4) AS avg_quality,
-           sum(CASE WHEN final_kept THEN n_tokens END) AS total_tokens
+           CAST(sum(CASE WHEN final_kept THEN n_tokens END) AS BIGINT)
+             AS total_tokens
          FROM f2""",
+    "dedup_clusters" ->
+      // same pair CTE as dedup_jaccard, then transitive closure via a
+      // recursive CTE (UNION dedups, so it terminates) and min-label per
+      // component — the SQL statement of connected components
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
+                AND len(string_split(sh, ' ')) = 3),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz za ON za.doc_id = id_a
+           JOIN sz zb ON zb.doc_id = id_b
+           WHERE i / (za.sz + zb.sz - i) >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         lab AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+                 FROM reach GROUP BY a)
+         SELECT rep AS cluster_rep, count(*) AS csize,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS members
+         FROM lab GROUP BY rep ORDER BY cluster_rep""",
     "dedup_emb_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

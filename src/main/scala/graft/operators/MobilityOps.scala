@@ -275,8 +275,9 @@ object MobilityOps {
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
            FROM e)
          SELECT user_id,
-           round(coalesce(sum(CASE WHEN hot AND nxt IS NOT NULL
-             THEN epoch(nxt) - epoch(ts) END), 0), 6) AS true_s
+           round(CAST(coalesce(sum(CASE WHEN hot AND nxt IS NOT NULL
+             THEN epoch_us(nxt) - epoch_us(ts) END), 0) AS BIGINT)
+             / 1000000.0, 6) AS true_s
          FROM s GROUP BY user_id ORDER BY user_id""",
     "mob_q8_asof_join" ->
       s"""$E, probe AS (

@@ -64,7 +64,11 @@ object Multimodal {
 
   private def encodeBatch(rows: Iterator[(Long, String)]): Iterator[MediaRow] =
     rows.map { case (id, text) =>
-      val tb = text.getBytes("UTF-8")
+      // empty docs pad to one space byte so the cycled fill in encodePpm
+      // never divides by zero; the DuckDB oracle mirrors the convention
+      // via coalesce(nullif(text, ''), ' ')
+      val raw = text.getBytes("UTF-8")
+      val tb = if (raw.isEmpty) Array[Byte](' '.toByte) else raw
       if (id % 2 == 0) encodePpm(id, tb) else encodeWav(id, tb)
     }
 
@@ -184,7 +188,9 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        encodeFrames(id, text.getBytes("UTF-8"))
+        // same empty-doc pad convention as encodeBatch
+        val raw = text.getBytes("UTF-8")
+        encodeFrames(id, if (raw.isEmpty) Array[Byte](' '.toByte) else raw)
       })
       .mapPartitions(_.map { case (id, p) => decodeFrames(id, p) })
       .toDF()
@@ -227,12 +233,15 @@ object Multimodal {
     * WAV = 44). Documents are ASCII, so ascii(char) = utf8 byte. */
   val oracles: Map[String, String] = Map(
     "media_frames" ->
-      """WITH m AS (
+      """WITH p AS (
+           SELECT doc_id, coalesce(nullif(text, ''), ' ') AS text
+           FROM documents),
+         m AS (
            SELECT doc_id, string_split(text, '') AS cs,
              octet_length(CAST(text AS BLOB)) AS len,
              greatest(1, octet_length(CAST(text AS BLOB)) // 24) AS h,
              1 + doc_id % 4 AS k
-           FROM documents),
+           FROM p),
          f AS (
            SELECT doc_id, k, (k + 1) // 2 AS sampled,
              list_avg(list_transform(range(24 * h),
@@ -243,16 +252,19 @@ object Multimodal {
                    list_transform(range(3), c -> (y * 8 + x) * 3 + c))))),
                i -> ascii(cs[1 + (i % len)]))) AS mean_resized
            FROM m)
-         SELECT count(*) AS n_media, sum(k) AS total_frames,
-           sum(sampled) AS total_sampled,
+         SELECT count(*) AS n_media, CAST(sum(k) AS BIGINT) AS total_frames,
+           CAST(sum(sampled) AS BIGINT) AS total_sampled,
            round(avg(mean_sampled), 4) AS avg_sampled,
            round(avg(mean_resized), 4) AS avg_resized
          FROM f""",
     "media_features" ->
-      """WITH m AS (
+      """WITH p AS (
+           SELECT doc_id, coalesce(nullif(text, ''), ' ') AS text
+           FROM documents),
+         m AS (
            SELECT doc_id, string_split(text, '') AS cs,
              octet_length(CAST(text AS BLOB)) AS len
-           FROM documents),
+           FROM p),
          ppm AS (
            SELECT doc_id, len, cs,
              greatest(1, len // 24) AS h
@@ -277,8 +289,9 @@ object Multimodal {
                0.0) AS mean_unit
            FROM wav),
          allf AS (SELECT * FROM ppm_f UNION ALL SELECT * FROM wav_f)
-         SELECT format, count(*) AS n_media, sum(n_bytes) AS total_bytes,
-           sum(n_units) AS total_units,
+         SELECT format, count(*) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_units) AS BIGINT) AS total_units,
            round(avg(mean_unit), 4) AS avg_unit
          FROM allf GROUP BY format ORDER BY format""")
 }

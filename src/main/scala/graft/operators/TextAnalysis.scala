@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -93,11 +94,58 @@ object TextAnalysis {
         sum(when(col("n_docs") > 1, col("n_docs") - 1).otherwise(0))
           .as("n_shadowed"))
 
+  /** Top-3 terms per document by tf-idf (idf = ln(N/df), natural log).
+    * idf is quantized to 6 decimals BEFORE the tf*idf product, so the
+    * ranking doubles are bit-identical across engines (the only
+    * cross-engine float risk would be the last ulp of ln, which the
+    * quantization absorbs). One term explode + two hash aggregates +
+    * one broadcast-size df join — the scan-shaped plan that runs
+    * unchanged over a 100 TB corpus. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("idf", round(log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 4).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Exact token-count quantiles per language — Spark's sort-based
+    * `percentile` (linear interpolation, same definition as DuckDB's
+    * quantile_cont). Per-group state is the value multiset; for a
+    * 100 TB corpus swap in approx_percentile (t-digest, mergeable,
+    * bounded memory) — this entry keeps the exact variant because the
+    * oracle demands exactness. */
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tokens, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_tokens, 0.75)"), 4).as("p75"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_tokens, 0.99)"), 4).as("p99"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_token_counts" -> (tokenCounts _),
     "text_lang_id" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_tfidf" -> (tfidf _),
+    "text_length_quantiles" -> (lengthQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" ->
@@ -118,8 +166,9 @@ object TextAnalysis {
              + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(text)), 4) AS quality
          FROM t ORDER BY doc_id""",
     "text_token_counts" ->
-      """SELECT sum(len(string_split(text, ' '))) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))) AS bpe_tokens,
+      """SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')))
+             AS BIGINT) AS bpe_tokens,
            round(avg(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))), 4)
              AS avg_bpe_per_doc
          FROM documents""",
@@ -144,6 +193,31 @@ object TextAnalysis {
                   count(*) AS n_docs, min(doc_id) AS keep_id
            FROM documents GROUP BY 1)
          SELECT count(*) AS n_fingerprints,
-           sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS n_shadowed
-         FROM fp""")
+           CAST(sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS BIGINT)
+             AS n_shadowed
+         FROM fp""",
+    "text_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT doc_id, term, tf,
+                  round(ln(CAST(n.n AS DOUBLE) / df), 6) AS idf
+                FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, tf * idf AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf * idf DESC, term ASC) AS rank
+               FROM sc)
+         SELECT doc_id, rank, term, round(score, 4) AS tfidf
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "text_length_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(len(string_split(text, ' ')), 0.25), 4) AS p25,
+           round(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50,
+           round(quantile_cont(len(string_split(text, ' ')), 0.75), 4) AS p75,
+           round(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90,
+           round(quantile_cont(len(string_split(text, ' ')), 0.99), 4) AS p99
+         FROM documents GROUP BY lang ORDER BY lang""")
 }

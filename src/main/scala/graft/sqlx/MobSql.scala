@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions.col
   */
 object MobSql {
 
+  private val buildSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val createIndexRe =
     """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+TRTREE\s*\(\s*(\w+)\s*\)\s*;?\s*$""".r
 
@@ -43,8 +45,13 @@ object MobSql {
       .filter(st.fieldNames.contains)
       .map(f => col(s"$boxCol.$f"))
     require(keys.nonEmpty, s"$boxCol has no box/span min fields to cluster on")
+    // fresh path per build: a re-issued CREATE INDEX would otherwise read
+    // and overwrite the same parquet dir the view is bound to, which
+    // Spark rejects ("Cannot overwrite a path that is also being read
+    // from") — monotone suffix makes the statement idempotent
     val dir = new java.io.File(
-      s"target/trtree_${table}_$idxName").getAbsolutePath
+      s"target/trtree_${table}_${idxName}_${buildSeq.incrementAndGet()}")
+      .getAbsolutePath
     df.repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(dir)

@@ -64,9 +64,14 @@ object SqlRewriter {
     // function spelling differences
     s = s.replaceAll("(?i)\\bST_AsText\\s*\\(", "st_astext(")
     s = s.replaceAll("(?i)\\bST_GeomFromText\\s*\\(", "st_geomfromtext(")
-    // DuckDB's list() aggregate = Spark's collect_list() (benchmark q5;
-    // \b keeps collect_list/string_split intact — '_' is a word char)
-    s = s.replaceAll("(?i)\\blist\\s*\\(", "collect_list(")
+    // DuckDB's list() aggregate = Spark's collect_list() (benchmark q5).
+    // Bare call position only: \b keeps collect_list/string_split intact
+    // ('_' is a word char), (?<!\.) skips qualified names like
+    // schema.list(x), and string literals are left untouched. DuckDB's
+    // list(x ORDER BY y) form is NOT supported (Spark's collect_list
+    // cannot parse it) — callers sort upstream instead.
+    s = mapOutsideLiterals(s)(
+      _.replaceAll("(?i)(?<!\\.)\\blist\\s*\\(", "collect_list("))
     s = """(?is)^\s*SELECT\s+\*\s+FROM\s+setUnnest\s*\((.*)\)\s*$""".r
       .replaceAllIn(s, m => s"SELECT explode(set_elements(${m.group(1)}))")
 
@@ -182,6 +187,31 @@ object SqlRewriter {
       idx = indexOfIgnoreCase(s, "cast", from)
     }
     s
+  }
+
+  /** Apply `f` to the segments of `s` outside single-quoted SQL string
+    * literals ('' escapes a quote), leaving literal bodies untouched. */
+  private def mapOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    var inLit = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inLit) {
+        if (c == '\'') { out.append(f(seg.toString)); seg.clear(); out.append(c); inLit = true }
+        else seg.append(c)
+      } else {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+      }
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {

@@ -85,7 +85,8 @@ class BerlinModSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   test("q16 period-region disjoint pairs keep licence order") {
     assert(results("q16") != null)
-    assert(results("q16").forall(r => r.getString(2) < r.getString(3)))
+    // (PeriodId, Period, RegionId, Licence1, Licence2) per the reference
+    assert(results("q16").forall(r => r.getString(3) < r.getString(4)))
   }
   test("q17 most-visited points all share the max hit count") {
     val q17 = results("q17")
