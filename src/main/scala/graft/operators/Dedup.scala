@@ -253,6 +253,63 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fully-relational SimHash — the oracle-checkable sibling of
+    * [[simhash]]. Token hash = the lower 64 bits of md5, assembled to
+    * match DuckDB's `md5_number_lower` exactly (last 8 digest bytes,
+    * LITTLE-endian) with conv/substring arithmetic; the 64 bit-votes are
+    * 64 conditional-sum aggregates in ONE groupBy (no 64x explode —
+    * vote state rides the same single hash shuffle as any groupBy);
+    * bands/hamming identical to [[simhash]]. Same scan-shaped plan at
+    * 100 TB. The xxhash64 kernel variant stays the fast path — this one
+    * pays ~3x on token hashing to buy an exact cross-engine oracle. */
+  def simhashRel(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val th = toks
+      .withColumn("hx", md5(col("tok")))
+      .withColumn("h", expr(
+        """aggregate(sequence(0, 7), cast(0 as bigint),
+           (acc, k) -> acc + shiftleft(
+             cast(conv(substring(hx, 17 + 2 * k, 2), 16, 10) as bigint),
+             8 * k))"""))
+    val votes = (0 until 64).map { i =>
+      sum(when(expr(s"shiftrightunsigned(h, $i) & 1") === 1, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val voted = th.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    def bandVal(b: Int) = (0 until 16).map { j =>
+      when(col(s"v${16 * b + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _).as(s"b$b")
+    val piv = voted.select(col("doc_id") +: (0 until 4).map(bandVal): _*)
+    val bands = piv.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+    // same mega-bucket hygiene as minhashLsh: a band value shared by
+    // hundreds of docs is non-discriminative and quadratically explosive
+    // (synthetic small-vocab corpora hit this hard) — cap at 64, the
+    // oracle applies the identical cap via a count window
+    val bandSizes = bands.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
+    val pruned = bands.join(bandSizes.filter(col("bsz") <= 64), Seq("band", "bv"))
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(piv.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "id_a")
+      .join(piv.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "id_b")
+      .withColumn("dist", expr(
+        """bit_count(a0 ^ c0) + bit_count(a1 ^ c1) +
+           bit_count(a2 ^ c2) + bit_count(a3 ^ c3)""").cast("long"))
+      .filter(col("dist") <= 8)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- embedding cosine near-dup ----
 
   /** One packed row per block of vectors: ids sorted ascending, vectors
@@ -386,7 +443,8 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_emb_cosine" -> (embCosinePairs _),
     "dedup_pipeline" -> (corpusClean _),
-    "dedup_clusters" -> (dupClusters _))
+    "dedup_clusters" -> (dupClusters _),
+    "dedup_simhash_rel" -> (simhashRel _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -533,6 +591,49 @@ object Dedup {
          SELECT rep AS cluster_rep, count(*) AS csize,
            string_agg(doc_id, ',' ORDER BY doc_id) AS members
          FROM lab GROUP BY rep ORDER BY cluster_rep""",
+    "dedup_simhash_rel" ->
+      // exact mirror of simhashRel: md5_number_lower is the same 64-bit
+      // value Spark assembles from the md5 hex (last 8 bytes, LE)
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+         votes AS (
+           SELECT doc_id, b.i,
+             sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) b
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, CAST(i // 16 AS INTEGER) AS band,
+             CAST(sum(CASE WHEN v > 0 THEN 1 << (i % 16) ELSE 0 END)
+               AS BIGINT) AS bv
+           FROM votes GROUP BY 1, 2),
+         piv AS (
+           SELECT doc_id,
+             max(CASE WHEN band = 0 THEN bv END) AS b0,
+             max(CASE WHEN band = 1 THEN bv END) AS b1,
+             max(CASE WHEN band = 2 THEN bv END) AS b2,
+             max(CASE WHEN band = 3 THEN bv END) AS b3
+           FROM bands GROUP BY 1),
+         pruned AS (
+           SELECT * FROM (
+             SELECT doc_id, band, bv,
+               count(*) OVER (PARTITION BY band, bv) AS bsz
+             FROM bands) WHERE bsz <= 64),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM pruned a JOIN pruned b
+             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT id_a, id_b,
+             bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1)) +
+             bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+               AS dist
+           FROM cand
+           JOIN piv pa ON pa.doc_id = id_a
+           JOIN piv pb ON pb.doc_id = id_b)
+         SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+         FROM scored WHERE dist <= 8 ORDER BY id_a, id_b""",
     "dedup_emb_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

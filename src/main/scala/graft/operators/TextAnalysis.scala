@@ -139,13 +139,34 @@ object TextAnalysis {
         round(expr("percentile(n_tokens, 0.99)"), 4).as("p99"))
       .orderBy("lang")
 
+  /** Deterministic 10% stratified sample per language: docs are ordered
+    * within each stratum by an engine-portable pseudo-random key (md5 of
+    * the decimal doc_id — identical string in any engine) and the first
+    * ceil(n/10) kept. Exact-k per stratum needs the per-stratum sort;
+    * at 100 TB trade exact-k for a hash-threshold filter (keep iff
+    * hash < p * 2^64) — a pure scan with no window, same sample in
+    * expectation. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val w = byLang.orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("sample_rank", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("sample_rank") <= ceil(col("n") / lit(10.0)))
+      .select(col("lang"), col("sample_rank"), col("doc_id"))
+      .orderBy("lang", "sample_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_token_counts" -> (tokenCounts _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf" -> (tfidf _),
-    "text_length_quantiles" -> (lengthQuantiles _))
+    "text_length_quantiles" -> (lengthQuantiles _),
+    "text_sample_stratified" -> (sampleStratified _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" ->
@@ -219,5 +240,15 @@ object TextAnalysis {
            round(quantile_cont(len(string_split(text, ' ')), 0.75), 4) AS p75,
            round(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90,
            round(quantile_cont(len(string_split(text, ' ')), 0.99), 4) AS p99
-         FROM documents GROUP BY lang ORDER BY lang""")
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "text_sample_stratified" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang, sample_rank, doc_id
+         FROM t WHERE sample_rank <= ceil(n / 10.0)
+         ORDER BY lang, sample_rank""")
 }
