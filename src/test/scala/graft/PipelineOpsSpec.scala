@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.util.Tables
+
+/** Behavioral properties of the round-4 pipeline operators: dup-graph
+  * connected components, the relational (oracle-checkable) SimHash, the
+  * tf-idf / quantile / stratified-sampling text ops, and the empty-doc
+  * robustness of the multimodal codecs. */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val d = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("dup clusters: pairs co-clustered, reps are min members, exact cover") {
+    val pairs = Dedup.jaccard(spark, d).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val memberOf = clusters.flatMap { case (rep, _, ms) =>
+      ms.split(",").map(_.toLong -> rep)
+    }.toMap
+    // both endpoints of every near-dup pair land in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(memberOf(a) == memberOf(b), s"pair ($a,$b) split across clusters")
+    }
+    // representative is the minimum member; members sorted; size matches
+    clusters.foreach { case (rep, n, ms) =>
+      val m = ms.split(",").map(_.toLong)
+      assert(m.length == n)
+      assert(m.min == rep)
+      assert(m.sorted.sameElements(m))
+    }
+    // clusters cover exactly the docs that appear in some pair
+    assert(memberOf.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
+  test("relational simhash token hash equals md5 lower-64 (little-endian)") {
+    val toks = Seq("alpha", "beta", "gamma delta", "42", "été")
+    val got = spark.createDataFrame(toks.map(Tuple1(_))).toDF("tok")
+      .withColumn("hx", md5(col("tok")))
+      .withColumn("h", expr(
+        """aggregate(sequence(0, 7), cast(0 as bigint),
+           (acc, k) -> acc + shiftleft(
+             cast(conv(substring(hx, 17 + 2 * k, 2), 16, 10) as bigint),
+             8 * k))"""))
+      .select("tok", "h").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.foreach { t =>
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      var exp = 0L
+      var k = 0
+      while (k < 8) { exp |= (dg(8 + k).toLong & 0xFF) << (8 * k); k += 1 }
+      assert(got(t) == exp, s"token '$t'")
+    }
+  }
+
+  test("simhash_rel / tfidf / sample plans carry no ScalaUDF") {
+    Seq(
+      ("dedup_simhash_rel", Dedup.simhashRel(spark, d)),
+      ("text_tfidf", TextAnalysis.tfidf(spark, d)),
+      ("text_sample_stratified", TextAnalysis.sampleStratified(spark, d)))
+      .foreach { case (n, df) =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("ScalaUDF"), s"$n plan contains a ScalaUDF")
+      }
+  }
+
+  test("stratified sample keeps exactly ceil(n/10) per language") {
+    val perLang = Tables.documents(spark, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = TextAnalysis.sampleStratified(spark, d).collect()
+    val got = sampled.groupBy(_.getString(0))
+    perLang.foreach { case (lang, n) =>
+      val rows = got(lang)
+      val want = math.ceil(n / 10.0).toLong
+      assert(rows.length == want, s"$lang: ${rows.length} != $want")
+      // ranks are the contiguous prefix 1..k
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to want.toInt))
+    }
+  }
+
+  test("token-length quantiles are monotone per language") {
+    TextAnalysis.lengthQuantiles(spark, d).collect().foreach { r =>
+      val qs = (2 to 6).map(r.getDouble)
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b }, qs)
+    }
+  }
+
+  test("tfidf: 3 rows per doc, ranks 1..3, scores non-increasing") {
+    val rows = TextAnalysis.tfidf(spark, d).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      assert(rs.length == 3, s"doc $doc")
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).sameElements(Seq(1, 2, 3)))
+      val sc = byRank.map(_.getDouble(3))
+      assert(sc(0) >= sc(1) && sc(1) >= sc(2), s"doc $doc: ${sc.toSeq}")
+    }
+  }
+
+  test("multimodal codecs survive empty documents (pad convention)") {
+    val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
+    spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
+        (3L, "three tokens here")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val feats = Multimodal.mediaFeatures(spark, tmp.getPath).collect()
+    assert(feats.length == 2) // one ppm row, one wav row
+    val frames = Multimodal.mediaFrames(spark, tmp.getPath).collect()
+    assert(frames.length == 1 && frames(0).getLong(0) == 4) // n_media
+  }
+}

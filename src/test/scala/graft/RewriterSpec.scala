@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sqlx.{MobSql, SqlRewriter}
+
+/** Unit tests for the SQL rewriter edge cases and the TRTREE DDL path. */
+class RewriterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("list() rewrites to collect_list() only in bare call position") {
+    assert(SqlRewriter.rewrite("SELECT list(x) FROM t")
+      .contains("collect_list(x)"))
+    // qualified names are not call sites
+    assert(SqlRewriter.rewrite("SELECT schema.list(x) FROM t")
+      .contains("schema.list(x)"))
+    // string literals are untouched
+    val lit = SqlRewriter.rewrite("SELECT 'a list (of things)' AS s FROM t")
+    assert(lit.contains("'a list (of things)'"), lit)
+    // escaped quotes inside literals keep the literal boundary
+    val esc = SqlRewriter.rewrite(
+      "SELECT 'it''s a list(x)' AS s, list(y) FROM t")
+    assert(esc.contains("'it''s a list(x)'") && esc.contains("collect_list(y)"),
+      esc)
+    // word-boundary: collect_list / string_split stay intact
+    assert(SqlRewriter.rewrite("SELECT collect_list(x) FROM t")
+      .contains("collect_list(x)"))
+  }
+
+  test("CREATE INDEX ... USING TRTREE is idempotent (fresh layout path)") {
+    spark.createDataFrame(Seq((1, 1.0, 2.0), (2, 3.0, 4.0), (3, 5.0, 6.0)))
+      .toDF("id", "xmin", "xmax")
+      .selectExpr("id", "named_struct('xmin', xmin, 'xmax', xmax) AS box")
+      .createOrReplaceTempView("idx_t")
+    MobSql.run(spark, "CREATE INDEX i1 ON idx_t USING TRTREE(box)")
+    val afterFirst = spark.table("idx_t").count()
+    // re-issuing the same DDL used to fail with "Cannot overwrite a path
+    // that is also being read from" — must succeed and keep the rows
+    MobSql.run(spark, "CREATE INDEX i1 ON idx_t USING TRTREE(box)")
+    assert(spark.table("idx_t").count() == afterFirst)
+    assert(afterFirst == 3)
+  }
+}
