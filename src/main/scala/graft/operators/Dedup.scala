@@ -139,10 +139,25 @@ object Dedup {
     * round so the plan stays constant-size at any iteration count. */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccard(s, d).select(col("id_a"), col("id_b"))
-    val sym = pairs
+    // pre-partition the (static) edge table on the join key once: the
+    // persisted partitioning satisfies each round's join requirement, so
+    // per iteration only the (much smaller) label side shuffles. The
+    // iteration partition count follows the EDGE count, not the session
+    // default — the dup graph is orders of magnitude smaller than the
+    // corpus, and running a 256-edge round through 32-way exchanges is
+    // pure scheduling overhead (at 100 TB the same formula widens).
+    val symAll = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst")
+      .persist()
+    val nEdges = symAll.count()
+    val parts = math.max(4, math.min(s.sparkContext.defaultParallelism,
+      (nEdges / 500000L).toInt + 1))
+    val sym = symAll.repartition(parts, col("src")).persist()
+    sym.count()
+    symAll.unpersist()
     var labels = sym.select(col("src").as("doc_id")).distinct()
+      .repartition(parts, col("doc_id"))
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
@@ -150,17 +165,19 @@ object Dedup {
     while (changed > 0 && iter < 50) {
       val msgs = sym
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .repartition(parts, col("dst")) // agg reuses this exchange
         .groupBy("dst")
         .agg(min("lbl").as("nlbl"))
         .withColumnRenamed("dst", "doc_id")
+      // the changed flag rides the same pass — no separate old-vs-new
+      // join, so each round is exactly one join + one aggregate
       val next = labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       iter += 1
     }
     sym.unpersist()
