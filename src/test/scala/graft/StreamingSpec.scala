@@ -118,6 +118,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming near-dup LSH emits the planted pair, no false pairs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    // safe here: candidates always carry the in-batch arrival ts (see
+    // nearDupPairs scaladoc), so the conservative global-watermark check
+    // can be disabled for this query
+    sp.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = graft.streaming.StreamNearDup.nearDupPairs(spark, docs)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog " +
+        "while seventeen sleepy cats watch from the warm windowsill nearby"
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), base),
+        (3L, ts("2024-01-01 10:01:00"),
+          "completely unrelated text about distributed query engines " +
+            "and their shuffle partitioning strategies at petabyte scale"))
+      q.processAllAvailable()
+      // near-identical doc arrives later: one word changed
+      input.addData((2L, ts("2024-01-01 10:05:00"),
+        base.replace("seventeen", "eighteen")))
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-02 00:00:00"),
+        "watermark advance row with enough tokens to shingle"))
+      q.processAllAvailable()
+      val pairs = spark.sql(
+        "SELECT id_a, id_b FROM neardup_out ORDER BY id_a, id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs == Seq((1L, 2L)), s"got $pairs")
+    } finally {
+      q.stop()
+      sp.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("streaming dedup drops within-horizon duplicates, keeps first") {
     val sp = spark
     import sp.implicits._
