@@ -453,6 +453,27 @@ object Dedup {
       sum(when(col("final_kept"), col("n_tokens"))).as("total_tokens"))
   }
 
+  /** Multi-signal ("ensemble") near-dup pairs: the union of the exact
+    * shingle-Jaccard pairs and the exact embedding-cosine pairs, with a
+    * provenance column saying which signal(s) flagged the pair — the
+    * standard shape when a cleaning pipeline combines a lexical and a
+    * semantic detector and routes by agreement. FULL OUTER join on the
+    * pair key: both inputs are pair-sized (tiny vs the corpus), so the
+    * join cost is negligible next to the detectors themselves. */
+  def ensemblePairs(s: SparkSession, d: String): DataFrame = {
+    val txt = jaccard(s, d)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_text"))
+    val emb = embCosinePairs(s, d)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_emb"))
+    txt.join(emb, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(coalesce(col("by_text"), lit(false)) &&
+          coalesce(col("by_emb"), lit(false)), "both")
+          .when(coalesce(col("by_text"), lit(false)), "text")
+          .otherwise("embedding").as("src"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_jaccard" -> (jaccard _),
@@ -461,7 +482,8 @@ object Dedup {
     "dedup_emb_cosine" -> (embCosinePairs _),
     "dedup_pipeline" -> (corpusClean _),
     "dedup_clusters" -> (dupClusters _),
-    "dedup_simhash_rel" -> (simhashRel _))
+    "dedup_simhash_rel" -> (simhashRel _),
+    "dedup_ensemble" -> (ensemblePairs _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -657,5 +679,39 @@ object Dedup {
            round(list_cosine_similarity(a.v, b.v), 5) AS cos
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         ORDER BY id_a, id_b""",
+    "dedup_ensemble" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
+                AND len(string_split(sh, ' ')) = 3),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         tp AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz za ON za.doc_id = id_a
+           JOIN sz zb ON zb.doc_id = id_b
+           WHERE i / (za.sz + zb.sz - i) >= 0.5),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ep AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+         SELECT coalesce(tp.id_a, ep.id_a) AS id_a,
+           coalesce(tp.id_b, ep.id_b) AS id_b,
+           CASE WHEN tp.id_a IS NOT NULL AND ep.id_a IS NOT NULL THEN 'both'
+                WHEN tp.id_a IS NOT NULL THEN 'text'
+                ELSE 'embedding' END AS src
+         FROM tp FULL OUTER JOIN ep
+           ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b
          ORDER BY id_a, id_b""")
 }
