@@ -94,6 +94,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n${p.take(1200)}")
   }
 
+  test("bucketed tables join with ZERO exchange (co-located shuffle-free join)") {
+    // the 100 TB fact-fact join technique: both tables written bucketed
+    // on the join key -> SortMergeJoin consumes the bucket layout
+    // directly, no Exchange on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, d).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_bkt")
+      Tables.lineitem(spark, d).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_bkt")
+      val j = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("l_quantity").as("qty"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      // the only exchange allowed is the one for the groupBy AFTER the
+      // join — neither join input may shuffle
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"join inputs must read bucket layout directly\n${joinPart.take(1200)}")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("box-overlap predicate is a sargable column comparison (no UDF in filter)") {
     // the stbox fields are plain columns: a constant-box overlap compiles
     // to min/max comparisons that parquet stats can prune
