@@ -33,6 +33,7 @@ object SparkEntry {
     "rel_q12_explode" -> Relational.q12Explode _,
     "rel_q13_offset" -> Relational.q13Offset _,
     "rel_q14_theta_join" -> Relational.q14ThetaJoin _,
+    "rel_q15_salted_join" -> Relational.q15SaltedJoin _,
     "berlinmod_e2e" -> ((s: SparkSession, _: String) => {
       // full mobility workload on deterministic synthetic data
       // (rows-only check: 17 rows, one per BerlinMOD query)
@@ -135,6 +136,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 10 OFFSET 10""",
+    "rel_q15_salted_join" ->
+      """SELECT o_custkey, count(*) AS cnt,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey
+         ORDER BY cnt DESC, o_custkey ASC LIMIT 20""",
     "rel_q14_theta_join" ->
       """SELECT win_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events e JOIN (VALUES

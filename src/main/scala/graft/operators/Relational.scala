@@ -194,4 +194,38 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .orderBy("win_id")
   }
+
+  /** Salted equi-join for skewed keys — the manual fallback when AQE's
+    * skew-join split cannot apply (e.g. the skewed side feeds a
+    * bucket-preserving operator). Each fact ROW gets a deterministic
+    * salt from its content hash; the (small) dim side is exploded into
+    * `salt` replicas; the join key becomes (key, salt), so a hot key's
+    * rows spread over `salt` reducers instead of one. Inner-join
+    * semantics are unchanged: every fact row still matches exactly the
+    * one dim replica carrying its salt. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val factS = fact.withColumn("_salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salt)).cast("int"))
+    val dimS = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    factS.join(dimS, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Driver-contract entry for [[saltedJoin]]: lineitem x orders on the
+    * order key with salt 8, aggregated per customer — identical rows to
+    * the plain join (the DuckDB oracle), which is exactly the property
+    * that makes salting safe to drop into a skewed plan. */
+  def q15SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity")
+    val dim = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    saltedJoin(fact, dim, "l_orderkey", 8)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("cnt").desc, col("o_custkey").asc)
+      .limit(20)
+  }
 }

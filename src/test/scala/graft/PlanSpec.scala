@@ -126,6 +126,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("salted join spreads a hot key and matches the unsalted result") {
+    val fact = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dim = Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val salt = 8
+    val plainRows = fact.join(dim, "l_orderkey").count()
+    val salted = Relational.saltedJoin(fact, dim, "l_orderkey", salt)
+    assert(salted.count() == plainRows)
+    // the join key is (key, salt): hot keys spread across `salt` hash
+    // partitions instead of one
+    val p = plan(salted)
+    assert(p.contains("_salt"), p.take(800))
+    // dim replicas: every key occurs `salt` times on the build side
+    val reps = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+      .groupBy("l_orderkey").count().select("count").distinct().collect()
+    assert(reps.map(_.getLong(0)).toSeq == Seq(salt.toLong))
+  }
+
   test("box-overlap predicate is a sargable column comparison (no UDF in filter)") {
     // the stbox fields are plain columns: a constant-box overlap compiles
     // to min/max comparisons that parquet stats can prune
