@@ -43,7 +43,8 @@ object SparkEntry {
       s.createDataFrame(counts).toDF("query", "rows")
     }),
   ) ++ MobilityOps.queries ++ Dedup.queries ++ Similarity.queries ++
-    TextAnalysis.queries ++ Multimodal.queries
+    TextAnalysis.queries ++ Multimodal.queries ++
+    graft.sources.RoundTrip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -153,5 +154,6 @@ object SparkEntry {
            ON e.ts >= w.lo AND e.ts < w.hi
          GROUP BY win_id ORDER BY win_id""",
   ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-    TextAnalysis.oracles ++ Multimodal.oracles
+    TextAnalysis.oracles ++ Multimodal.oracles ++
+    graft.sources.RoundTrip.oracles
 }

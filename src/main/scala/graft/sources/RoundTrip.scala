@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.util.Tables
+
+/** Source/sink coverage proof: the documents table round-tripped
+  * through JSON lines and ORC (parquet is the driver's native format
+  * and rides along as the control row).
+  *
+  * The check is a content CHECKSUM, not a row count: per row,
+  * md5-lower-64 of "doc_id|text" (assembled to match DuckDB's
+  * `md5_number_lower` exactly — see Dedup.simhashRel), XOR-folded
+  * across the table and masked to 63 bits so both engines agree on
+  * signedness. Any lost row, reordered byte, or mangled character
+  * flips the checksum, so the DuckDB oracle (which reads only the
+  * original parquet) certifies every format's round-trip losslessly.
+  */
+object RoundTrip {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def checksummed(df: DataFrame, format: String): DataFrame =
+    df
+      .withColumn("hx",
+        md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))))
+      .withColumn("h", expr(
+        """aggregate(sequence(0, 7), cast(0 as bigint),
+           (acc, k) -> acc + shiftleft(
+             cast(conv(substring(hx, 17 + 2 * k, 2), 16, 10) as bigint),
+             8 * k))"""))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(h) & 9223372036854775807").as("checksum"))
+      .select(lit(format).as("format"), col("n_docs"), col("checksum"))
+
+  /** One row per format (json, orc, parquet) with identical
+    * (n_docs, checksum) iff the round-trips are lossless. */
+  def roundTrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val fp = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      new java.io.File(d).getCanonicalPath))
+    val base = new java.io.File(s"target/roundtrip_$fp").getAbsolutePath
+    docs.write.mode("overwrite").json(s"$base/json")
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val viaJson = s.read.schema(docSchema).json(s"$base/json")
+    val viaOrc = s.read.orc(s"$base/orc")
+    checksummed(viaJson, "json")
+      .unionAll(checksummed(viaOrc, "orc"))
+      .unionAll(checksummed(docs, "parquet"))
+      .orderBy("format")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("sources_roundtrip" -> (roundTrip _))
+
+  val oracles: Map[String, String] = Map(
+    "sources_roundtrip" ->
+      """WITH c AS (
+           SELECT count(*) AS n_docs,
+             CAST(bit_xor(md5_number_lower(
+               CAST(doc_id AS VARCHAR) || '|' || text))
+               & 9223372036854775807 AS BIGINT) AS checksum
+           FROM documents)
+         SELECT f.format, c.n_docs, c.checksum
+         FROM c CROSS JOIN (VALUES ('json'), ('orc'), ('parquet'))
+           f(format)
+         ORDER BY f.format""")
+}
