@@ -34,6 +34,9 @@ object SparkEntry {
     "rel_q13_offset" -> Relational.q13Offset _,
     "rel_q14_theta_join" -> Relational.q14ThetaJoin _,
     "rel_q15_salted_join" -> Relational.q15SaltedJoin _,
+    "rel_q16_window_frames" -> Relational.q16WindowFrames _,
+    "rel_q17_rollup" -> Relational.q17Rollup _,
+    "rel_q18_pivot" -> Relational.q18Pivot _,
     "berlinmod_e2e" -> ((s: SparkSession, _: String) => {
       // full mobility workload on deterministic synthetic data
       // (rows-only check: 17 rows, one per BerlinMOD query)
@@ -143,6 +146,36 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_custkey
          ORDER BY cnt DESC, o_custkey ASC LIMIT 20""",
+    "rel_q16_window_frames" ->
+      """WITH daily AS (
+           SELECT o_orderdate AS day,
+             round(sum(o_totalprice), 2) AS rev
+           FROM orders GROUP BY 1)
+         SELECT day, rev,
+           round(avg(rev) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
+           round(sum(rev) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+         FROM daily ORDER BY day""",
+    "rel_q17_rollup" ->
+      """SELECT
+           CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+                ELSE c_mktsegment END AS seg,
+           CASE WHEN GROUPING(yr) = 1 THEN 'ALL' ELSE yr END AS yr,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+         FROM (SELECT c_mktsegment,
+                 CAST(year(o_orderdate) AS VARCHAR) AS yr, o_totalprice
+               FROM orders JOIN customer ON o_custkey = c_custkey)
+         GROUP BY ROLLUP (c_mktsegment, yr)
+         ORDER BY seg, yr""",
+    "rel_q18_pivot" ->
+      """SELECT c_mktsegment AS seg,
+           round(sum(CASE WHEN year(o_orderdate) = 1995
+             THEN o_totalprice END), 2) AS rev_1995,
+           round(sum(CASE WHEN year(o_orderdate) = 1996
+             THEN o_totalprice END), 2) AS rev_1996
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "rel_q14_theta_join" ->
       """SELECT win_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events e JOIN (VALUES

@@ -195,6 +195,59 @@ object Relational {
       .orderBy("win_id")
   }
 
+  /** Frame-based window analytics: daily revenue with a 7-day moving
+    * average (ROWS BETWEEN 6 PRECEDING) and a running cumulative total
+    * (UNBOUNDED PRECEDING) — the frame clauses rel_q8's row_number does
+    * not exercise. Daily sums are rounded BEFORE the frame aggregates so
+    * both engines fold identical doubles. */
+  def q16WindowFrames(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("ma7", round(avg("rev").over(w7), 2))
+      .withColumn("cum", round(sum("rev").over(wCum), 2))
+      .orderBy("day")
+  }
+
+  /** ROLLUP hierarchy totals (segment, year) -> segment -> grand total.
+    * The grouping-null rows are materialized as 'ALL' labels via
+    * GROUPING() so the compare never sees engine-specific nulls.
+    * Expressed in Spark SQL: the DataFrame `.rollup` path trips the
+    * self-join ambiguity checker when the re-aliased grouping columns
+    * flow through Expand — SQL resolves them by position instead. */
+  def q17Rollup(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("rel_orders")
+    Tables.customer(s, d).createOrReplaceTempView("rel_customer")
+    s.sql(
+      """SELECT
+           CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+                ELSE c_mktsegment END AS seg,
+           CASE WHEN GROUPING(yr) = 1 THEN 'ALL' ELSE yr END AS yr,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+         FROM (SELECT c_mktsegment,
+                 CAST(year(o_orderdate) AS STRING) AS yr, o_totalprice
+               FROM rel_orders JOIN rel_customer ON o_custkey = c_custkey)
+         GROUP BY ROLLUP (c_mktsegment, yr)
+         ORDER BY seg, yr""")
+  }
+
+  /** Pivot: revenue per market segment spread across order-year columns
+    * (conditional aggregation under the hood on both engines). */
+  def q18Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+      .groupBy("seg")
+      .pivot("yr", Seq(1995, 1996))
+      .agg(round(sum("o_totalprice"), 2))
+      .withColumnRenamed("1995", "rev_1995")
+      .withColumnRenamed("1996", "rev_1996")
+      .orderBy("seg")
+
   /** Salted equi-join for skewed keys — the manual fallback when AQE's
     * skew-join split cannot apply (e.g. the skewed side feeds a
     * bucket-preserving operator). Each fact ROW gets a deterministic
