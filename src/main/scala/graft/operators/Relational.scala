@@ -204,6 +204,9 @@ object Relational {
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderdate").as("day"))
       .agg(round(sum("o_totalprice"), 2).as("rev"))
+    // the un-partitioned (global) windows run over the DAILY aggregate —
+    // row count bounded by the calendar, not the fact table, so the
+    // single-task window is a few-KB sort no matter the corpus size
     val w7 = Window.orderBy("day").rowsBetween(-6, 0)
     val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     daily

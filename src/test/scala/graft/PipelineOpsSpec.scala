@@ -54,7 +54,11 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("relational simhash token hash equals md5 lower-64 (little-endian)") {
-    val toks = Seq("alpha", "beta", "gamma delta", "42", "été")
+    val rng = new scala.util.Random(42)
+    val toks = Seq("alpha", "beta", "gamma delta", "42", "été", "",
+      "é漢字", "a|b,c'd\"e") ++
+      Seq.fill(200)(rng.alphanumeric.take(rng.nextInt(30) + 1).mkString)
+        .distinct
     val got = spark.createDataFrame(toks.map(Tuple1(_))).toDF("tok")
       .withColumn("hx", md5(col("tok")))
       .withColumn("h", expr(
