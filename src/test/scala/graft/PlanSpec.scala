@@ -126,6 +126,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQE splits skewed join partitions at runtime (skew=true)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one hot key carrying 200k rows vs 1k uniform cold keys
+      val fact = spark.range(220000)
+        .selectExpr("CASE WHEN id < 200000 THEN 7 ELSE id % 1000 END AS k",
+          "id AS payload")
+      val dim = spark.range(1000).selectExpr("id AS k", "id * 2 AS attr")
+      val j = fact.join(dim, "k")
+      // execute THIS dataset (not a derived count) so its own AQE plan
+      // finalizes, then assert the hot partition was split
+      assert(j.collect().length == 220000) // hot 200k + cold 20k
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(300))
+      assert(p.contains("skew=true"), p.take(1500))
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+
   test("salted join spreads a hot key and matches the unsalted result") {
     val fact = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey", "l_quantity")
