@@ -358,13 +358,46 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-modal subcorpus diagnostic: per-language embedding CENTROIDS
+    * (embeddings joined to documents on the id) and the cosine between
+    * every language pair's centroid — the drift check a training
+    * pipeline runs per data source. Fully relational: posexplode to
+    * (lang, dim, x), one partial+final avg per (lang, dim), centroid
+    * components QUANTIZED to 6 decimals before the cosine (same trick
+    * as tf-idf's idf: both engines then fold identical doubles), and a
+    * tiny (langs x dims) self-join for the pairwise cosine. Scales as
+    * one corpus scan + one narrow shuffle; the pair stage is
+    * vocabulary-sized, not corpus-sized. */
+  def embLangCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val docs = Tables.documents(s, d).select("doc_id", "lang")
+    val cent = e.join(docs, "doc_id")
+      .select(col("lang"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("lang", "pos")
+      .agg(round(avg("x"), 6).as("m"))
+    cent.as("a")
+      .join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(
+        sum(col("a.m") * col("b.m")).as("dotp"),
+        sum(col("a.m") * col("a.m")).as("na"),
+        sum(col("b.m") * col("b.m")).as("nb"))
+      .select(col("lang_a"), col("lang_b"),
+        round(col("dotp") / (sqrt(col("na")) * sqrt(col("nb"))), 4).as("cos"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_bucketed" -> (annIvfBucketed _),
-    "dedup_emb_lsh" -> (embLshPairs _))
+    "dedup_emb_lsh" -> (embLshPairs _),
+    "emb_lang_centroids" -> (embLangCentroids _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" ->
@@ -381,5 +414,20 @@ object Similarity {
                ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "emb_lang_centroids" ->
+      """WITH sel AS (
+           SELECT d.lang,
+             generate_subscripts(e.embedding, 1) AS pos,
+             unnest(CAST(e.embedding AS DOUBLE[])) AS x
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         cent AS (
+           SELECT lang, pos, round(avg(x), 6) AS m
+           FROM sel GROUP BY 1, 2)
+         SELECT a.lang AS lang_a, b.lang AS lang_b,
+           round(sum(a.m * b.m)
+             / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 4) AS cos
+         FROM cent a JOIN cent b
+           ON a.pos = b.pos AND a.lang < b.lang
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }
