@@ -122,6 +122,56 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental ingest near-dup: an incoming BATCH (doc_id % 10 == 0
+    * stands in for the day's new documents) checked against the frozen
+    * CORPUS (the rest) — the asymmetric join an ingest pipeline runs
+    * every cycle, where re-pairing the corpus against itself would be
+    * quadratic waste.
+    *
+    * Same exact prefix-filter theory as [[jaccard]] (one consistent
+    * rarest-first global shingle order across both sides), but the
+    * candidate join is PREFIX(new) x PREFIX(corpus) only: shuffle
+    * volume scales with the BATCH size times prefix df, not the corpus
+    * pair count. At 100 TB the corpus prefix postings are a write-time
+    * layout keyed by shingle hash (built once, appended per cycle) and
+    * each batch probes it — this operator is that probe, expressed
+    * relationally. */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val minJ = 0.5
+    val sh = shingleHashes(s, d).persist()
+    sh.count()
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
+      .select("doc_id", "h", "rank", "sz")
+    val corpusPrefix = prefix.filter(col("doc_id") % 10 =!= 0)
+    val newPrefix = prefix.filter(col("doc_id") % 10 === 0)
+    val cand = corpusPrefix.as("a")
+      .join(newPrefix.as("b"), col("a.h") === col("b.h") &&
+        least(col("a.sz"), col("b.sz")) >=
+          ceil(greatest(col("a.sz"), col("b.sz")) * minJ) &&
+        least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1 >=
+          ceil(greatest(col("a.sz"), col("b.sz")) * minJ))
+      .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("corpus_id"), col("shs").as("sha"),
+        col("sz").as("sza")), "corpus_id")
+      .join(sets.select(col("doc_id").as("new_id"), col("shs").as("shb"),
+        col("sz").as("szb")), "new_id")
+      .withColumn("i", interSorted(col("sha"), col("shb")))
+      .withColumn("j", col("i") / (col("sza") + col("szb") - col("i")))
+      .filter(col("j") >= minJ)
+      .select(col("corpus_id"), col("new_id"), round(col("j"), 4).as("jac"))
+      .orderBy("corpus_id", "new_id")
+  }
+
   /** Connected components over the Jaccard near-dup graph (J >= 0.5):
     * one row per duplicate CLUSTER — representative (min doc_id in the
     * component), size, and the sorted member list. The canonical corpus-
@@ -483,7 +533,8 @@ object Dedup {
     "dedup_pipeline" -> (corpusClean _),
     "dedup_clusters" -> (dupClusters _),
     "dedup_simhash_rel" -> (simhashRel _),
-    "dedup_ensemble" -> (ensemblePairs _))
+    "dedup_ensemble" -> (ensemblePairs _),
+    "dedup_incremental" -> (incrementalNearDup _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -595,6 +646,30 @@ object Dedup {
            CAST(sum(CASE WHEN final_kept THEN n_tokens END) AS BIGINT)
              AS total_tokens
          FROM f2""",
+    "dedup_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
+                AND len(string_split(sh, ' ')) = 3),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id corpus_id, b.doc_id new_id, count(*) i
+           FROM sh a JOIN sh b ON a.sh = b.sh
+           WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+           GROUP BY 1, 2)
+         SELECT corpus_id, new_id,
+           round(i / (za.sz + zb.sz - i), 4) AS jac
+         FROM inter
+         JOIN sz za ON za.doc_id = corpus_id
+         JOIN sz zb ON zb.doc_id = new_id
+         WHERE i / (za.sz + zb.sz - i) >= 0.5
+         ORDER BY corpus_id, new_id""",
     "dedup_clusters" ->
       // same pair CTE as dedup_jaccard, then transitive closure via a
       // recursive CTE (UNION dedups, so it terminates) and min-label per
