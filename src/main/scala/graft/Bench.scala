@@ -68,6 +68,9 @@ object Bench {
     // BerlinMOD at the reference's brussels scale (141 vehicles,
     // ~1600 trips — BASELINE.md) for a direct per-query comparison
     val bmTimes = try {
+      // the load itself is timed once as its own row: BASELINE.md
+      // records the reference's brussels load (07_trips) at 15.9 s
+      val tL0 = System.nanoTime()
       graft.berlinmod.BerlinMod.load(spark, nVehicles = 141,
         tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120)
       // materialize the cached load artifacts (the reference's load phase
@@ -75,7 +78,9 @@ object Bench {
       spark.sql("SELECT * FROM Trips").count()
       spark.sql("SELECT * FROM SegCells").count()
       spark.sql("SELECT * FROM SegTime").count()
-      minPerQuery(timed(
+      val loadRow = Seq(
+        "berlinmod_load" -> (System.nanoTime() - tL0) / 1e9)
+      loadRow ++ minPerQuery(timed(
         graft.berlinmod.BerlinMod.queries(spark).map { case (n, df) =>
           s"berlinmod_$n" -> (() => { df.count(); () })
         }, clear = false))

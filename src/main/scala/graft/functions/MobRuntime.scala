@@ -129,7 +129,6 @@ object MobRuntime {
       // ---- transforms ----
       case "shift" | "scale" | "shiftscale" | "round" | "floor" | "ceil" |
            "radians" | "degrees" | "initcap" | "setsrid" | "transform" => t0
-      case "asbinary" => BinaryType
       case "stboxfrombinary" => S.stbox
       case "shiftvalue" | "scalevalue" | "shiftscalevalue" | "shifttime" |
            "scaletime" | "shiftscaletime" | "expandvalue" | "expandtime" |

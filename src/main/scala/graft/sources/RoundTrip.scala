@@ -49,8 +49,8 @@ object RoundTrip {
     val viaJson = s.read.schema(docSchema).json(s"$base/json")
     val viaOrc = s.read.orc(s"$base/orc")
     checksummed(viaJson, "json")
-      .unionAll(checksummed(viaOrc, "orc"))
-      .unionAll(checksummed(docs, "parquet"))
+      .union(checksummed(viaOrc, "orc"))
+      .union(checksummed(docs, "parquet"))
       .orderBy("format")
   }
 
