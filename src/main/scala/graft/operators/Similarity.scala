@@ -74,9 +74,11 @@ object Similarity {
     array(b +: (0 until 8).map(i => b.bitwiseXOR(lit(1 << i))): _*)
 
   /** Sign-projection LSH bucketed search: candidates share >= 7 of 8
-    * signs with the query (multi-probe on 1-bit flips). Rows-only check:
-    * recall depends on the hash family, the exact baseline above is the
-    * oracle for quality inspection. */
+    * signs with the query (multi-probe on 1-bit flips). Exact-oracle
+    * checked: the hash family is deterministic, so the oracle SQL
+    * replicates the same planes/buckets/probes in DuckDB (plane
+    * literals interpolated from [[planes]]) and must match
+    * bit-for-bit — see [[lshOracleSelect]]. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     reg(s)
     val e = Tables.embeddings(s, d)
@@ -325,8 +327,10 @@ object Similarity {
     * self-joins per bucket instead of all-pairs. Candidate volume is
     * sum over buckets of |b|^2 / corpus^2 of the exact join's work; at
     * 100 TB the bucket count scales up (more planes) to hold bucket
-    * sizes bounded. Rows-only check — recall is measured against the
-    * exact [[graft.operators.Dedup.embCosinePairs]] in the spec. */
+    * sizes bounded. Exact-oracle checked ([[lshPairsOracle]] replicates
+    * the hash family in DuckDB); recall is additionally measured
+    * against the exact [[graft.operators.Dedup.embCosinePairs]] in the
+    * spec. */
   def embLshPairs(s: SparkSession, d: String): DataFrame = {
     reg(s)
     embLshPairsFrom(
@@ -399,7 +403,62 @@ object Similarity {
     "dedup_emb_lsh" -> (embLshPairs _),
     "emb_lang_centroids" -> (embLangCentroids _))
 
+  /** DuckDB-side replica of the sign-LSH hash family: the plane
+    * literals are interpolated from [[planes]] (Double.toString
+    * round-trips exactly, so DuckDB folds the identical doubles) and
+    * the bucket id is the same sum of sign bits the Spark side
+    * computes. Lets the driver hash-check the APPROXIMATE queries
+    * exactly, not just rows-only. */
+  private def planeLit(p: Int): String =
+    planes(p).mkString("[", ",", "]")
+
+  private val sqlBucket: String =
+    planes.indices.map { p =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val sqlProbes: String =
+    "[bkt, " + (0 until 8).map(i => s"xor(bkt,${1 << i})").mkString(", ") + "]"
+
+  private val lshOracleSelect: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
+               $sqlBucket AS bkt FROM emb),
+       q AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
+               unnest($sqlProbes) AS bkt
+             FROM b WHERE vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
+         FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+         FROM scored)
+       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val lshPairsOracle: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
+               $sqlBucket AS bkt FROM emb),
+       probed AS (SELECT vec_id AS id_b, v AS vb, n AS nb,
+               unnest($sqlProbes) AS bkt FROM b),
+       pairs AS (
+         SELECT e.vec_id AS id_a, p.id_b,
+           list_dot_product(e.v, p.vb) / (e.n * p.nb) AS cos0
+         FROM b e JOIN probed p ON e.bkt = p.bkt AND e.vec_id < p.id_b
+         WHERE list_dot_product(e.v, p.vb) / (e.n * p.nb) >= 0.4)
+       SELECT id_a, id_b, round(max(cos0), 5) AS cos
+       FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val oracles: Map[String, String] = Map(
+    // approximate LSH queries, EXACT oracles: DuckDB runs the identical
+    // deterministic hash family (planes interpolated as literals)
+    "ann_lsh" -> lshOracleSelect,
+    "ann_lsh_bucketed" -> lshOracleSelect,
+    "dedup_emb_lsh" -> lshPairsOracle,
     "ann_topk" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM emb
