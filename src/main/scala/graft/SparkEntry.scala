@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, MobilityOps, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MobilityOps, Multimodal, Quality, Relational, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,7 @@ object SparkEntry {
     }),
   ) ++ MobilityOps.queries ++ Dedup.queries ++ Similarity.queries ++
     TextAnalysis.queries ++ Multimodal.queries ++
+    Quality.queries ++ Sketches.queries ++
     graft.sources.RoundTrip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,5 +189,6 @@ object SparkEntry {
          GROUP BY win_id ORDER BY win_id""",
   ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
     TextAnalysis.oracles ++ Multimodal.oracles ++
+    Quality.oracles ++ Sketches.oracles ++
     graft.sources.RoundTrip.oracles
 }

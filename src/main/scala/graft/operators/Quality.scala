@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Training-data quality filtering over `documents` — the Gopher/C4
+  * family of heuristics a 100 TB text pipeline runs before anything
+  * else (ref: Rae et al. 2021 "Scaling Language Models" App. A;
+  * Raffel et al. 2020 C4 §2.2 — public papers, not the reference
+  * engine, which has no text-quality surface).
+  *
+  * Two deliberately different plan shapes:
+  *   - [[qualityFilters]] / [[qualitySummary]] / [[regexScrub]] are
+  *     PURE SCANS — every signal is a column expression over the
+  *     token array (whole-stage codegen, zero shuffle, zero explode);
+  *     the per-document row count never leaves the executor that read
+  *     it. This is the shape that survives 100 TB untouched.
+  *   - [[repetition]] / [[bm25]] go through explode + hash aggregate —
+  *     the shape for signals that need per-term state (top-term
+  *     fraction, document frequency). Partial aggregation keeps the
+  *     shuffle at (doc, term)-distinct size, not token-occurrence size.
+  */
+object Quality {
+
+  private val stops = Seq("the", "a", "an", "and", "or", "of", "in",
+    "on", "to", "is")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Sum of token lengths via a fold over the array — no explode, no
+    * shuffle; stays inside codegen. */
+  private def charSum: Column =
+    expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (a, x) -> a + x)")
+
+  /** Per-document Gopher-style quality signals + the keep verdict:
+    * word count in [20, 200], mean word length in [3, 8], at least one
+    * stopword. Pure scan — no shuffle at any scale. */
+  def qualityFilters(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_words"),
+        round(charSum.cast("double") / size(toks), 4).as("mean_wlen"),
+        size(filter(toks, t => t.isin(stops: _*))).as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= 20 && col("n_words") <= 200 &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0 &&
+          col("stop_hits") >= 1)
+      .orderBy("doc_id")
+
+  /** Corpus health per (lang, source): document counts and keep rate
+    * under the [[qualityFilters]] verdict — the per-subcorpus triage
+    * table a pipeline reviews before dropping a crawl source. Scan +
+    * one small aggregate. */
+  def qualitySummary(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(toks).as("n_words"),
+        round(charSum.cast("double") / size(toks), 4).as("mean_wlen"),
+        size(filter(toks, t => t.isin(stops: _*))).as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= 20 && col("n_words") <= 200 &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0 &&
+          col("stop_hits") >= 1)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(avg(when(col("keep"), 1.0).otherwise(0.0)), 4).as("keep_rate"))
+      .orderBy("lang", "source")
+
+  /** Word-bigram list in document order (1-based element_at). Guarded:
+    * Spark's sequence(1, 0) counts DOWN (yields [1, 0]), so a
+    * single-token document must short-circuit to an empty array. */
+  private def bigrams: Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array())
+
+  /** Repetition signals per document (the Gopher repetition filters):
+    * top-term fraction, distinct-token ratio, duplicate-bigram
+    * fraction. Explode + two hash aggregates — partial aggregation
+    * collapses each partition to (doc, term)-distinct rows before the
+    * shuffle, so shuffle volume is vocabulary-shaped, not
+    * token-occurrence-shaped. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val wordStats = tf.groupBy("doc_id").agg(
+      round(max("c").cast("double") / sum("c"), 4).as("top_word_frac"),
+      round(count(lit(1)).cast("double") / sum("c"), 4)
+        .as("distinct_token_ratio"))
+    val bgStats = docs
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        round((sum("c") - count(lit(1))).cast("double") / sum("c"), 4)
+          .as("dup_bigram_frac"))
+    wordStats.join(bgStats, "doc_id")
+      .select("doc_id", "top_word_frac", "distinct_token_ratio",
+        "dup_bigram_frac")
+      .orderBy("doc_id")
+  }
+
+  /** PII-shaped regex scrub: count pattern hits, distinct matched
+    * terms, and a corpus checksum of the REDACTED text (md5-lower-64
+    * XOR-fold, the same engine-portable checksum as sources_roundtrip).
+    * The pattern sits in the Java-regex / RE2 common subset (\b,
+    * classes, bounded repeats) so both engines match identically; the
+    * synthetic corpus has no emails/phones, so the demonstration
+    * pattern masks the s-initial word class — swap the literal for the
+    * email/phone alternation in production. Pure scan, one tiny agg. */
+  def regexScrub(s: SparkSession, d: String): DataFrame = {
+    val pat = "\\bs[a-z]{3,}\\b"
+    val docs = Tables.documents(s, d)
+    // one scan for the additive signals (match count + redacted
+    // checksum), a second scan's explode only for the distinct-term
+    // set — keeping them separate avoids per-term duplication of the
+    // per-document values (and keeps zero-match docs in the checksum)
+    val base = docs
+      .select(
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("nm"),
+        md5(regexp_replace(col("text"), pat, "<MASK>")).as("hx"))
+      .withColumn("h", expr(
+        """aggregate(sequence(0, 7), cast(0 as bigint),
+           (acc, k) -> acc + shiftleft(
+             cast(conv(substring(hx, 17 + 2 * k, 2), 16, 10) as bigint),
+             8 * k))"""))
+      .agg(
+        sum("nm").cast("bigint").as("n_matches"),
+        expr("bit_xor(h) & 9223372036854775807").as("redacted_checksum"))
+    val termSet = docs
+      .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .as("term"))
+      .agg(countDistinct("term").as("n_distinct_terms"))
+    base.crossJoin(termSet)
+      .select("n_matches", "n_distinct_terms", "redacted_checksum")
+  }
+
+  /** BM25 top-20 for the fixed keyword query {spark, table, join}
+    * (k1 = 1.2, b = 0.75). idf and the length-norm factor are
+    * quantized to 6 decimals BEFORE the product (the tf-idf trick) so
+    * the score doubles fold identically across engines. Plan: the tf
+    * explode filters to query terms AT THE SCAN (a 3-term isin — at
+    * 100 TB this is the posting-list fetch), the df/idf side is
+    * term-count-sized and broadcast, and the final top-20 is a
+    * TakeOrdered, not a global sort. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "table", "join")
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = dl.agg(
+      round(avg("dl"), 6).as("avgdl"),
+      count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
+          .as("idf"))
+    tf.join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("norm",
+        round(lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("idf") * col("tf") * lit(2.2) / (col("tf") + col("norm")))
+        .as("score"))
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy(round(col("score"), 4).desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_filters" -> (qualityFilters _),
+    "text_quality_summary" -> (qualitySummary _),
+    "text_repetition" -> (repetition _),
+    "text_regex_scrub" -> (regexScrub _),
+    "text_bm25" -> (bm25 _))
+
+  val oracles: Map[String, String] = Map(
+    "text_quality_filters" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sig AS (
+           SELECT doc_id, len(toks) AS n_words,
+             round(CAST(list_sum(list_transform(toks, x -> length(x)))
+               AS DOUBLE) / len(toks), 4) AS mean_wlen,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','of','in','on','to','is'], x)))
+               AS stop_hits
+           FROM t)
+         SELECT doc_id, n_words, mean_wlen, stop_hits,
+           (n_words >= 20 AND n_words <= 200 AND mean_wlen >= 3.0
+            AND mean_wlen <= 8.0 AND stop_hits >= 1) AS keep
+         FROM sig ORDER BY doc_id""",
+    "text_quality_summary" ->
+      """WITH t AS (
+           SELECT lang, source, string_split(text, ' ') AS toks
+           FROM documents),
+         sig AS (
+           SELECT lang, source, len(toks) AS n_words,
+             round(CAST(list_sum(list_transform(toks, x -> length(x)))
+               AS DOUBLE) / len(toks), 4) AS mean_wlen,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','of','in','on','to','is'], x)))
+               AS stop_hits
+           FROM t),
+         k AS (
+           SELECT lang, source,
+             (n_words >= 20 AND n_words <= 200 AND mean_wlen >= 3.0
+              AND mean_wlen <= 8.0 AND stop_hits >= 1) AS keep
+           FROM sig)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4) AS keep_rate
+         FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         wordstats AS (
+           SELECT doc_id,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac,
+             round(CAST(count(*) AS DOUBLE) / sum(c), 4)
+               AS distinct_token_ratio
+           FROM tf GROUP BY 1),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)),
+         bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+         bgstats AS (
+           SELECT doc_id,
+             round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4)
+               AS dup_bigram_frac
+           FROM bgc GROUP BY 1)
+         SELECT w.doc_id, w.top_word_frac, w.distinct_token_ratio,
+           b.dup_bigram_frac
+         FROM wordstats w JOIN bgstats b ON w.doc_id = b.doc_id
+         ORDER BY w.doc_id""",
+    "text_regex_scrub" ->
+      """WITH base AS (
+           SELECT
+             CAST(sum(len(regexp_extract_all(text, '\bs[a-z]{3,}\b')))
+               AS BIGINT) AS n_matches,
+             CAST(bit_xor(md5_number_lower(
+               regexp_replace(text, '\bs[a-z]{3,}\b', '<MASK>', 'g'))
+               & 9223372036854775807) AS BIGINT) AS redacted_checksum
+           FROM documents),
+         t AS (
+           SELECT count(DISTINCT term) AS n_distinct_terms
+           FROM (SELECT unnest(regexp_extract_all(text, '\bs[a-z]{3,}\b'))
+                   AS term
+                 FROM documents))
+         SELECT base.n_matches, t.n_distinct_terms, base.redacted_checksum
+         FROM base CROSS JOIN t""",
+    "text_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         stats AS (SELECT round(avg(dl), 6) AS avgdl, count(*) AS n FROM dl),
+         tf AS (
+           SELECT doc_id, tok AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok IN ('spark', 'table', 'join') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         idf AS (
+           SELECT term,
+             round(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+           FROM df CROSS JOIN stats),
+         sc AS (
+           SELECT tf.doc_id,
+             sum(idf.idf * tf.tf * 2.2 / (tf.tf
+               + round(1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl), 6)))
+               AS score
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats
+           GROUP BY 1)
+         SELECT doc_id, round(score, 4) AS bm25
+         FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 20""")
+}

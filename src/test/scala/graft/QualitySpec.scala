@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quality, Sketches}
+
+/** Behavioral + plan-shape properties of the quality-filter family and
+  * the KMV cardinality sketch. */
+class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val d = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Tiny documents corpus written in the driver-table layout so the
+    * (SparkSession, dir) operators run on it unchanged. */
+  private def corpusDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("qualityspec").toString
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+    case other => other +: other.children.flatMap(collectPlan)
+  }
+
+  test("quality filters: per-doc plan is a pure scan — zero shuffle") {
+    val df = Quality.qualityFilters(spark, d)
+    df.count() // finalize AQE
+    // orderBy(doc_id) plans as a range-partitioned sort for output
+    // determinism; everything upstream of it must be shuffle-free (the
+    // signals themselves never leave the scanning task)
+    val noSort = Quality.qualityFilters(spark, d)
+      .queryExecution.sparkPlan // analyzed w/o AQE for structure check
+    val sorts = collectPlan(noSort).count(_.isInstanceOf[
+      org.apache.spark.sql.execution.SortExec])
+    val shuffles = collectPlan(noSort)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1, s"expected only the output-sort exchange, got $shuffles")
+    assert(sorts <= 1)
+  }
+
+  test("keep flag: summary totals equal filter verdicts") {
+    val perDoc = Quality.qualityFilters(spark, d)
+      .select("keep").collect().map(_.getBoolean(0))
+    val summary = Quality.qualitySummary(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("n_keep"))
+      .collect()(0)
+    assert(summary.getLong(0) == perDoc.length)
+    assert(summary.getLong(1) == perDoc.count(identity))
+  }
+
+  test("repetition: single-token and repeated-text documents") {
+    val dir = corpusDir(Seq(
+      (1L, "hello"),                      // 1 token -> no bigrams -> dropped
+      (2L, "a a a a"),                    // all same: top_word_frac 1.0, dup bigrams 2/3
+      (3L, "x y x y"),                    // bigrams: "x y","y x","x y" -> dup 1/3
+      (4L, "p q r s")))                   // all distinct: zeros
+    val rows = Quality.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(!rows.contains(1L), "single-token doc has no bigram row (inner join)")
+    assert(rows(2L) == ((1.0, 0.25, 0.6667)))
+    assert(rows(3L) == ((0.5, 0.5, 0.3333)))
+    assert(rows(4L) == ((0.25, 1.0, 0.0)))
+  }
+
+  test("regex scrub counts planted matches; zero-match docs affect checksum") {
+    val dir1 = corpusDir(Seq(
+      (1L, "spark scan slow"),            // 3 matches, terms spark/scan/slow
+      (2L, "so see sa"),                  // too short — 0 matches
+      (3L, "spark again")))               // 1 match
+    val r1 = Quality.regexScrub(spark, dir1).collect()(0)
+    assert(r1.getLong(0) == 4)
+    assert(r1.getLong(1) == 3)
+    // removing a zero-match doc must still change the corpus checksum
+    val dir2 = corpusDir(Seq(
+      (1L, "spark scan slow"), (3L, "spark again")))
+    val r2 = Quality.regexScrub(spark, dir2).collect()(0)
+    assert(r1.getLong(0) == r2.getLong(0) && r1.getLong(1) == r2.getLong(1))
+    assert(r1.getLong(2) != r2.getLong(2),
+      "checksum must cover zero-match documents too")
+  }
+
+  test("bm25 matches a driver-side reference computation") {
+    val docs = graft.util.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val terms = Seq("spark", "table", "join")
+    val n = docs.size
+    val avgdl = BigDecimal(docs.values.map(_.length).sum.toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dfreq = terms.map(t =>
+      t -> docs.values.count(_.contains(t))).toMap
+    val idf = terms.map { t =>
+      t -> BigDecimal(math.log((n - dfreq(t) + 0.5) / (dfreq(t) + 0.5) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val norm = BigDecimal(1.2 * (0.25 + 0.75 * toks.length / avgdl))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          idf(t) * tf * 2.2 / (tf + norm)
+        }
+      }.sum
+      if (score > 0) Some(id -> math.rint(score * 1e4) / 1e4) else None
+    }.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = Quality.bm25(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got.map(_._1) == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-3, s"$a vs $b")
+    }
+  }
+
+  test("KMV sketch: within sampling error, tail planned as TakeOrdered") {
+    val r = Sketches.kmv(spark, d).collect()(0)
+    val exact = r.getLong(0)
+    val est = r.getLong(3)
+    assert(exact > 256, "fixture must exercise the estimator path")
+    // KMV stderr ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert(math.abs(est - exact).toDouble / exact < 0.25,
+      s"estimate $est too far from exact $exact")
+    // the k-smallest tail must plan as a TakeOrdered (per-partition
+    // top-k + driver merge), not a global sort of all distinct hashes
+    val hashedTail = graft.util.Tables.lineitem(spark, d)
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("l_partkey")).as("h"))
+      .distinct().orderBy("h").limit(256)
+    val plan = hashedTail.queryExecution.executedPlan
+    assert(collectPlan(plan).exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+  }
+}
