@@ -192,6 +192,17 @@ object Similarity {
   private val IvfK = 32
   private val IvfNProbe = 6
 
+  /** Codebook of the most recent IVF train/load in this JVM. The
+    * codebook is a deterministic function of the dataset, so once a
+    * query has produced it, [[oracles]] can interpolate it into the
+    * DuckDB oracle SQL (as the LSH planes are) and the oracle replays
+    * cell assignment, nprobe probing, and scoring independently —
+    * turning the approximate IVF queries into exact hash checks.
+    * Verify runs every query before dumping oracle_sql.json, so the
+    * stash is always populated there; if no IVF query ran, the IVF
+    * oracle entries are simply omitted (rows-only, as before). */
+  @volatile private var trainedCodebook: Option[Array[Array[Double]]] = None
+
   /** Deterministic k-means codebook: trained on a BOUNDED sample (k x 100
     * vectors with smallest xxhash64(vec_id) — a few MB at any corpus
     * size, the regime faiss trains in), Lloyd's on the driver, only the
@@ -227,6 +238,7 @@ object Similarity {
         if (counts(c) == 0) cents(c)
         else sums(c).map(_ / counts(c)))
     }
+    trainedCodebook = Some(cents)
     cents
   }
 
@@ -298,6 +310,7 @@ object Similarity {
     val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
+    trainedCodebook = Some(cents)
     val e = s.read.parquet(layout.toString)
     // query side reads the BASE table (single file, isin pushed to the
     // scan), not the k cell directories
@@ -453,7 +466,46 @@ object Similarity {
        SELECT id_a, id_b, round(max(cos0), 5) AS cos
        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
 
-  val oracles: Map[String, String] = Map(
+  /** IVF oracle: the codebook rides along as a VALUES literal; DuckDB
+    * independently re-derives cell assignment (sequential (v-c)^2 sum,
+    * ties to the lowest cell — the [[graft.functions.VectorKernels]]
+    * semantics), the nprobe=6 probe set, and the per-cell scoring. */
+  private def ivfOracleSelect(cents: Array[Array[Double]]): String = {
+    val vals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
+      .mkString(",\n")
+    s"""WITH cells(cell, c) AS (VALUES $vals),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       dist AS (
+         SELECT e.vec_id, e.v, cl.cell,
+           list_sum(list_transform(generate_series(1, len(cl.c)),
+             i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
+         FROM emb e CROSS JOIN cells cl),
+       rk AS (
+         SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+         FROM dist),
+       assigned AS (
+         SELECT r.vec_id, r.v, sqrt(list_dot_product(r.v, r.v)) AS n, r.cell
+         FROM rk r WHERE r.rk = 1),
+       q AS (
+         SELECT a.vec_id AS query_id, a.v AS qv, a.n AS qn, r.cell
+         FROM assigned a JOIN rk r ON r.vec_id = a.vec_id AND r.rk <= $IvfNProbe
+         WHERE a.vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
+         FROM assigned e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+         FROM scored)
+       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  def oracles: Map[String, String] = Map(
     // approximate LSH queries, EXACT oracles: DuckDB runs the identical
     // deterministic hash family (planes interpolated as literals)
     "ann_lsh" -> lshOracleSelect,
@@ -488,5 +540,9 @@ object Similarity {
              / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 4) AS cos
          FROM cent a JOIN cent b
            ON a.pos = b.pos AND a.lang < b.lang
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""") ++
+    trainedCodebook.map { cents =>
+      val sql = ivfOracleSelect(cents)
+      Map("ann_ivf" -> sql, "ann_ivf_bucketed" -> sql)
+    }.getOrElse(Map.empty)
 }
