@@ -37,6 +37,9 @@ object SparkEntry {
     "rel_q16_window_frames" -> Relational.q16WindowFrames _,
     "rel_q17_rollup" -> Relational.q17Rollup _,
     "rel_q18_pivot" -> Relational.q18Pivot _,
+    "rel_q19_zscore" -> Relational.q19Zscore _,
+    "rel_q20_json" -> Relational.q20Json _,
+    "rel_q21_lateral" -> Relational.q21Lateral _,
     "berlinmod_e2e" -> ((s: SparkSession, _: String) => {
       // full mobility workload on deterministic synthetic data
       // (rows-only check: 17 rows, one per BerlinMOD query)
@@ -177,6 +180,34 @@ object SparkEntry {
              THEN o_totalprice END), 2) AS rev_1996
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
+    "rel_q19_zscore" ->
+      """WITH st AS (
+           SELECT event_type, count(*) AS n,
+             round(sum(value), 6) AS msum,
+             round(sum(value * value), 6) AS ssum
+           FROM events GROUP BY 1),
+         z AS (
+           SELECT e.event_id, e.event_type, e.value,
+             round((e.value - st.msum / st.n)
+               / sqrt((st.ssum - st.msum * st.msum / st.n) / (st.n - 1)), 4)
+               AS z
+           FROM events e JOIN st USING (event_type))
+         SELECT event_id, event_type, value, z
+         FROM z ORDER BY abs(z) DESC, event_id LIMIT 20""",
+    "rel_q20_json" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN CAST(props->>'k' AS INTEGER) > 50
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "rel_q21_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     "rel_q14_theta_join" ->
       """SELECT win_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events e JOIN (VALUES

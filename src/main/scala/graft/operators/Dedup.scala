@@ -335,11 +335,8 @@ object Dedup {
         explode(array_distinct(split(col("text"), " "))).as("tok"))
     val th = toks
       .withColumn("hx", md5(col("tok")))
-      .withColumn("h", expr(
-        """aggregate(sequence(0, 7), cast(0 as bigint),
-           (acc, k) -> acc + shiftleft(
-             cast(conv(substring(hx, 17 + 2 * k, 2), 16, 10) as bigint),
-             8 * k))"""))
+      // full signed 64-bit (bit 63 is a vote) — single-conv assembly
+      .withColumn("h", graft.util.Md5Lower64.signedOf("hx"))
     val votes = (0 until 64).map { i =>
       sum(when(expr(s"shiftrightunsigned(h, $i) & 1") === 1, 1)
         .otherwise(-1)).as(s"v$i")

@@ -126,14 +126,12 @@ object Quality {
       .select(
         size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("nm"),
         md5(regexp_replace(col("text"), pat, "<MASK>")).as("hx"))
-      .withColumn("h", expr(
-        """aggregate(sequence(0, 7), cast(0 as bigint),
-           (acc, k) -> acc + shiftleft(
-             cast(conv(substring(hx, 17 + 2 * k, 2), 16, 10) as bigint),
-             8 * k))"""))
+      // the masked-63-bit parity hash (XOR of masked values equals the
+      // masked XOR the oracle computes, since bit 63 is dropped anyway)
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
       .agg(
         sum("nm").cast("bigint").as("n_matches"),
-        expr("bit_xor(h) & 9223372036854775807").as("redacted_checksum"))
+        expr("bit_xor(h)").as("redacted_checksum"))
     val termSet = docs
       .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0)))
         .as("term"))

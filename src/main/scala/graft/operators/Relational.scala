@@ -284,4 +284,62 @@ object Relational {
       .orderBy(col("cnt").desc, col("o_custkey").asc)
       .limit(20)
   }
+
+  /** Statistical outlier detection: top-20 events by |z| against their
+    * event type's mean/stddev. The moments are derived from ROUNDED
+    * sums (sum, sum-of-squares quantized to 6 dp) rather than the
+    * engines' native stddev aggregates — Spark's and DuckDB's streaming
+    * variance states merge partials in different orders, so only the
+    * quantized-sum formulation is engine-identical. Plan: one partial+
+    * final agg (5 groups), broadcast back onto the scan, TakeOrdered
+    * tail — at 100 TB the stats side is bytes, the scan is one pass. */
+  def q19Zscore(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("event_id", "event_type", "value")
+    val st = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      round(sum("value"), 6).as("msum"),
+      round(sum(col("value") * col("value")), 6).as("ssum"))
+    e.join(broadcast(st), "event_type")
+      .withColumn("z", round(
+        (col("value") - col("msum") / col("n")) /
+          sqrt((col("ssum") - col("msum") * col("msum") / col("n"))
+            / (col("n") - 1)), 4))
+      .select("event_id", "event_type", "value", "z")
+      .orderBy(abs(col("z")).desc, col("event_id").asc)
+      .limit(20)
+  }
+
+  /** Semi-structured JSON extraction from the events `props` column:
+    * per event type, the count, sum, and high-value count of the
+    * embedded integer field. get_json_object is a codegen'd path
+    * expression — the JSON never leaves the scanning task, only the
+    * 5-group aggregate shuffles. */
+  def q20Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").cast("bigint").as("sum_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+
+  /** Correlated LATERAL subquery — per BUILDING customer, their top-2
+    * orders by price: the SQL-surface form of the per-group top-N that
+    * rel_q8 expresses with a window. Spark decorrelates the LATERAL
+    * with ORDER BY + LIMIT into exactly that ranked-window plan, so the
+    * scale shape is one shuffle by the correlation key. */
+  def q21Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
 }

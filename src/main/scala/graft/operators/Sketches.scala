@@ -34,15 +34,16 @@ object Sketches {
   /** KMV estimate of distinct (l_partkey, l_suppkey) pairs in lineitem
     * vs the exact count, with realized relative error. */
   def kmv(s: SparkSession, d: String): DataFrame = {
+    // The hash-distinct set is persisted: the k-tail and the exact
+    // count are two tiny consumers of one computation, not two corpus
+    // scans ([[graft.util.Md5Lower64]] holds the single-conv parity
+    // assembly — the per-byte fold was the profile's hot spot).
     val hashed = Tables.lineitem(s, d)
       .select(md5(concat(col("l_partkey").cast("string"), lit("|"),
         col("l_suppkey").cast("string"))).as("hx"))
-      .withColumn("h", expr(
-        """aggregate(sequence(0, 7), cast(0 as bigint),
-           (acc, k) -> acc + shiftleft(
-             cast(conv(substring(hx, 17 + 2 * k, 2), 16, 10) as bigint),
-             8 * k)) & 9223372036854775807"""))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
       .select("h").distinct()
+      .persist()
     val tail = hashed.orderBy("h").limit(K)
       .agg(max("h").as("kth_hash"), count(lit(1)).as("n_min"))
     val exact = hashed.agg(count(lit(1)).as("exact_distinct"))

@@ -159,7 +159,32 @@ object TextAnalysis {
       .orderBy("lang", "sample_rank")
   }
 
+  /** Unigram language-model surprisal per document: train token
+    * probabilities on the corpus itself (one vocabulary-sized agg),
+    * score each document by its average -ln p(token). Per-token logs
+    * are quantized to 6 decimals before the tf-weighted sum (the tf-idf
+    * trick) so the ranking is engine-identical. The perplexity-filter
+    * shape of a training pipeline: corpus scan -> vocab agg (broadcast
+    * back) -> scan-sized score join, no O(corpus^2) anywhere. */
+  def ngramLm(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("total").cast("double") / col("cnt")), 6).as("lp"))
+    tf.join(broadcast(lp), "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lp")).as("sc"), sum("tf").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sc") / col("n_tokens"), 4).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_lm" -> (ngramLm _),
     "text_stats" -> (textStats _),
     "text_token_counts" -> (tokenCounts _),
     "text_lang_id" -> (langId _),
@@ -169,6 +194,21 @@ object TextAnalysis {
     "text_sample_stratified" -> (sampleStratified _))
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+                   FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         lp AS (SELECT tok, round(ln(CAST(total AS DOUBLE) / cnt), 6) AS lp
+                FROM vocab CROSS JOIN tot),
+         sc AS (SELECT tf.doc_id, sum(tf.tf * lp.lp) AS sc,
+                  CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+                FROM tf JOIN lp USING (tok) GROUP BY 1)
+         SELECT doc_id, n_tokens, round(sc / n_tokens, 4) AS avg_surprisal
+         FROM sc ORDER BY doc_id""",
     "text_stats" ->
       """WITH t AS (
            SELECT doc_id, text, len(string_split(text, ' ')) AS toks,

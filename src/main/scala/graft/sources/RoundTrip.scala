@@ -27,14 +27,12 @@ object RoundTrip {
     df
       .withColumn("hx",
         md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))))
-      .withColumn("h", expr(
-        """aggregate(sequence(0, 7), cast(0 as bigint),
-           (acc, k) -> acc + shiftleft(
-             cast(conv(substring(hx, 17 + 2 * k, 2), 16, 10) as bigint),
-             8 * k))"""))
+      // masked-63-bit parity hash; XOR of masked values equals the
+      // oracle's masked XOR since bit 63 is dropped either way
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
       .agg(
         count(lit(1)).as("n_docs"),
-        expr("bit_xor(h) & 9223372036854775807").as("checksum"))
+        expr("bit_xor(h)").as("checksum"))
       .select(lit(format).as("format"), col("n_docs"), col("checksum"))
 
   /** One row per format (json, orc, parquet) with identical
