@@ -40,6 +40,8 @@ object SparkEntry {
     "rel_q19_zscore" -> Relational.q19Zscore _,
     "rel_q20_json" -> Relational.q20Json _,
     "rel_q21_lateral" -> Relational.q21Lateral _,
+    "rel_q22_lag_ntile" -> Relational.q22LagNtile _,
+    "rel_q23_gapfill" -> Relational.q23Gapfill _,
     "berlinmod_e2e" -> ((s: SparkSession, _: String) => {
       // full mobility workload on deterministic synthetic data
       // (rows-only check: 17 rows, one per BerlinMOD query)
@@ -208,6 +210,34 @@ object SparkEntry {
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
          WHERE c_mktsegment = 'BUILDING'
          ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+    "rel_q22_lag_ntile" ->
+      """WITH monthly AS (
+           SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+             round(sum(o_totalprice), 2) AS rev
+           FROM orders GROUP BY 1)
+         SELECT mi, rev,
+           lag(rev, 1) OVER (ORDER BY mi) AS prev_rev,
+           lead(rev, 1) OVER (ORDER BY mi) AS next_rev,
+           CAST(ntile(4) OVER (ORDER BY rev DESC, mi) AS INTEGER)
+             AS quartile,
+           round(percent_rank() OVER (ORDER BY rev ASC, mi), 4) AS pr
+         FROM monthly ORDER BY mi""",
+    "rel_q23_gapfill" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('day', ts) AS day, value FROM events),
+         bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         days AS (SELECT unnest(generate_series(lo, hi,
+           INTERVAL 1 DAY)) AS day FROM bounds),
+         users AS (SELECT DISTINCT user_id FROM e),
+         cells AS (
+           SELECT user_id, day, count(*) AS n, round(sum(value), 2) AS tv
+           FROM e GROUP BY 1, 2)
+         SELECT u.user_id, d.day,
+           coalesce(c.n, 0) AS n_events,
+           coalesce(c.tv, 0.0) AS total_value
+         FROM users u CROSS JOIN days d
+         LEFT JOIN cells c ON c.user_id = u.user_id AND c.day = d.day
+         ORDER BY u.user_id, d.day""",
     "rel_q14_theta_join" ->
       """SELECT win_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events e JOIN (VALUES

@@ -325,6 +325,53 @@ object Relational {
         sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
       .orderBy("event_type")
 
+  /** Remaining window-function surface in one query: lag/lead month
+    * deltas, ntile quartile, percent_rank — over the monthly revenue
+    * aggregate (a bounded, window-safe frame: months, not rows). */
+  def q22LagNtile(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("mi"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("mi")
+    monthly
+      .withColumn("prev_rev", lag("rev", 1).over(w))
+      .withColumn("next_rev", lead("rev", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w.orderBy(col("rev").desc, col("mi"))))
+      .withColumn("pr", round(percent_rank().over(w.orderBy(col("rev").asc, col("mi"))), 4))
+      .select("mi", "rev", "prev_rev", "next_rev", "quartile", "pr")
+      .orderBy("mi")
+  }
+
+  /** Calendar gap-fill (time-series resample): every (user, day) cell
+    * of the observed span, zero-filled where no events landed. The
+    * day spine is sequence()+explode off a 1-row bounds aggregate, the
+    * user dimension is DISTINCT user_id, and the dense grid is a
+    * broadcast cross join — grid cells = users x days, data-independent
+    * of the event count, then one left join against the per-cell
+    * aggregate. At 100 TB the grid is still |users| x |days| (small);
+    * the only corpus-sized pass is the pre-aggregation. */
+  def q23Gapfill(s: SparkSession, d: String): DataFrame = {
+    // day stays a truncated TIMESTAMP (not DATE): the two engines'
+    // client layers disagree on DATE representation, timestamps compare
+    // exactly
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value"))
+    val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val users = e.select("user_id").distinct()
+    val perCell = e.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("tv"))
+    users.crossJoin(broadcast(days))
+      .join(perCell, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("tv"), lit(0.0)).as("total_value"))
+      .orderBy("user_id", "day")
+  }
+
   /** Correlated LATERAL subquery — per BUILDING customer, their top-2
     * orders by price: the SQL-surface form of the per-group top-N that
     * rel_q8 expresses with a window. Spark decorrelates the LATERAL

@@ -59,10 +59,115 @@ object Sketches {
           / col("exact_distinct"), 2).as("rel_err_pct"))
   }
 
+  /** Deterministic distributed Bloom filter — engine-identical like
+    * [[kmv]], unlike Spark's bloom_filter_agg (whose bit layout DuckDB
+    * cannot replay). m = 1024 bits as 32 x 32-bit words (32-bit words
+    * so `1 << bit` never overflows BIGINT in either engine), j = 2
+    * probe positions carved from one md5-lower-64: p1 = h mod 1024,
+    * p2 = (h div 1024) mod 1024.
+    *
+    * Build: big-spender customer keys (orders > 400k) -> positions ->
+    * one bit_or aggregate into 32 words (bytes of state, any corpus
+    * size). Probe: every customer key, joined to the 32-word table on
+    * the word index — at scale the filter would be collected and
+    * broadcast into the scan filter; here the join form keeps it fully
+    * declarative. Output counts the maybe-hits against true membership
+    * (the realized false-positive count), all integers -> exact oracle. */
+  def bloom(s: SparkSession, d: String): DataFrame = {
+    val m = 1024
+    def positions(df: DataFrame, key: String): DataFrame = df
+      .select(col(key).as("k"),
+        md5(col(key).cast("string")).as("hx"))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .select(col("k"),
+        explode(array(pmod(col("h"), lit(m)),
+          pmod(expr(s"h div $m"), lit(m)))).as("p"))
+      .select(col("k"), col("p"),
+        expr("p div 32").cast("int").as("w"),
+        pmod(col("p"), lit(32)).cast("int").as("b"))
+    val keys = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey")).distinct()
+    val words = positions(keys, "o_custkey")
+      .groupBy("w")
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), b))").as("word"))
+    val probes = positions(Tables.customer(s, d), "c_custkey")
+      .join(broadcast(words), Seq("w"), "left")
+      .groupBy("k")
+      .agg(sum(when(expr("(word & shiftleft(cast(1 as bigint), b)) != 0"), 1)
+        .otherwise(0)).as("hits"))
+      .withColumn("maybe", col("hits") === 2)
+    val withTruth = probes.join(
+      keys.withColumnRenamed("o_custkey", "k").withColumn("member", lit(true)),
+      Seq("k"), "left")
+      .withColumn("member", coalesce(col("member"), lit(false)))
+    val bits = words.agg(
+      sum(expr("bit_count(word)")).cast("bigint").as("n_set_bits"))
+    withTruth.agg(
+      count(lit(1)).as("n_probes"),
+      sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+      sum(when(col("member"), 1L).otherwise(0L)).as("n_members"),
+      sum(when(col("maybe") && !col("member"), 1L).otherwise(0L))
+        .as("n_false_pos"),
+      sum(when(!col("maybe") && col("member"), 1L).otherwise(0L))
+        .as("n_missed"))
+      .crossJoin(bits)
+      .select(lit(m).as("m"), col("n_set_bits"), col("n_probes"),
+        col("n_maybe"), col("n_members"), col("n_false_pos"),
+        col("n_missed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_kmv" -> (kmv _))
+    "sketch_kmv" -> (kmv _),
+    "sketch_bloom" -> (bloom _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_bloom" ->
+      """WITH keys AS (
+           SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000),
+         kpos AS (
+           SELECT o_custkey AS k, unnest([
+             CAST(md5_number_lower(CAST(o_custkey AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) % 1024,
+             (CAST(md5_number_lower(CAST(o_custkey AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) // 1024) % 1024]) AS p
+           FROM keys),
+         words AS (
+           SELECT CAST(p // 32 AS INTEGER) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+           FROM kpos GROUP BY 1),
+         cpos AS (
+           SELECT c_custkey AS k, unnest([
+             CAST(md5_number_lower(CAST(c_custkey AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) % 1024,
+             (CAST(md5_number_lower(CAST(c_custkey AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) // 1024) % 1024]) AS p
+           FROM customer),
+         hits AS (
+           SELECT cpos.k,
+             sum(CASE WHEN (words.word
+               & (CAST(1 AS BIGINT) << CAST(cpos.p % 32 AS INTEGER))) != 0
+               THEN 1 ELSE 0 END) AS hits
+           FROM cpos LEFT JOIN words ON CAST(cpos.p // 32 AS INTEGER) = words.w
+           GROUP BY 1),
+         truth AS (
+           SELECT hits.k, hits.hits = 2 AS maybe,
+             EXISTS (SELECT 1 FROM keys WHERE keys.o_custkey = hits.k)
+               AS member
+           FROM hits),
+         bits AS (
+           SELECT CAST(sum(bit_count(word)) AS BIGINT) AS n_set_bits
+           FROM words)
+         SELECT 1024 AS m, bits.n_set_bits,
+           count(*) AS n_probes,
+           CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN member AND NOT maybe THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_missed
+         FROM truth CROSS JOIN bits GROUP BY 1, 2""",
     "sketch_kmv" ->
       """WITH h AS (
            SELECT DISTINCT CAST(md5_number_lower(

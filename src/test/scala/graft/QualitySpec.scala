@@ -138,6 +138,32 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Bloom sketch: no false negatives, plausible false-positive rate") {
+    val r = Sketches.bloom(spark, d).collect()(0)
+    val (m, setBits, probes, maybe, members, falsePos, missed) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    assert(missed == 0, "a Bloom filter must never miss a true member")
+    assert(maybe == members + falsePos)
+    assert(setBits <= 2 * members && setBits > 0)
+    // expected FP rate ~ (setBits/m)^2; allow a generous factor on a
+    // small probe set
+    val expFp = math.pow(setBits.toDouble / m, 2) * (probes - members)
+    assert(falsePos <= expFp * 4 + 3, s"false positives $falsePos vs exp $expFp")
+  }
+
+  test("gap-fill grid is dense: users x days, totals preserved") {
+    import org.apache.spark.sql.functions._
+    val g = graft.operators.Relational.q23Gapfill(spark, d)
+    val ev = graft.util.Tables.events(spark, d)
+    val users = ev.select("user_id").distinct().count()
+    val days = ev.select(date_trunc("day", col("ts"))).distinct().count()
+    // bounds span == observed distinct days here (every day has events)
+    assert(g.count() == users * days)
+    assert(g.agg(sum("n_events")).collect()(0).getLong(0) == ev.count())
+    assert(g.filter(col("n_events") === 0).count() >= 0)
+  }
+
   test("KMV sketch: within sampling error, tail planned as TakeOrdered") {
     val r = Sketches.kmv(spark, d).collect()(0)
     val exact = r.getLong(0)
