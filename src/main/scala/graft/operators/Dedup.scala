@@ -521,7 +521,36 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Benchmark decontamination — the check a training pipeline runs
+    * before release: which training documents share >= 2 distinct
+    * 5-gram shingles with any EVAL document (here the deterministic
+    * holdout doc_id < 10)?
+    *
+    * Scale shape: the eval shingle table is eval-sized (tiny) and
+    * BROADCAST; the corpus side explodes its shingles but the
+    * broadcast hash join filters them at the explode site, so nothing
+    * corpus-sized ever shuffles — the standard n-gram-overlap
+    * decontamination plan (ref: GPT-3 App. C methodology, public
+    * paper). */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    def shingled(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("t"))
+      .select(col(idAs), explode(array_distinct(
+        expr(s"""transform(sequence(1, greatest(size(t) - ${n - 1}, 0)),
+           i -> concat_ws(' ', slice(t, i, $n)))"""))).as("sh"))
+    val docs = Tables.documents(s, d)
+    val eval5 = shingled(docs.filter(col("doc_id") < 10), "eval_id")
+    val train = shingled(docs.filter(col("doc_id") >= 10), "train_id")
+    train.join(broadcast(eval5), "sh")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("train_id", "eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_contamination" -> (contamination _),
     "dedup_exact" -> (exact _),
     "dedup_jaccard" -> (jaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -534,6 +563,19 @@ object Dedup {
     "dedup_incremental" -> (incrementalNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_contamination" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - 4, 0)),
+             i -> array_to_string(t[i:i+4], ' ')))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents)),
+         ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id < 10),
+         tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id >= 10)
+         SELECT train_id, eval_id, count(*) AS n_shared
+         FROM tr JOIN ev USING (sh)
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY 1, 2""",
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
          r AS (SELECT h, row_number() OVER (PARTITION BY h ORDER BY doc_id) rn FROM h)

@@ -177,7 +177,34 @@ object Quality {
       .limit(20)
   }
 
+  /** GPT-style sequence packing: documents are concatenated in
+    * deterministic (doc_id) order and chunked into 2048-token training
+    * sequences; a document belongs to the pack where its first token
+    * lands. Packing runs PER LANGUAGE — the cumulative sum is a
+    * window PARTITIONED by lang, so no global single-partition window
+    * exists and each subcorpus packs independently (exactly how a
+    * 100 TB pipeline shards packing: deterministic within shard,
+    * embarrassingly parallel across shards). */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val seqLen = 2048
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), size(toks).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $seqLen"))
+      .groupBy("lang", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_sequences" -> (packSequences _),
     "text_quality_filters" -> (qualityFilters _),
     "text_quality_summary" -> (qualitySummary _),
     "text_repetition" -> (repetition _),
@@ -185,6 +212,21 @@ object Quality {
     "text_bm25" -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "text_pack_sequences" ->
+      """WITH t AS (
+           SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM t)
+         SELECT lang, (cum - n_tokens) // 2048 AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_quality_filters" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

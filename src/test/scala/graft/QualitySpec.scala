@@ -164,6 +164,42 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.filter(col("n_events") === 0).count() >= 0)
   }
 
+  test("contamination flags a planted eval copy, broadcast-joined") {
+    val dir = corpusDir(Seq(
+      (1L, "one two three four five six seven"),      // eval
+      (12L, "one two three four five six eight nine"), // shares 2 5-grams
+      (13L, "alpha beta gamma delta epsilon zeta")))   // clean
+    val rows = graft.operators.Dedup.contamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((12L, 1L, 2L)))
+    val plan = graft.operators.Dedup.contamination(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval shingles must broadcast, never shuffle the corpus side")
+  }
+
+  test("sequence packing: contiguous packs, totals preserved, deterministic") {
+    import org.apache.spark.sql.functions._
+    val p = Quality.packSequences(spark, d).collect()
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("lang"), size(split(col("text"), " ")).as("n")).collect()
+    // token totals preserved per language
+    val byLang = docs.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getInt(1).toLong).sum }
+    p.groupBy(_.getString(0)).foreach { case (l, rs) =>
+      assert(rs.map(_.getLong(3)).sum == byLang(l))
+      // pack ids are contiguous from 0
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 0 && ids.sameElements(ids.head to ids.last))
+      // doc ranges of consecutive packs do not overlap
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+        case _ => ()
+      }
+    }
+  }
+
   test("KMV sketch: within sampling error, tail planned as TakeOrdered") {
     val r = Sketches.kmv(spark, d).collect()(0)
     val exact = r.getLong(0)
