@@ -179,15 +179,54 @@ object Dedup {
     * (a~b, b~c) collapse into one keep-one group even when a~c itself
     * is below threshold.
     *
-    * Scale design: distributed min-label propagation. Per iteration: one
+    * Scale design is GRAPH-SIZE-ADAPTIVE, the standard production CC
+    * structure: the dup graph (edges = near-dup pairs) is orders of
+    * magnitude smaller than the corpus, so when it fits one task the
+    * components resolve in a single-task union-find — one pass, zero
+    * iteration rounds, no driver collect (the edges stay in an
+    * executor task). Only past the threshold does the distributed
+    * min-label propagation below take over. Per iteration there: one
     * equi-join of labels onto edges + one groupBy(dst) min — both plain
     * shuffles on doc_id; the driver sees only the changed-label COUNT
     * for the convergence test, never data. Rounds are bounded by the
     * component diameter (near-dup clusters are dense, diameter ~2-3; the
     * large-star/small-star refinement would cap rounds at O(log n) for
     * adversarial chain graphs). localCheckpoint truncates lineage per
-    * round so the plan stays constant-size at any iteration count. */
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    * round so the plan stays constant-size at any iteration count.
+    * Both paths produce identical (doc_id, min-member-label) rows —
+    * PipelineOpsSpec asserts the agreement. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    dupClustersImpl(s, d, 4000000L)
+
+  /** Single-task union-find with path compression over an edge
+    * iterator; emits (node, min member of its component). */
+  private[graft] def unionFind(
+      edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOf(r) = math.min(minOf.getOrElse(r, n), n)
+    }
+    parent.keys.iterator.map(n => (n, minOf(find(n))))
+  }
+
+  private[graft] def dupClustersImpl(
+      s: SparkSession, d: String, smallThreshold: Long): DataFrame = {
     val pairs = jaccard(s, d).select(col("id_a"), col("id_b"))
     // pre-partition the (static) edge table on the join key once: the
     // persisted partitioning satisfies each round's join requirement, so
@@ -196,11 +235,45 @@ object Dedup {
     // default — the dup graph is orders of magnitude smaller than the
     // corpus, and running a 256-edge round through 32-way exchanges is
     // pure scheduling overhead (at 100 TB the same formula widens).
+    // both edge directions from ONE pass over the pair plan: a union of
+    // (pairs, pairs-reversed) would evaluate the whole Jaccard pipeline
+    // twice (each union branch materializes its own copy); the explode
+    // emits the two directions from a single evaluation
     val symAll = pairs
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
       .persist()
     val nEdges = symAll.count()
+    val labels: DataFrame =
+      if (nEdges <= smallThreshold) smallGraphLabels(s, symAll)
+      else bigGraphLabels(s, symAll, nEdges)
+    labels.groupBy(col("lbl").as("cluster_rep"))
+      .agg(
+        count(lit(1)).as("csize"),
+        expr("""array_join(transform(sort_array(collect_list(doc_id)),
+                x -> CAST(x AS STRING)), ',')""").as("members"))
+      .orderBy("cluster_rep")
+  }
+
+  /** The one-task path: edges coalesce into a single partition and a
+    * union-find resolves every component in one pass (still in an
+    * executor task — no driver collect). */
+  private def smallGraphLabels(s: SparkSession, symAll: DataFrame): DataFrame = {
+    import s.implicits._
+    val out = symAll.as[(Long, Long)].coalesce(1)
+      .mapPartitions(unionFind)
+      .toDF("doc_id", "lbl")
+      .localCheckpoint()
+    symAll.unpersist()
+    out
+  }
+
+  /** The distributed path: min-label propagation, one join + one
+    * aggregate per round (see [[dupClusters]] scaladoc). */
+  private def bigGraphLabels(
+      s: SparkSession, symAll: DataFrame, nEdges: Long): DataFrame = {
     val parts = math.max(4, math.min(s.sparkContext.defaultParallelism,
       (nEdges / 500000L).toInt + 1))
     val sym = symAll.repartition(parts, col("src")).persist()
@@ -231,12 +304,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels.groupBy(col("lbl").as("cluster_rep"))
-      .agg(
-        count(lit(1)).as("csize"),
-        expr("""array_join(transform(sort_array(collect_list(doc_id)),
-                x -> CAST(x AS STRING)), ',')""").as("members"))
-      .orderBy("cluster_rep")
+    labels
   }
 
   // ---- MinHash + LSH banding ----

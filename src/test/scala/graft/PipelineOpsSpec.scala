@@ -53,6 +53,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(memberOf.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dup clusters: single-task union-find and label propagation agree") {
+    // threshold 0 forces the distributed label-propagation path;
+    // MaxValue forces the one-task union-find — identical output rows
+    val fast = Dedup.dupClustersImpl(spark, d, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val dist = Dedup.dupClustersImpl(spark, d, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(fast.sameElements(dist))
+    assert(fast.nonEmpty)
+  }
+
   test("relational simhash token hash equals md5 lower-64 (little-endian)") {
     val rng = new scala.util.Random(42)
     val toks = Seq("alpha", "beta", "gamma delta", "42", "été", "",
