@@ -71,15 +71,6 @@ object Quality {
         round(avg(when(col("keep"), 1.0).otherwise(0.0)), 4).as("keep_rate"))
       .orderBy("lang", "source")
 
-  /** Word-bigram list in document order (1-based element_at). Guarded:
-    * Spark's sequence(1, 0) counts DOWN (yields [1, 0]), so a
-    * single-token document must short-circuit to an empty array. */
-  private def bigrams: Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array())
-
   /** Repetition signals per document (the Gopher repetition filters):
     * top-term fraction, distinct-token ratio, duplicate-bigram
     * fraction. Explode + two hash aggregates — partial aggregation
@@ -88,15 +79,27 @@ object Quality {
     * token-occurrence-shaped. */
   def repetition(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // tokens/bigrams are hashed to 8-byte longs INSIDE the transform
+    // lambda (the Jaccard-shingle trick): the explode+groupBy shuffles
+    // primitive longs, not word strings — the counts are identical
+    // (collisions at ~2^-40 per doc are immaterial; the DuckDB oracle
+    // groups the strings and hash-matches)
     val tf = docs
-      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"),
+        explode(expr("transform(split(text, ' '), t -> xxhash64(t))"))
+          .as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
     val wordStats = tf.groupBy("doc_id").agg(
       round(max("c").cast("double") / sum("c"), 4).as("top_word_frac"),
       round(count(lit(1)).cast("double") / sum("c"), 4)
         .as("distinct_token_ratio"))
     val bgStats = docs
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> xxhash64(concat(element_at(t, i), ' ', element_at(t, i + 1))))"""))
+        .as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         round((sum("c") - count(lit(1))).cast("double") / sum("c"), 4)
