@@ -138,6 +138,22 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("grouped KMV: every group within sampling error, groups complete") {
+    val rows = Sketches.kmvGrouped(spark, d).collect()
+    assert(rows.nonEmpty)
+    val flags = graft.util.Tables.lineitem(spark, d)
+      .select("l_returnflag").distinct().count()
+    assert(rows.length == flags, "one sketch row per group")
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(3)
+      assert(exact > 0)
+      if (exact > 256)
+        assert(math.abs(est - exact).toDouble / exact < 0.3,
+          s"group ${r.getString(0)}: est $est vs exact $exact")
+      else assert(est == exact, "below k the sketch is exact")
+    }
+  }
+
   test("Bloom sketch: no false negatives, plausible false-positive rate") {
     val r = Sketches.bloom(spark, d).collect()(0)
     val (m, setBits, probes, maybe, members, falsePos, missed) =
