@@ -279,6 +279,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       f.take(2000))
   }
 
+  test("day-partitioned events layout prunes partitions for a time range") {
+    // the classic time-series ingestion layout: events written
+    // partitioned by day, so a time-range query touches only its day
+    // directories — same write-time-layout discipline as the ANN/TRTREE
+    // layouts, applied to the event stream
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("evlayout").toString
+    graft.util.Tables.events(spark, d)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val ranged = spark.read.parquet(dir)
+      .filter(col("day") >= "2024-01-03" && col("day") <= "2024-01-05")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val f = formatted(ranged)
+    assert(f.contains("PartitionFilters: [isnotnull(day"),
+      f.take(2000))
+    // correctness: equals the unpartitioned range aggregate
+    val base = graft.util.Tables.events(spark, d)
+      .filter(date_format(col("ts"), "yyyy-MM-dd").between(
+        "2024-01-03", "2024-01-05"))
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(_.toString).sorted
+    assert(ranged.collect().map(_.toString).sorted.sameElements(base))
+  }
+
   test("simhash/minhash-LSH/ann-LSH plans carry no ScalaUDF") {
     // hash/banding/bucketing are native kernels or builtins now — the
     // only ScalaUDFs left anywhere should be the BerlinMOD geometry
