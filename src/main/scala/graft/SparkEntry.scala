@@ -42,6 +42,7 @@ object SparkEntry {
     "rel_q21_lateral" -> Relational.q21Lateral _,
     "rel_q22_lag_ntile" -> Relational.q22LagNtile _,
     "rel_q23_gapfill" -> Relational.q23Gapfill _,
+    "rel_q24_cube" -> Relational.q24Cube _,
     "berlinmod_e2e" -> ((s: SparkSession, _: String) => {
       // full mobility workload on deterministic synthetic data
       // (rows-only check: 17 rows, one per BerlinMOD query)
@@ -238,6 +239,17 @@ object SparkEntry {
          FROM users u CROSS JOIN days d
          LEFT JOIN cells c ON c.user_id = u.user_id AND c.day = d.day
          ORDER BY u.user_id, d.day""",
+    "rel_q24_cube" ->
+      """SELECT
+           CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+                ELSE c_mktsegment END AS seg,
+           CASE WHEN GROUPING(yr) = 1 THEN 'ALL' ELSE yr END AS yr,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+         FROM (SELECT c_mktsegment,
+                 CAST(year(o_orderdate) AS VARCHAR) AS yr, o_totalprice
+               FROM orders JOIN customer ON o_custkey = c_custkey)
+         GROUP BY CUBE (c_mktsegment, yr)
+         ORDER BY seg, yr""",
     "rel_q14_theta_join" ->
       """SELECT win_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events e JOIN (VALUES

@@ -285,6 +285,27 @@ object Relational {
       .limit(20)
   }
 
+  /** CUBE over (segment, year): all four grouping combinations in one
+    * pass — the partial-aggregate expansion Spark shares with ROLLUP
+    * (rel_q17), completing the grouping-sets surface. */
+  def q24Cube(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        year(col("o_orderdate")).cast("string").as("yr"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("cube_base")
+    s.sql(
+      """SELECT
+          CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+               ELSE c_mktsegment END AS seg,
+          CASE WHEN GROUPING(yr) = 1 THEN 'ALL' ELSE yr END AS yr,
+          count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+        FROM cube_base
+        GROUP BY CUBE (c_mktsegment, yr)
+        ORDER BY seg, yr""")
+  }
+
   /** Statistical outlier detection: top-20 events by |z| against their
     * event type's mean/stddev. The moments are derived from ROUNDED
     * sums (sum, sum-of-squares quantized to 6 dp) rather than the

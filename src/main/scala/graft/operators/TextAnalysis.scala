@@ -183,7 +183,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Inverted-index build: term -> document frequency, total
+    * occurrences, and the posting list head (first 10 doc ids,
+    * ascending). The keyword-search backbone: one explode + one
+    * (term, doc) aggregate + one per-term aggregate, both hash
+    * partial+final, so the shuffle carries (term, doc)-distinct rows.
+    * Posting lists materialize SORTED (sort_array over the collected
+    * slice) — at 100 TB the full postings would write out bucketed by
+    * term rather than truncating to a head; the head keeps the gate
+    * output bounded. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val td = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    td.groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("occurrences"),
+        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 10))
+          .as("postings_head"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> (invertedIndex _),
     "text_ngram_lm" -> (ngramLm _),
     "text_stats" -> (textStats _),
     "text_token_counts" -> (tokenCounts _),
@@ -194,6 +218,18 @@ object TextAnalysis {
     "text_sample_stratified" -> (sampleStratified _))
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" ->
+      """WITH td AS (
+           SELECT tok AS term, doc_id, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2)
+         SELECT term, count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS occurrences,
+           array_to_string(list_sort(list(doc_id))[1:10], ',')
+             AS postings_head
+         FROM td GROUP BY term
+         ORDER BY df DESC, term ASC LIMIT 50""",
     "text_ngram_lm" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
