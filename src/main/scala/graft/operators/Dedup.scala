@@ -604,8 +604,13 @@ object Dedup {
     val n = 5
     def shingled(df: DataFrame, idAs: String): DataFrame = df
       .select(col("doc_id").as(idAs), split(col("text"), " ").as("t"))
+      // docs shorter than one shingle contribute nothing — and must be
+      // filtered BEFORE the transform: Spark's sequence(1, 0) counts
+      // DOWN (yielding a slice(t, 0, n) crash), where DuckDB's
+      // generate_series(1, 0) is empty
+      .filter(size(col("t")) >= n)
       .select(col(idAs), explode(array_distinct(
-        expr(s"""transform(sequence(1, greatest(size(t) - ${n - 1}, 0)),
+        expr(s"""transform(sequence(1, size(t) - ${n - 1}),
            i -> concat_ws(' ', slice(t, i, $n)))"""))).as("sh"))
     val docs = Tables.documents(s, d)
     val eval5 = shingled(docs.filter(col("doc_id") < 10), "eval_id")

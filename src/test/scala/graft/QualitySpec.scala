@@ -183,8 +183,10 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("contamination flags a planted eval copy, broadcast-joined") {
     val dir = corpusDir(Seq(
       (1L, "one two three four five six seven"),      // eval
+      (2L, "tiny"),                                    // sub-shingle eval doc
       (12L, "one two three four five six eight nine"), // shares 2 5-grams
-      (13L, "alpha beta gamma delta epsilon zeta")))   // clean
+      (13L, "alpha beta gamma delta epsilon zeta"),    // clean
+      (14L, "so short")))                              // sub-shingle train doc
     val rows = graft.operators.Dedup.contamination(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == Seq((12L, 1L, 2L)))
