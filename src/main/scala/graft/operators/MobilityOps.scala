@@ -240,10 +240,10 @@ object MobilityOps {
            FROM s),
          per AS (
            SELECT user_id, sid,
-             epoch(max(ts)) + 1800 - epoch(min(ts)) AS sess_s
+             epoch_us(max(ts)) + 1800000000 - epoch_us(min(ts)) AS sess_us
            FROM g GROUP BY user_id, sid)
          SELECT user_id, count(*) AS num_sessions,
-           round(sum(sess_s), 6) AS total_s
+           round(CAST(sum(sess_us) AS BIGINT) / 1000000.0, 6) AS total_s
          FROM per GROUP BY user_id ORDER BY user_id""",
     "mob_q5_traj_length" ->
       s"""$E, p AS (
