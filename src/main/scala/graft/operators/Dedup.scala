@@ -272,7 +272,7 @@ object Dedup {
 
   /** The distributed path: min-label propagation, one join + one
     * aggregate per round (see [[dupClusters]] scaladoc). */
-  private def bigGraphLabels(
+  private[graft] def bigGraphLabels(
       s: SparkSession, symAll: DataFrame, nEdges: Long): DataFrame = {
     val parts = math.max(4, math.min(s.sparkContext.defaultParallelism,
       (nEdges / 500000L).toInt + 1))

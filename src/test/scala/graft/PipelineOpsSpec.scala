@@ -64,6 +64,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.nonEmpty)
   }
 
+  test("distributed label propagation: 360k-edge synthetic graph, chains") {
+    // 20k chain components of 10 nodes each — chains force the
+    // propagation to run component-diameter rounds (the adversarial
+    // case for min-label), at a volume the single-task path never
+    // sees from the gate corpus
+    val edges = (0L until 20000L).flatMap { c =>
+      val base = c * 10
+      (0 until 9).map(i => (base + i, base + i + 1))
+    }
+    val sym = spark.createDataFrame(
+      edges.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+      .toDF("src", "dst").persist()
+    val labels = Dedup.bigGraphLabels(spark, sym, edges.size * 2L)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200000)
+    got.foreach { case (n, l) =>
+      assert(l == (n / 10) * 10, s"node $n labeled $l")
+    }
+  }
+
   test("relational simhash token hash equals md5 lower-64 (little-endian)") {
     val rng = new scala.util.Random(42)
     val toks = Seq("alpha", "beta", "gamma delta", "42", "été", "",
