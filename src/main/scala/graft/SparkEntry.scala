@@ -43,6 +43,7 @@ object SparkEntry {
     "rel_q22_lag_ntile" -> Relational.q22LagNtile _,
     "rel_q23_gapfill" -> Relational.q23Gapfill _,
     "rel_q24_cube" -> Relational.q24Cube _,
+    "rel_q25_set_all" -> Relational.q25SetAll _,
     "berlinmod_e2e" -> ((s: SparkSession, _: String) => {
       // full mobility workload on deterministic synthetic data
       // (rows-only check: 17 rows, one per BerlinMOD query)
@@ -239,6 +240,18 @@ object SparkEntry {
          FROM users u CROSS JOIN days d
          LEFT JOIN cells c ON c.user_id = u.user_id AND c.day = d.day
          ORDER BY u.user_id, d.day""",
+    "rel_q25_set_all" ->
+      """WITH hi AS (SELECT l_partkey, l_suppkey FROM lineitem
+                     WHERE l_quantity >= 25),
+         lo AS (SELECT l_partkey, l_suppkey FROM lineitem
+                WHERE l_quantity < 25)
+         SELECT
+           (SELECT count(*) FROM (
+              SELECT * FROM hi EXCEPT ALL SELECT * FROM lo) e)
+             AS except_all_cnt,
+           (SELECT count(*) FROM (
+              SELECT * FROM hi INTERSECT ALL SELECT * FROM lo) i)
+             AS intersect_all_cnt""",
     "rel_q24_cube" ->
       """SELECT
            CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'

@@ -285,6 +285,21 @@ object Relational {
       .limit(20)
   }
 
+  /** Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
+    * duplicate cardinalities (rel_q11 covers the DISTINCT variants):
+    * order-priority lineitem multisets compared by (partkey, suppkey)
+    * occurrence counts. Spark plans both as counted hash aggregates
+    * (no sort), the same shape DuckDB uses. */
+  def q25SetAll(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val hi = li.filter(col("l_quantity") >= 25).select("l_partkey", "l_suppkey")
+    val lo = li.filter(col("l_quantity") < 25).select("l_partkey", "l_suppkey")
+    val exceptCnt = hi.exceptAll(lo).count()
+    val intersectCnt = hi.intersectAll(lo).count()
+    import s.implicits._
+    Seq((exceptCnt, intersectCnt)).toDF("except_all_cnt", "intersect_all_cnt")
+  }
+
   /** CUBE over (segment, year): all four grouping combinations in one
     * pass — the partial-aggregate expansion Spark shares with ROLLUP
     * (rel_q17), completing the grouping-sets surface. */
