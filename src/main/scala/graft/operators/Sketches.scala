@@ -132,15 +132,29 @@ object Sketches {
       .withColumn("h", graft.util.Md5Lower64.of("hx"))
       .select("grp", "h").distinct()
       .persist()
+    val exact = hashed.groupBy("grp")
+      .agg(count(lit(1)).as("exact_distinct"))
+    // tail PRE-FILTER: the group's k-th smallest hash concentrates
+    // around K/c_g * 2^63, so pruning at 16x that expectation leaves
+    // ~16K candidate rows per group for the rank window instead of the
+    // whole group (P[kth above the bound] ~ e^-2800 — and the oracle
+    // derives the IDENTICAL integer bound from the identical exact
+    // counts, so even that event could not break parity). Groups
+    // smaller than 16K skip the prune. This is what keeps the
+    // per-group sort bounded when groups are few and huge.
+    val thr = exact.select(col("grp"),
+      when(col("exact_distinct") <= K * 16L, lit(Long.MaxValue))
+        .otherwise(expr(s"(9223372036854775807 div exact_distinct) * ${K * 16L}"))
+        .as("tg"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("h")
     val tail = hashed
+      .join(broadcast(thr), "grp")
+      .filter(col("h") <= col("tg"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
       .groupBy("grp")
       .agg(max("h").as("kth_hash"), count(lit(1)).as("n_min"))
-    val exact = hashed.groupBy("grp")
-      .agg(count(lit(1)).as("exact_distinct"))
     exact.join(tail, "grp")
       .withColumn("kmv_estimate",
         when(col("exact_distinct") <= K, col("exact_distinct"))
@@ -167,14 +181,19 @@ object Sketches {
                CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))
                & 9223372036854775807 AS BIGINT) AS h
            FROM lineitem),
+         ex AS (SELECT grp, count(*) AS exact_distinct FROM h GROUP BY 1),
+         thr AS (
+           SELECT grp,
+             CASE WHEN exact_distinct <= 4096 THEN 9223372036854775807
+               ELSE (9223372036854775807 // exact_distinct) * 4096 END AS tg
+           FROM ex),
          rk AS (
-           SELECT grp, h,
-             row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
-           FROM h),
+           SELECT h.grp, h.h,
+             row_number() OVER (PARTITION BY h.grp ORDER BY h.h) AS rk
+           FROM h JOIN thr ON h.grp = thr.grp WHERE h.h <= thr.tg),
          tail AS (
            SELECT grp, max(h) AS kth_hash, count(*) AS n_min
            FROM rk WHERE rk <= 256 GROUP BY 1),
-         ex AS (SELECT grp, count(*) AS exact_distinct FROM h GROUP BY 1),
          est AS (
            SELECT ex.grp, ex.exact_distinct, tail.kth_hash,
              CASE WHEN ex.exact_distinct <= 256 THEN ex.exact_distinct
