@@ -44,6 +44,8 @@ object SparkEntry {
     "rel_q23_gapfill" -> Relational.q23Gapfill _,
     "rel_q24_cube" -> Relational.q24Cube _,
     "rel_q25_set_all" -> Relational.q25SetAll _,
+    "events_funnel" -> Relational.q26Funnel _,
+    "events_retention" -> Relational.q27Retention _,
     "berlinmod_e2e" -> ((s: SparkSession, _: String) => {
       // full mobility workload on deterministic synthetic data
       // (rows-only check: 17 rows, one per BerlinMOD query)
@@ -240,6 +242,40 @@ object SparkEntry {
          FROM users u CROSS JOIN days d
          LEFT JOIN cells c ON c.user_id = u.user_id AND c.day = d.day
          ORDER BY u.user_id, d.day""",
+    "events_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+         SELECT
+           (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel,
+           round((SELECT count(*) FROM c)
+             / CAST((SELECT count(*) FROM v) AS DOUBLE), 4) AS click_rate,
+           round((SELECT count(*) FROM p)
+             / CAST((SELECT count(*) FROM c) AS DOUBLE), 4)
+             AS purchase_rate""",
+    "events_retention" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+         cohort AS (
+           SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+         active AS (SELECT DISTINCT user_id, wk FROM e)
+         SELECT c.cohort_week,
+           CAST((CAST(a.wk AS DATE) - CAST(c.cohort_week AS DATE)) // 7
+             AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+         FROM active a JOIN cohort c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "rel_q25_set_all" ->
       """WITH hi AS (SELECT l_partkey, l_suppkey FROM lineitem
                      WHERE l_quantity >= 25),

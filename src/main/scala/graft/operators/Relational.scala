@@ -285,6 +285,55 @@ object Relational {
       .limit(20)
   }
 
+  /** Ordered conversion funnel view -> click -> purchase: a user
+    * advances a step only with a LATER event of the next type (the
+    * classic product-analytics funnel, not mere type presence). Each
+    * step is one filter + groupBy(user) min + join onto the previous
+    * step's frame — a shuffle per step on the user key, never a window
+    * over the whole event stream; at 100 TB each step's frame is
+    * user-sized, not event-sized. */
+  def q26Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("user_id", "ts", "event_type")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val total = e.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    total
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      .select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_full_funnel"),
+        round(col("n_view_click") / col("n_view").cast("double"), 4)
+          .as("click_rate"),
+        round(col("n_full_funnel") / col("n_view_click").cast("double"), 4)
+          .as("purchase_rate"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; one row per (cohort week, week offset) with the distinct
+    * users still active. Two aggregates (first-event per user, distinct
+    * user-weeks) and one user-key join — the cohort matrix stays
+    * |weeks|^2-sized no matter the event volume. */
+  def q27Retention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val active = e.distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset",
+        expr("datediff(wk, cohort_week) div 7"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
     * duplicate cardinalities (rel_q11 covers the DISTINCT variants):
     * order-priority lineitem multisets compared by (partkey, suppkey)

@@ -138,6 +138,31 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("funnel: steps require ORDERED events, not mere type presence") {
+    val dir = java.nio.file.Files.createTempDirectory("funnelspec").toString
+    val rows = Seq(
+      // user 1: the full ordered funnel
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 10:10:00", 1L, "purchase"),
+      // user 2: click BEFORE the first view — no click step
+      (4L, "2024-01-01 09:00:00", 2L, "click"),
+      (5L, "2024-01-01 10:00:00", 2L, "view"),
+      // user 3: purchase BEFORE the click — stops at the click step
+      (6L, "2024-01-01 10:00:00", 3L, "view"),
+      (7L, "2024-01-01 10:01:00", 3L, "purchase"),
+      (8L, "2024-01-01 10:05:00", 3L, "click"),
+      // user 4: never viewed
+      (9L, "2024-01-01 10:00:00", 4L, "error"))
+    spark.createDataFrame(rows).toDF("event_id", "tss", "user_id", "event_type")
+      .selectExpr("event_id", "CAST(tss AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "1.0 AS value", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.operators.Relational.q26Funnel(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 2L, 1L)))
+  }
+
   test("grouped KMV: every group within sampling error, groups complete") {
     val rows = Sketches.kmvGrouped(spark, d).collect()
     assert(rows.nonEmpty)
