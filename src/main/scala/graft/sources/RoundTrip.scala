@@ -44,10 +44,20 @@ object RoundTrip {
     val base = new java.io.File(s"target/roundtrip_$fp").getAbsolutePath
     docs.write.mode("overwrite").json(s"$base/json")
     docs.write.mode("overwrite").orc(s"$base/orc")
+    // CSV needs explicit quote/escape discipline to stay lossless on
+    // free text (quotes inside quoted fields escaped by doubling — the
+    // RFC 4180 convention both the writer and reader are pinned to)
+    docs.write.mode("overwrite")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(s"$base/csv")
     val viaJson = s.read.schema(docSchema).json(s"$base/json")
     val viaOrc = s.read.orc(s"$base/orc")
+    val viaCsv = s.read.schema(docSchema)
+      .option("quote", "\"").option("escape", "\"")
+      .csv(s"$base/csv")
     checksummed(viaJson, "json")
       .union(checksummed(viaOrc, "orc"))
+      .union(checksummed(viaCsv, "csv"))
       .union(checksummed(docs, "parquet"))
       .orderBy("format")
   }
@@ -64,7 +74,7 @@ object RoundTrip {
                & 9223372036854775807 AS BIGINT) AS checksum
            FROM documents)
          SELECT f.format, c.n_docs, c.checksum
-         FROM c CROSS JOIN (VALUES ('json'), ('orc'), ('parquet'))
+         FROM c CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet'))
            f(format)
          ORDER BY f.format""")
 }
