@@ -43,11 +43,18 @@ object Bench {
     // engine's cost, the max is the neighbors'.
     // clearCache defaults on (query isolation); the BerlinMOD block turns
     // it off because its cached views ARE the untimed load artifacts.
+    // Each timing carries an optional error: a query that throws must be
+    // REPORTED as an error, not silently recorded as a fast wall-clock
+    // (that corrupted nothing yet, but the failure mode was invisible).
     def timed(work: Seq[(String, () => Unit)],
-              clear: Boolean = true): Seq[(String, Double)] =
+              clear: Boolean = true): Seq[(String, Double, Option[String])] =
       for (pass <- 0 to 1; (name, run) <- work) yield {
         val t0 = System.nanoTime()
-        try run() catch { case _: Throwable => () }
+        val err = try { run(); None } catch {
+          case e: Throwable =>
+            Some(e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(120))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         if (clear) {
           spark.catalog.clearCache()
@@ -55,10 +62,17 @@ object Bench {
           // a GC so one query's debris cannot stall the next's executors
           System.gc()
         }
-        name -> dt
+        (name, dt, err)
       }
-    def minPerQuery(ts: Seq[(String, Double)]): Seq[(String, Double)] =
-      ts.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }.toSeq
+    // min over the passes that SUCCEEDED; a query with no successful pass
+    // surfaces as sec=-1 plus an "err" entry
+    def minPerQuery(ts: Seq[(String, Double, Option[String])])
+        : Seq[(String, Double, Option[String])] =
+      ts.groupBy(_._1).map { case (n, xs) =>
+        val ok = xs.filter(_._3.isEmpty)
+        if (ok.nonEmpty) (n, ok.map(_._2).min, None)
+        else (n, -1.0, xs.flatMap(_._3).headOption)
+      }.toSeq
     val results0 = minPerQuery(timed(
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot(_._1 == "berlinmod_e2e")
@@ -79,7 +93,8 @@ object Bench {
       spark.sql("SELECT * FROM SegCells").count()
       spark.sql("SELECT * FROM SegTime").count()
       val loadRow = Seq(
-        "berlinmod_load" -> (System.nanoTime() - tL0) / 1e9)
+        ("berlinmod_load", (System.nanoTime() - tL0) / 1e9,
+          Option.empty[String]))
       loadRow ++ minPerQuery(timed(
         graft.berlinmod.BerlinMod.queries(spark).map { case (n, df) =>
           s"berlinmod_$n" -> (() => { df.count(); () })
@@ -104,18 +119,41 @@ object Bench {
             s"berlinmod_${n}_10x" -> (() => { df.count(); () })
           }, clear = false))
     } catch { case _: Throwable => Seq.empty }
-    val results = (results0 ++ bmTimes ++ bm10Times).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Both channels: the bare stdout line (outputStrategy := StdoutOutput in
-    // build.sbt keeps it prefix-free) and a fixed file the driver/judge can
+    val results = (results0 ++ bmTimes ++ bm10Times).sortBy(_._1)
+    // r4's official artifact died because the single stdout line carried
+    // 96 queries at full double precision (~4 KB) and overflowed the
+    // driver's tail-capture window. Stdout now gets (a) one bare JSON line
+    // per query — each tiny and self-contained — then (b) a compact total
+    // line with seconds rounded to 3 decimals; full precision lives in
+    // target/bench.json.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    for ((n, t, e) <- results) {
+      val errPart = e.map(m => s""","err":${jstr(m)}""").getOrElse("")
+      println(s"""{"q":${jstr(n)},"sec":${r3(t)}$errPart}""")
+    }
+    def queriesJson(round: Boolean): String =
+      results.map { case (n, t, _) =>
+        jstr(n) + ":" + (if (round) r3(t) else t)
+      }.mkString("{", ",", "}")
+    val errs = results.collect { case (n, _, Some(m)) =>
+      jstr(n) + ":" + jstr(m)
+    }
+    val errPart =
+      if (errs.nonEmpty) s""","errors":${errs.mkString("{", ",", "}")}"""
+      else ""
+    val total = results.collect { case (_, t, e) if e.isEmpty => t }.sum
+    def line(round: Boolean): String =
+      s"""{"metric":"total","value":${if (round) r3(total) else total},""" +
+        s""""unit":"sec","queries":${queriesJson(round)}$errPart,"sf":"$sfDir"}"""
+    // Both channels: the bare stdout lines (outputStrategy := StdoutOutput in
+    // build.sbt keeps them prefix-free) and a fixed file the driver/judge can
     // read regardless of how sbt mangles the console.
-    println(line)
+    println(line(round = true))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), line(round = false))
     spark.stop()
   }
 }

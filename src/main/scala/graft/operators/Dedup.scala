@@ -217,12 +217,17 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
+    // snapshot the key set before iterating: find() mutates the same
+    // LongMap via path compression. Today that only UPDATES existing
+    // keys (no insert, so no rehash mid-iteration), but the snapshot
+    // keeps the loops valid even if find() ever gains an insert.
+    val ks = parent.keys.toArray
     val minOf = scala.collection.mutable.LongMap.empty[Long]
-    parent.keys.foreach { n =>
+    ks.foreach { n =>
       val r = find(n)
       minOf(r) = math.min(minOf.getOrElse(r, n), n)
     }
-    parent.keys.iterator.map(n => (n, minOf(find(n))))
+    ks.iterator.map(n => (n, minOf(find(n))))
   }
 
   private[graft] def dupClustersImpl(
@@ -249,6 +254,10 @@ object Dedup {
     val labels: DataFrame =
       if (nEdges <= smallThreshold) smallGraphLabels(s, symAll)
       else bigGraphLabels(s, symAll, nEdges)
+    // both paths return MATERIALIZED labels (localCheckpoint), so the
+    // cached edge table can be dropped here — one cleanup point instead
+    // of per-path, no leak across long-lived sessions
+    symAll.unpersist()
     labels.groupBy(col("lbl").as("cluster_rep"))
       .agg(
         count(lit(1)).as("csize"),
@@ -262,12 +271,10 @@ object Dedup {
     * executor task — no driver collect). */
   private def smallGraphLabels(s: SparkSession, symAll: DataFrame): DataFrame = {
     import s.implicits._
-    val out = symAll.as[(Long, Long)].coalesce(1)
+    symAll.as[(Long, Long)].coalesce(1)
       .mapPartitions(unionFind)
       .toDF("doc_id", "lbl")
       .localCheckpoint()
-    symAll.unpersist()
-    out
   }
 
   /** The distributed path: min-label propagation, one join + one
@@ -278,7 +285,6 @@ object Dedup {
       (nEdges / 500000L).toInt + 1))
     val sym = symAll.repartition(parts, col("src")).persist()
     sym.count()
-    symAll.unpersist()
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .repartition(parts, col("doc_id"))
       .withColumn("lbl", col("doc_id"))

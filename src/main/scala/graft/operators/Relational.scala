@@ -463,12 +463,16 @@ object Relational {
     * with ORDER BY + LIMIT into exactly that ranked-window plan, so the
     * scale shape is one shuffle by the correlation key. */
   def q21Lateral(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("customer")
-    Tables.orders(s, d).createOrReplaceTempView("orders")
+    // lateral_-prefixed names (matching the rel_ view discipline at
+    // q10's rel_orders/rel_customer): bare 'customer'/'orders' views
+    // would persist for the session and shadow later bare-name SQL —
+    // possibly serving a previous run's scale directory
+    Tables.customer(s, d).createOrReplaceTempView("lateral_customer")
+    Tables.orders(s, d).createOrReplaceTempView("lateral_orders")
     s.sql(
       """SELECT c_custkey, o_orderkey, o_totalprice
-        FROM customer, LATERAL (
-          SELECT o_orderkey, o_totalprice FROM orders
+        FROM lateral_customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lateral_orders
           WHERE o_custkey = c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         WHERE c_mktsegment = 'BUILDING'

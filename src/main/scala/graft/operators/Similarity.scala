@@ -192,16 +192,20 @@ object Similarity {
   private val IvfK = 32
   private val IvfNProbe = 6
 
-  /** Codebook of the most recent IVF train/load in this JVM. The
-    * codebook is a deterministic function of the dataset, so once a
-    * query has produced it, [[oracles]] can interpolate it into the
-    * DuckDB oracle SQL (as the LSH planes are) and the oracle replays
-    * cell assignment, nprobe probing, and scoring independently —
-    * turning the approximate IVF queries into exact hash checks.
-    * Verify runs every query before dumping oracle_sql.json, so the
-    * stash is always populated there; if no IVF query ran, the IVF
-    * oracle entries are simply omitted (rows-only, as before). */
-  @volatile private var trainedCodebook: Option[Array[Array[Double]]] = None
+  /** Codebooks stashed PER QUERY KEY ("ann_ivf" = freshly trained,
+    * "ann_ivf_bucketed" = loaded from the on-disk layout). The codebook
+    * is a deterministic function of the dataset, so once a query has
+    * produced it, [[oracles]] can interpolate it into the DuckDB oracle
+    * SQL (as the LSH planes are) and the oracle replays cell
+    * assignment, nprobe probing, and scoring independently — turning
+    * the approximate IVF queries into exact hash checks. Keyed rather
+    * than last-writer-wins so a stale on-disk layout can never leak one
+    * query's codebook into the OTHER query's oracle. Verify runs every
+    * query before dumping oracle_sql.json, so the stash is always
+    * populated there; if no IVF query ran, the IVF oracle entries are
+    * simply omitted (rows-only, as before). */
+  private val trainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** Deterministic k-means codebook: trained on a BOUNDED sample (k x 100
     * vectors with smallest xxhash64(vec_id) — a few MB at any corpus
@@ -238,7 +242,6 @@ object Similarity {
         if (counts(c) == 0) cents(c)
         else sums(c).map(_ / counts(c)))
     }
-    trainedCodebook = Some(cents)
     cents
   }
 
@@ -248,6 +251,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = trainCodebook(e)
+    trainedCodebooks.put("ann_ivf", cents)
     val withCell = e
       .withColumn("cell", nearestCell(cents)(col("v")))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -310,7 +314,7 @@ object Similarity {
     val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    trainedCodebook = Some(cents)
+    trainedCodebooks.put("ann_ivf_bucketed", cents)
     val e = s.read.parquet(layout.toString)
     // query side reads the BASE table (single file, isin pushed to the
     // scan), not the k cell directories
@@ -541,8 +545,7 @@ object Similarity {
          FROM cent a JOIN cent b
            ON a.pos = b.pos AND a.lang < b.lang
          GROUP BY 1, 2 ORDER BY 1, 2""") ++
-    trainedCodebook.map { cents =>
-      val sql = ivfOracleSelect(cents)
-      Map("ann_ivf" -> sql, "ann_ivf_bucketed" -> sql)
-    }.getOrElse(Map.empty)
+    Seq("ann_ivf", "ann_ivf_bucketed").flatMap { k =>
+      Option(trainedCodebooks.get(k)).map(c => k -> ivfOracleSelect(c))
+    }.toMap
 }

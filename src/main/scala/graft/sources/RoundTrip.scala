@@ -23,6 +23,11 @@ object RoundTrip {
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  // CSV cannot natively distinguish an empty string from NULL on read
+  // (both parse back as null), so empties are tagged with a sentinel the
+  // reader maps back. \u0001 delimiters keep it out of any plausible text.
+  private val EmptySentinel = "\u0001EMPTY\u0001"
+
   private def checksummed(df: DataFrame, format: String): DataFrame =
     df
       .withColumn("hx",
@@ -47,14 +52,32 @@ object RoundTrip {
     // CSV needs explicit quote/escape discipline to stay lossless on
     // free text (quotes inside quoted fields escaped by doubling — the
     // RFC 4180 convention both the writer and reader are pinned to)
+    // emptyValue tags empty strings so the reader can tell "" from
+    // NULL (Spark's CSV default reads both back as null, which would
+    // null the md5 concat and silently drop the doc from the checksum)
+    // write-side trimming is ON by default and strips leading/trailing
+    // chars <= ' ' from unquoted fields — lossy for padded text (and it
+    // would eat the sentinel's \u0001 delimiters); read side defaults
+    // to no trimming, so disabling the writer makes both sides exact
     docs.write.mode("overwrite")
       .option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("emptyValue", EmptySentinel)
       .csv(s"$base/csv")
     val viaJson = s.read.schema(docSchema).json(s"$base/json")
     val viaOrc = s.read.orc(s"$base/orc")
+    // multiLine: quoted fields may carry embedded newlines; without it
+    // the reader splits records mid-field. multiLine disables record
+    // splitting, so each file parses as one unit — fine at this
+    // certification scale; a 100 TB CSV ingest would pre-escape \n.
     val viaCsv = s.read.schema(docSchema)
       .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
       .csv(s"$base/csv")
+      .withColumn("text",
+        when(col("text") === EmptySentinel, lit(""))
+          .otherwise(col("text")))
     checksummed(viaJson, "json")
       .union(checksummed(viaOrc, "orc"))
       .union(checksummed(viaCsv, "csv"))

@@ -114,8 +114,9 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.writeString(Paths.get("target/golden_report.txt"),
       summary + total + "\n\n" + report)
     info(summary + total)
-    // ratchet: raise as coverage grows
-    assert(pass >= (pass + fail) * 95 / 100,
-      s"golden pass rate below threshold: $pass/${pass + fail} — see target/golden_report.txt")
+    // ratchet pinned at 100%: the corpus has been 425/425 for three
+    // rounds — any single golden regression must fail the suite
+    assert(fail == 0,
+      s"golden regressions: $pass/${pass + fail} — see target/golden_report.txt")
   }
 }

@@ -56,4 +56,32 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("format round-trip survives newlines, quotes, and empty strings") {
+    // adversarial corpus: embedded newline (CSV quoted multi-line
+    // record), embedded double quotes (RFC 4180 doubling), empty string
+    // (must NOT read back as null), commas, and a unicode mix
+    val s = spark
+    import s.implicits._
+    val adv = java.nio.file.Files.createTempDirectory("advdocs").toString
+    Seq(
+      (1L, "plain text"),
+      (2L, "line one\nline two\nline three"),
+      (3L, "she said \"hi\", twice \"\""),
+      (4L, ""),
+      (5L, "comma, separated, values"),
+      (6L, "ünïcode — emoji ☃ and tab\there"),
+      (7L, "  padded with spaces  "))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$adv/documents.parquet")
+    val rows = graft.sources.RoundTrip.roundTrip(spark, adv).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("csv", "json", "orc", "parquet"))
+    // every format must agree with the parquet control row exactly
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "row counts differ")
+    assert(rows.map(_.getLong(2)).distinct.length == 1,
+      s"checksums differ: ${rows.mkString(", ")}")
+    assert(rows.head.getLong(1) == 7L)
+  }
 }
