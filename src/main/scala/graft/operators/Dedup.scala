@@ -370,12 +370,36 @@ object Dedup {
 
   // ---- SimHash ----
 
+  /** Per-token kernel hashes captured by the last [[simhash]] run. For a
+    * single word (no spaces), simhash64's bit-vote IS the word hash —
+    * counts(b) = +1 iff bit b of h is set, so the output equals h — which
+    * lets the Spark-computed token->hash table be interpolated into the
+    * DuckDB oracle as a VALUES literal (the same trick as the LSH planes
+    * and IVF codebook). DuckDB then replays bit-votes, banding, and
+    * hamming exactly, turning the kernel query into a full hash check.
+    * Capped: a vocabulary larger than the cap skips the oracle (falls
+    * back to rows-only) rather than interpolating megabytes of SQL. */
+  @volatile private var simhashTokenHashes: Option[Array[(String, Long)]] = None
+  private val SimhashOracleVocabCap = 20000
+
   /** 64-bit SimHash over word hashes; near dups = hamming distance <= 8
-    * among 16-bit-band candidates. Rows-only check (our hash family).
-    * simhash64 is a native codegen kernel (VectorExprs); the hamming
-    * distance is the builtin bit_count over xor — no ScalaUDF anywhere. */
+    * among 16-bit-band candidates. Exact-hash-checked: the deterministic
+    * token->hash table is interpolated into the oracle (see
+    * [[simhashTokenHashes]]). simhash64 is a native codegen kernel
+    * (VectorExprs); the hamming distance is the builtin bit_count over
+    * xor — no ScalaUDF anywhere. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     reg(s)
+    // vocabulary-bounded collect (tens of KB on any natural-language
+    // corpus at the cap) — oracle support only, not part of the operator
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok")).distinct()
+      .limit(SimhashOracleVocabCap + 1)
+      .select(col("tok"), call_function("simhash64", col("tok")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    simhashTokenHashes =
+      if (vocab.length > SimhashOracleVocabCap) None
+      else Some(vocab.sortBy(_._1))
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), call_function("simhash64", col("text")).as("sh64"))
     val banded = docs.select(col("doc_id"), col("sh64"),
@@ -641,7 +665,62 @@ object Dedup {
     "dedup_ensemble" -> (ensemblePairs _),
     "dedup_incremental" -> (incrementalNearDup _))
 
-  val oracles: Map[String, String] = Map(
+  /** Static entries plus the dynamic simhash-kernel oracle (available
+    * once [[simhash]] has run and stashed its token-hash table — Verify
+    * runs every query before dumping oracle_sql.json). */
+  def oracles: Map[String, String] = staticOracles ++ simhashKernelOracle
+
+  /** Mirror of the [[simhash]] kernel with the Spark-computed token
+    * hashes as a VALUES literal: occurrence-weighted bit votes (the
+    * kernel votes per word occurrence, unlike simhashRel's distinct),
+    * 4x16-bit banding with NO bucket cap (the kernel has none), hamming
+    * <= 8 on the full 64 bits via the 4 band xors. */
+  private def simhashKernelOracle: Map[String, String] =
+    simhashTokenHashes.map { th =>
+      val values = th.map { case (t, h) =>
+        s"('${t.replace("'", "''")}', CAST($h AS BIGINT))"
+      }.mkString(",\n             ")
+      "dedup_simhash" ->
+        s"""WITH th_map(tok, h) AS (VALUES
+             $values),
+           toks AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+           th AS (SELECT doc_id, m.h FROM toks JOIN th_map m USING (tok)),
+           votes AS (
+             SELECT doc_id, b.i,
+               sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) b
+             GROUP BY 1, 2),
+           bands AS (
+             SELECT doc_id, CAST(i // 16 AS INTEGER) AS band,
+               CAST(sum(CASE WHEN v > 0 THEN 1 << (i % 16) ELSE 0 END)
+                 AS BIGINT) AS bv
+             FROM votes GROUP BY 1, 2),
+           piv AS (
+             SELECT doc_id,
+               max(CASE WHEN band = 0 THEN bv END) AS b0,
+               max(CASE WHEN band = 1 THEN bv END) AS b1,
+               max(CASE WHEN band = 2 THEN bv END) AS b2,
+               max(CASE WHEN band = 3 THEN bv END) AS b3
+             FROM bands GROUP BY 1),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           scored AS (
+             SELECT id_a, id_b,
+               bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1)) +
+               bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+                 AS dist
+             FROM cand
+             JOIN piv pa ON pa.doc_id = id_a
+             JOIN piv pb ON pb.doc_id = id_b)
+           SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+           FROM scored WHERE dist <= 8 ORDER BY id_a, id_b"""
+    }.toMap
+
+  private val staticOracles: Map[String, String] = Map(
     "dedup_contamination" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_distinct(list_transform(
