@@ -32,21 +32,37 @@ object Sketches {
   private val K = 256
 
   /** KMV estimate of distinct (l_partkey, l_suppkey) pairs in lineitem
-    * vs the exact count, with realized relative error. */
+    * vs the exact count, with realized relative error.
+    *
+    * The RAW hash stream is persisted (one md5 pass shared by both
+    * consumers); the k-tail applies the grouped variant's count-derived
+    * prefilter BELOW its distinct exchange: the k-th smallest hash
+    * concentrates around K/c * 2^63, so pruning at 16x that expectation
+    * means only ~16K rows (not the whole distinct set) shuffle into the
+    * tail's distinct + sort, at any corpus size. The exact-count branch
+    * still runs a full distinct — it exists only to report realized
+    * error; the 100 TB form drops it and derives the bound from an
+    * approx_count_distinct sketch instead (no parity obligation there —
+    * the bound only needs to be an over-estimate of the k-th hash). */
   def kmv(s: SparkSession, d: String): DataFrame = {
-    // The hash-distinct set is persisted: the k-tail and the exact
-    // count are two tiny consumers of one computation, not two corpus
-    // scans ([[graft.util.Md5Lower64]] holds the single-conv parity
-    // assembly — the per-byte fold was the profile's hot spot).
     val hashed = Tables.lineitem(s, d)
       .select(md5(concat(col("l_partkey").cast("string"), lit("|"),
         col("l_suppkey").cast("string"))).as("hx"))
       .withColumn("h", graft.util.Md5Lower64.of("hx"))
-      .select("h").distinct()
+      .select("h")
       .persist()
-    val tail = hashed.orderBy("h").limit(K)
+    val exact = hashed.agg(count_distinct(col("h")).as("exact_distinct"))
+    // identical integer bound on both engines (see kmvGrouped's thr)
+    val thr = exact.select(
+      when(col("exact_distinct") <= K * 16L, lit(Long.MaxValue))
+        .otherwise(
+          expr(s"(9223372036854775807 div exact_distinct) * ${K * 16L}"))
+        .as("tg"))
+    val tail = hashed.crossJoin(broadcast(thr))
+      .filter(col("h") <= col("tg"))
+      .select("h").distinct()
+      .orderBy("h").limit(K)
       .agg(max("h").as("kth_hash"), count(lit(1)).as("n_min"))
-    val exact = hashed.agg(count(lit(1)).as("exact_distinct"))
     exact.crossJoin(tail)
       .withColumn("kmv_estimate",
         when(col("exact_distinct") <= K, col("exact_distinct"))
@@ -252,14 +268,19 @@ object Sketches {
              AS BIGINT) AS n_missed
          FROM truth CROSS JOIN bits GROUP BY 1, 2""",
     "sketch_kmv" ->
-      """WITH h AS (
-           SELECT DISTINCT CAST(md5_number_lower(
+      """WITH r AS (
+           SELECT CAST(md5_number_lower(
              CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))
              & 9223372036854775807 AS BIGINT) AS h
            FROM lineitem),
+         ex AS (SELECT count(DISTINCT h) AS exact_distinct FROM r),
+         thr AS (
+           SELECT CASE WHEN exact_distinct <= 4096 THEN 9223372036854775807
+             ELSE (9223372036854775807 // exact_distinct) * 4096 END AS tg
+           FROM ex),
+         h AS (SELECT DISTINCT r.h FROM r CROSS JOIN thr WHERE r.h <= thr.tg),
          kth AS (SELECT max(h) AS kth_hash, count(*) AS n_min
                  FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
-         ex AS (SELECT count(*) AS exact_distinct FROM h),
          est AS (
            SELECT ex.exact_distinct, 256 AS k, kth.kth_hash,
              CASE WHEN ex.exact_distinct <= 256 THEN ex.exact_distinct

@@ -319,6 +319,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plain KMV: count-derived prefilter sits below the tail's distinct") {
+    // the tail path must prune with h <= tg BEFORE its distinct exchange
+    // (plan text is root-first, so parent nodes print before children:
+    // distinct-Aggregate line index < tg-Filter line index proves the
+    // filter is INSIDE the distinct's subtree)
+    val p = graft.operators.Sketches.kmv(spark, d)
+      .queryExecution.optimizedPlan.toString
+    val lines = p.linesIterator.toArray
+    val distinctIdx = lines.indexWhere(l =>
+      l.contains("Aggregate [h#") && !l.contains("count") && !l.contains("max"))
+    // the optimizer folds the filter into the broadcast join condition
+    // ("Join Cross, (h <= tg)") — either node form proves the prune
+    val filterIdx = lines.indexWhere(l =>
+      (l.contains("Filter") || l.contains("Join")) && l.contains("<= tg#"))
+    assert(distinctIdx >= 0, s"no distinct aggregate over h found:\n$p")
+    assert(filterIdx >= 0, s"no tg prefilter found:\n$p")
+    assert(distinctIdx < filterIdx,
+      s"tg prefilter is not below the distinct:\n$p")
+  }
+
   test("vector kernels are native expressions inside whole-stage codegen") {
     import graft.operators.Similarity
     val f = formatted(Similarity.annTopK(spark, d))
