@@ -26,9 +26,18 @@ object BerlinMod {
 
   /** Space-time key geometry for the trip-pair queries: pad = d/2 + eps
     * with d = 10 m (the largest proximity threshold in q6/q10/q16); cell
-    * size is free for correctness (see the SegTime comment) and chosen
-    * coarse so the explode stays ~1-2 rows per segment. */
-  private val CellSize = "500.0D"
+    * size is free for correctness (see the SegTime comment) and DENSITY-
+    * ADAPTIVE: pair work per (bucket, cell) key grows with (segments per
+    * cell)^2, so a fixed coarse cell that is fine at 1x density costs
+    * ~100x more per key at 10x fleet in the same city area. [[load]]
+    * computes the size that keeps EXPECTED segments per key near
+    * [[CellTargetPerKey]] — cell = sqrt(target * buckets * area / segs) —
+    * clamped to [[CellMin]] (steps are <= ~100 m, so finer cells only
+    * inflate the explode without shrinking per-key work) and
+    * [[CellMax]] (coarser stops discriminating in a ~1 km^2 extent). */
+  private val CellTargetPerKey = 24.0
+  private val CellMin = 125.0
+  private val CellMax = 500.0
   private val CellPad = "5.000001D"
 
   /** The segment-pair equi-join clause: (hour bucket × grid cell) key +
@@ -103,7 +112,8 @@ object BerlinMod {
     * the number of trips. */
   def load(spark: SparkSession, nVehicles: Int = 20, seed: Long = 42L,
            tripsMin: Int = 2, tripsMax: Int = 4,
-           ptsMin: Int = 10, ptsMax: Int = 50): Int = {
+           ptsMin: Int = 10, ptsMax: Int = 50,
+           cellSizeOverride: Option[Double] = None): Int = {
     GraftFunctions.register(spark)
     registerSegUdfs(spark)
     val rng = new Rng(seed)
@@ -266,23 +276,45 @@ object BerlinMod {
          WHERE NOT last_pt OR rn = 1""")
       .cache().createOrReplaceTempView("Segs")
 
-    // Segments exploded by covered (HOUR bucket × coarse grid cell): the
+    // Segments exploded by covered (HOUR bucket × grid cell): the
     // trip-pair proximity queries (q6/q10/q16) equi-join segments on
     // (bucket, cx, cy) — pairs per key are bounded by LOCAL density
     // (segments near one place in one hour), not fleet size. An hour-only
     // key is density-quadratic: at 100x fleet in the same city, rush-hour
     // buckets hold 100x segments and pair work grows 10,000x. The cell
-    // key caps that at (local density)^2 — the plan that survives 100x.
+    // key caps that at (local density)^2 — and the cell SIZE adapts to
+    // density (driver-side arithmetic over counts already in hand): at
+    // 1x the extent only spans ~2x2 500 m cells, which is fine at 60
+    // segs/bucket but degenerates at 10x fleet (the r4 10x scale rows'
+    // superlinear growth) — halving the cell quarters per-key pair work,
+    // so the size follows sqrt(target*buckets*area/segs) down to the
+    // step-length floor.
     //
     // Exactness: each side pads its bbox by pad = d/2 + eps before taking
     // covered cells (d = 10 m, the largest threshold across q6/q10/q16).
     // For any pair within d there are points pa, pb with |pa-pb| <= d;
     // their midpoint m is within d/2 of both (Euclidean >= Chebyshev), so
     // m's cell is covered by both padded bboxes — every within-d pair
-    // shares >= 1 (bucket, cell) key for ANY cell size. Cell = 500 m
-    // keeps the explode factor ~1-2 rows/segment (steps are <= ~100 m).
-    // Duplicate matches across shared keys are absorbed by the queries'
-    // DISTINCT (q6/q16) / spanset normalization (q10).
+    // shares >= 1 (bucket, cell) key for ANY cell size (BerlinModSpec
+    // diff-tests this at several sizes). Duplicate matches across shared
+    // keys are absorbed by the queries' DISTINCT (q6/q16) / spanset
+    // normalization (q10).
+    val cellSize: Double = cellSizeOverride.getOrElse {
+      var xmin = Double.MaxValue; var xmax = Double.MinValue
+      var ymin = Double.MaxValue; var ymax = Double.MinValue
+      val buckets = scala.collection.mutable.HashSet.empty[Long]
+      tripRows.foreach { p =>
+        if (p.PosX < xmin) xmin = p.PosX
+        if (p.PosX > xmax) xmax = p.PosX
+        if (p.PosY < ymin) ymin = p.PosY
+        if (p.PosY > ymax) ymax = p.PosY
+        buckets += p.t.getTime / 3600000L
+      }
+      val area = math.max(xmax - xmin, 100.0) * math.max(ymax - ymin, 100.0)
+      val raw = math.sqrt(
+        CellTargetPerKey * buckets.size * area / math.max(tripRows.size, 1))
+      math.min(CellMax, math.max(CellMin, raw))
+    }
     spark.sql(
       s"""SELECT TripId, VehicleId,
            array(x1, y1, cast(tl AS double), x2, y2, cast(tu AS double)) AS seg,
@@ -292,11 +324,11 @@ object BerlinMod {
            cast(floor(tl / 3600000000) AS bigint),
            cast(floor(tu / 3600000000) AS bigint))) bk AS bucket
          LATERAL VIEW explode(sequence(
-           cast(floor((sxmin - $CellPad) / $CellSize) AS int),
-           cast(floor((sxmax + $CellPad) / $CellSize) AS int))) cxs AS cx
+           cast(floor((sxmin - $CellPad) / ${cellSize}D) AS int),
+           cast(floor((sxmax + $CellPad) / ${cellSize}D) AS int))) cxs AS cx
          LATERAL VIEW explode(sequence(
-           cast(floor((symin - $CellPad) / $CellSize) AS int),
-           cast(floor((symax + $CellPad) / $CellSize) AS int))) cys AS cy""")
+           cast(floor((symin - $CellPad) / ${cellSize}D) AS int),
+           cast(floor((symax + $CellPad) / ${cellSize}D) AS int))) cys AS cy""")
       .cache().createOrReplaceTempView("SegTime")
     // Hour-only variant (no cells, uncached, lazy): kept for the
     // old-vs-new diff test in BerlinModSpec — proves the cell key drops

@@ -136,4 +136,29 @@ class BerlinModSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("cell key is exact at ANY cell size (diff at 125m and 500m)") {
+    // density-adaptive sizing picks whatever size keeps per-key pair
+    // work bounded; the d/2-padded-midpoint argument must make every
+    // size give identical results — pin the two clamp extremes
+    val baseline = scala.collection.mutable.Map.empty[String, Seq[String]]
+    for (size <- Seq(125.0, 500.0)) {
+      // bench-density generator params (trips/points per vehicle) at a
+      // small fleet so q6/q10 actually produce proximity pairs to diff
+      BerlinMod.load(spark, nVehicles = 40, seed = 7L,
+        tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120,
+        cellSizeOverride = Some(size))
+      for ((name, mk) <- Seq[(String, Boolean => String)](
+          ("q6", BerlinMod.q6Sql), ("q10", BerlinMod.q10Sql))) {
+        val rows = spark.sql(mk(true)).collect().map(_.toString).toSeq.sorted
+        baseline.get(name) match {
+          case None       => baseline(name) = rows
+          case Some(prev) =>
+            assert(rows == prev, s"$name differs between cell sizes")
+        }
+      }
+    }
+    // non-vacuity: the diff must have compared real pairs, not {} == {}
+    assert(baseline.values.exists(_.nonEmpty), "all diffed results empty")
+  }
 }
