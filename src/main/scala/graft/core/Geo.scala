@@ -370,14 +370,14 @@ object Crs {
     lat0Deg = 50.797815, lon0Deg = 4.359215833333333,
     x0 = 649328.0, y0 = 665262.0)
 
-  /** Transverse Mercator forward on WGS84 via the 6th-order Krüger
-    * series in the conformal latitude (Karney 2011, "Transverse Mercator
-    * with an accuracy of a few nanometers" — the same series PROJ's
-    * default etmerc uses; published, nm-accurate within UTM zones). */
-  object TransverseMercator {
-    private val f = 1.0 / 298.257223563
+  /** Transverse Mercator forward via the 6th-order Krüger series in the
+    * conformal latitude (Karney 2011, "Transverse Mercator with an
+    * accuracy of a few nanometers" — the same series PROJ's default
+    * etmerc uses; published, nm-accurate within UTM zones).
+    * Parameterized by ellipsoid (a, f) so national grids on GRS80 /
+    * Airy 1830 reuse the same series. */
+  final class Tmerc(a: Double, f: Double) {
     private val n = f / (2 - f)
-    private val a = 6378137.0
     // rectifying radius and the alpha series coefficients (Karney eq. 14,
     // 35): A1 = a/(1+n) (1 + n^2/4 + n^4/64 + ...)
     private val A1 = a / (1 + n) *
@@ -424,6 +424,122 @@ object Crs {
     private def asinh(x: Double) = math.log(x + math.sqrt(x * x + 1))
   }
 
+  /** WGS84 instance (UTM 326zz/327zz). */
+  val TransverseMercator = new Tmerc(6378137.0, 1.0 / 298.257223563)
+  /** GRS80 instance (ETRS89 grids 258zz; f differs from WGS84 only in
+    * the 9th significant digit but the EPSG registry pins GRS80). */
+  val TmercGrs80 = new Tmerc(6378137.0, 1.0 / 298.257222101)
+  /** Airy 1830 instance (OSGB36 British National Grid). */
+  val TmercAiry = new Tmerc(6377563.396, 1.0 / 299.3249646)
+
+  /** Lambert Azimuthal Equal Area forward, ellipsoidal (Snyder 1987,
+    * eqs. 3-11, 3-12, 24-2..24-14) — EPSG:3035's method (EPSG 9820). */
+  final class Laea(a: Double, f: Double, lat0Deg: Double, lon0Deg: Double,
+                   x0: Double, y0: Double) {
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+    private def q(p: Double): Double = {
+      val s = math.sin(p)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        1 / (2 * e) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val lat0 = math.toRadians(lat0Deg)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val qp = q(math.Pi / 2)
+    private val beta0 = math.asin(q(lat0) / qp)
+    private val rq = a * math.sqrt(qp / 2)
+    private val d = a * (math.cos(lat0) /
+      math.sqrt(1 - e2 * math.sin(lat0) * math.sin(lat0))) /
+      (rq * math.cos(beta0))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val beta = math.asin(q(math.toRadians(latDeg)) / qp)
+      val lam = math.toRadians(lonDeg) - lon0
+      val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
+        math.cos(beta0) * math.cos(beta) * math.cos(lam)))
+      (x0 + b * d * math.cos(beta) * math.sin(lam),
+       y0 + (b / d) * (math.cos(beta0) * math.sin(beta) -
+         math.sin(beta0) * math.cos(beta) * math.cos(lam)))
+    }
+  }
+
+  /** EPSG:3035 — ETRS89-extended / LAEA Europe (published EPSG
+    * parameters: center 52N 10E, FE 4321000, FN 3210000 on GRS80). */
+  val LaeaEurope = new Laea(6378137.0, 1.0 / 298.257222101,
+    lat0Deg = 52.0, lon0Deg = 10.0, x0 = 4321000.0, y0 = 3210000.0)
+
+  /** EPSG:2154 — RGF93 / Lambert-93 (published EPSG parameters: 2SP at
+    * 49N/44N, origin 46.5N 3E, FE 700000, FN 6600000 on GRS80; RGF93 is
+    * ETRS89-aligned, ~WGS84 at sub-decimeter). */
+  val Lambert93 = new Lcc2SP(
+    a = 6378137.0, f = 1.0 / 298.257222101,
+    lat1Deg = 49.0, lat2Deg = 44.0,
+    lat0Deg = 46.5, lon0Deg = 3.0,
+    x0 = 700000.0, y0 = 6600000.0)
+
+  /** 7-parameter Helmert datum shift (position-vector convention,
+    * EPSG method 9606) through geocentric cartesian coordinates. Rotation
+    * args in arc-seconds, scale in ppm. */
+  final class Helmert(aSrc: Double, fSrc: Double, aDst: Double, fDst: Double,
+                      tx: Double, ty: Double, tz: Double,
+                      rxSec: Double, rySec: Double, rzSec: Double,
+                      sPpm: Double) {
+    private val rx = math.toRadians(rxSec / 3600)
+    private val ry = math.toRadians(rySec / 3600)
+    private val rz = math.toRadians(rzSec / 3600)
+    private val s = 1 + sPpm * 1e-6
+    private def toEcef(a: Double, f: Double, lonDeg: Double, latDeg: Double)
+        : (Double, Double, Double) = {
+      val e2 = f * (2 - f)
+      val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+      val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      (nu * math.cos(phi) * math.cos(lam),
+       nu * math.cos(phi) * math.sin(lam),
+       nu * (1 - e2) * math.sin(phi))
+    }
+    private def fromEcef(a: Double, f: Double, x: Double, y: Double, z: Double)
+        : (Double, Double) = {
+      val e2 = f * (2 - f)
+      val p = math.hypot(x, y)
+      var phi = math.atan2(z, p * (1 - e2))
+      var i = 0
+      while (i < 8) { // Bowring-style fixed point, sub-mm in <=5 rounds
+        val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+        phi = math.atan2(z + e2 * nu * math.sin(phi), p)
+        i += 1
+      }
+      (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+    }
+    /** (lonDeg, latDeg) on the source datum → on the target datum. */
+    def shift(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x, y, z) = toEcef(aSrc, fSrc, lonDeg, latDeg)
+      // position-vector small-angle rotation matrix
+      val x2 = tx + s * (x - rz * y + ry * z)
+      val y2 = ty + s * (rz * x + y - rx * z)
+      val z2 = tz + s * (-ry * x + rx * y + z)
+      fromEcef(aDst, fDst, x2, y2, z2)
+    }
+  }
+
+  /** WGS84 → OSGB36 (published OS/EPSG tfm 1314 parameters, inverted
+    * sign — OS "A guide to coordinate systems in Great Britain" §6.6;
+    * ~3-5 m nominal accuracy, the published Helmert's own bound). */
+  val Wgs84ToOsgb36 = new Helmert(
+    aSrc = 6378137.0, fSrc = 1.0 / 298.257223563,
+    aDst = 6377563.396, fDst = 1.0 / 299.3249646,
+    tx = -446.448, ty = 125.157, tz = -542.060,
+    rxSec = -0.1502, rySec = -0.2470, rzSec = -0.8421,
+    sPpm = 20.4894)
+
+  /** EPSG:27700 — OSGB36 / British National Grid: TM on Airy 1830,
+    * origin 49N 2W, k0 0.9996012717, FE 400000, FN -100000. Input is
+    * WGS84 lon/lat; the Helmert shift runs first. */
+  def osgb36Forward(lonOsgbDeg: Double, latOsgbDeg: Double): (Double, Double) = {
+    // northing offset is measured from the projected latitude of origin
+    val (_, n0) = TmercAiry.forward(-2.0, 0.9996012717, -2.0, 49.0)
+    val (x, y) = TmercAiry.forward(-2.0, 0.9996012717, lonOsgbDeg, latOsgbDeg)
+    (x + 400000.0, y - n0 - 100000.0)
+  }
+
   /** UTM (EPSG:326zz north / 327zz south): central meridian zz*6 - 183,
     * k0 = 0.9996, false easting 500 km, false northing 10 000 km south. */
   private def utm(srid: Int, lon: Double, lat: Double): (Double, Double) = {
@@ -433,16 +549,31 @@ object Crs {
     (x + 500000.0, y + (if (south) 10000000.0 else 0.0))
   }
 
+  /** ETRS89 / UTM (EPSG:258zz, zones 28-38 cover the published EPSG
+    * extent): same zone arithmetic as WGS84 UTM, GRS80 ellipsoid. */
+  private def etrsUtm(srid: Int, lon: Double, lat: Double): (Double, Double) = {
+    val zone = srid - 25800
+    val (x, y) = TmercGrs80.forward(zone * 6 - 183, 0.9996, lon, lat)
+    (x + 500000.0, y)
+  }
+
   /** lon/lat (4326) point → target SRID. */
   def transform(toSrid: Int, lon: Double, lat: Double): (Double, Double) =
     toSrid match {
       case 4326 => (lon, lat)
       case 3857 => Geo.lonLatToMercator(lon, lat)
       case 3812 => BelgianLambert2008.forward(lon, lat)
+      case 2154 => Lambert93.forward(lon, lat)
+      case 3035 => LaeaEurope.forward(lon, lat)
+      case 27700 =>
+        val (lo, la) = Wgs84ToOsgb36.shift(lon, lat)
+        osgb36Forward(lo, la)
+      case etrs if etrs >= 25828 && etrs <= 25838 => etrsUtm(etrs, lon, lat)
       case utmZone if (utmZone >= 32601 && utmZone <= 32660) ||
         (utmZone >= 32701 && utmZone <= 32760) => utm(utmZone, lon, lat)
       case other => throw new IllegalArgumentException(
-        s"transform: unsupported target SRID $other " +
-          "(supported: 4326, 3857, 3812, UTM 32601-32660/32701-32760)")
+        s"transform: unsupported target SRID $other (supported: 4326, " +
+          "3857, 3812, 2154, 3035, 27700, ETRS89 UTM 25828-25838, " +
+          "UTM 32601-32660/32701-32760)")
     }
 }

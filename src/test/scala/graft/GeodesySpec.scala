@@ -67,6 +67,95 @@ class GeodesySpec extends AnyFunSuite {
     assert(math.abs((10000000.0 - nN) - nS) < 1e-6)
   }
 
+  test("EPSG:2154 Lambert-93 hits its defining coordinates and parallels") {
+    import graft.core.Crs
+    // the natural origin (3E, 46.5N) maps to the false origin exactly
+    val (x0, y0) = Crs.transform(2154, 3.0, 46.5)
+    assert(math.abs(x0 - 700000.0) < 1e-6 && math.abs(y0 - 6600000.0) < 1e-6)
+    // LCC 2SP is true-scale on both standard parallels: a 0.01-degree
+    // step of longitude along 49N/44N must project to the ellipsoidal
+    // parallel arc length (r*cos(phi)/sqrt(1-e2 sin^2 phi) * dlam)
+    for (latDeg <- Seq(49.0, 44.0)) {
+      val (xa, ya) = Crs.transform(2154, 3.0, latDeg)
+      val (xb, yb) = Crs.transform(2154, 3.01, latDeg)
+      val chord = math.hypot(xb - xa, yb - ya)
+      val phi = math.toRadians(latDeg)
+      val e2 = (1.0 / 298.257222101) * (2 - 1.0 / 298.257222101)
+      val arc = 6378137.0 * math.cos(phi) /
+        math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi)) * math.toRadians(0.01)
+      assert(math.abs(chord - arc) < 1e-3, s"lat $latDeg: $chord vs $arc")
+    }
+  }
+
+  test("EPSG:25832 ETRS89/UTM32 equals the defining constants and WGS84 twin") {
+    import graft.core.Crs
+    // central meridian at the equator is the false easting exactly
+    val (e0, n0) = Crs.transform(25832, 9.0, 0.0)
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    // GRS80 vs WGS84 flattening differs in the 9th digit: the ETRS89
+    // grid must agree with the (published-sample-validated) WGS84 UTM
+    // twin to sub-mm — a strong cross-check of the GRS80 series
+    val (eE, nE) = Crs.transform(25832, 10.0, 53.55) // Hamburg
+    val (eW, nW) = Crs.transform(32632, 10.0, 53.55)
+    assert(math.abs(eE - eW) < 1e-3 && math.abs(nE - nW) < 1e-3,
+      s"($eE,$nE) vs ($eW,$nW)")
+  }
+
+  test("EPSG:3035 LAEA Europe: defining center + equal-area property") {
+    import graft.core.Crs
+    val (x0, y0) = Crs.transform(3035, 10.0, 52.0)
+    assert(math.abs(x0 - 4321000.0) < 1e-6 && math.abs(y0 - 3210000.0) < 1e-6)
+    // equal-area: planar polygon area of a projected 1x1-degree box far
+    // from the center must match the exact ellipsoidal parallel-edge box
+    // area a^2/2 * dlam * (q(phi2) - q(phi1)). (Geodesy.boxArea is NOT
+    // the comparison target: it is a geodesic-edge quadrilateral, which
+    // at 48N differs from the parallel-edge box by ~1.7e-5 relative.)
+    val (lo, hi) = (14.0, 15.0); val (la, lb) = (48.0, 49.0)
+    val pts = {
+      val south = (0 to 400).map(i => (lo + i * (hi - lo) / 400, la))
+      val east = (0 to 400).map(i => (hi, la + i * (lb - la) / 400))
+      val north = (0 to 400).map(i => (hi - i * (hi - lo) / 400, lb))
+      val west = (0 to 400).map(i => (lo, lb - i * (lb - la) / 400))
+      (south ++ east ++ north ++ west).map { case (x, y) =>
+        Crs.transform(3035, x, y)
+      }
+    }
+    val planar = math.abs(pts.indices.map { i =>
+      val (x1, y1) = pts(i); val (x2, y2) = pts((i + 1) % pts.length)
+      x1 * y2 - x2 * y1
+    }.sum / 2)
+    val aa = 6378137.0; val ff = 1.0 / 298.257222101
+    val e2 = ff * (2 - ff); val ecc = math.sqrt(e2)
+    def q(p: Double) = {
+      val s = math.sin(p)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        1 / (2 * ecc) * math.log((1 - ecc * s) / (1 + ecc * s)))
+    }
+    val exact = aa * aa / 2 *
+      (q(math.toRadians(lb)) - q(math.toRadians(la))) * math.toRadians(hi - lo)
+    assert(math.abs(planar - exact) / exact < 1e-6, s"$planar vs $exact")
+  }
+
+  test("EPSG:27700 British National Grid matches the OS worked example") {
+    import graft.core.Crs
+    // OS "A guide to coordinate systems in Great Britain", worked example
+    // (projection, Annex C): OSGB36 52deg39'27.2531"N 1deg43'4.5177"E ->
+    // E 651409.903 N 313177.270 — validates the Airy TM + grid offsets
+    // without the datum shift
+    val latOsgb = 52 + 39.0 / 60 + 27.2531 / 3600
+    val lonOsgb = 1 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = Crs.osgb36Forward(lonOsgb, latOsgb)
+    assert(math.abs(e - 651409.903) < 0.01, s"easting $e")
+    assert(math.abs(n - 313177.270) < 0.01, s"northing $n")
+    // full WGS84 path: the Helmert shift moves UK coordinates ~100+ m
+    // (OSGB36 vs WGS84 offset is famously ~120 m in the southeast) and
+    // the shifted point stays within the published ~5 m Helmert bound of
+    // the projection example when starting from the ETRS89 position
+    val (x, y) = Crs.transform(27700, lonOsgb, latOsgb)
+    val d = math.hypot(x - 651409.903, y - 313177.270)
+    assert(d > 50 && d < 200, s"datum shift moved $d m")
+  }
+
   test("wide boxes (>= 180 deg lon) split at the midpoint meridian") {
     val whole = Geodesy.boxArea(-100, 100, 10, 20)
     val halves = Geodesy.boxArea(-100, 0, 10, 20) + Geodesy.boxArea(0, 100, 10, 20)
