@@ -57,7 +57,8 @@ object SparkEntry {
   ) ++ MobilityOps.queries ++ Dedup.queries ++ Similarity.queries ++
     TextAnalysis.queries ++ Multimodal.queries ++
     Quality.queries ++ Sketches.queries ++
-    graft.sources.RoundTrip.queries
+    graft.sources.RoundTrip.queries ++
+    graft.streaming.StreamGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -312,5 +313,9 @@ object SparkEntry {
   ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
     TextAnalysis.oracles ++ Multimodal.oracles ++
     Quality.oracles ++ Sketches.oracles ++
-    graft.sources.RoundTrip.oracles
+    graft.sources.RoundTrip.oracles ++
+    // the streaming gate's verified output equals the batch LSH
+    // operator's (see StreamGate scaladoc) -- same oracle text
+    Dedup.oracles.get("dedup_minhash_lsh")
+      .map("stream_neardup_sink" -> _).toMap
 }

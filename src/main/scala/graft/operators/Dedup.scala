@@ -46,7 +46,7 @@ object Dedup {
     * formulation shuffled and sorted EVERY token just to see its two
     * successors. Hashing (xxhash64) happens inside the lambda so the
     * distinct shuffles 8-byte longs, not ~30-byte strings. */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleHashes(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.util.Tables
+
+/** Streaming surface wired into the OFFICIAL correctness gate.
+  *
+  * The other streaming specs run against MemoryStream inside ScalaTest;
+  * this one runs a real bounded file-source stream end-to-end — file
+  * source → online LSH near-dup ([[StreamNearDup]]) → idempotent
+  * per-batch parquet sink ([[StreamSink]]) — and returns the final
+  * sunk table verified with exact Jaccard, which makes it DuckDB-
+  * oracle-checkable against the SAME SQL as the batch operator
+  * (`dedup_minhash_lsh`).
+  *
+  * Why the outputs must agree: the stream's map side is hash-identical
+  * to batch (same shingles, same `minhash_sig` kernel, same band key).
+  * Per (band, bucket): a bucket with <= 64 members emits exactly the
+  * all-pairs set regardless of arrival order or batch splits; an
+  * over-full bucket emits a superset of batch (batch drops the bucket
+  * entirely, the stream pairs the first 64 arrivals). So streaming
+  * candidates ⊇ batch candidates, and after the exact-Jaccard >= 0.5
+  * verification both equal the exact-join oracle whenever batch recall
+  * is 1.0 — which the batch oracle already asserts on the gate data.
+  */
+object StreamGate {
+
+  /** `stream_neardup_sink` gate entry: documents(d) replayed as a
+    * 4-file stream (maxFilesPerTrigger=1 → 4 real micro-batches of
+    * state accumulation), near-dup pairs sunk idempotently, the sunk
+    * union re-read and exact-verified. Output schema/ordering matches
+    * `dedup_minhash_lsh` exactly. */
+  def streamNearDupSink(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_gate_").toString
+    val staging = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    // Constant event time: no row can be late at ANY batch split, so
+    // the watermark never filters input and the pair set is the
+    // arrival-order-invariant one argued in the scaladoc.
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        col("text"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(staging)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    val pairs = StreamNearDup.nearDupPairs(s, stream)
+    // see StreamNearDup.nearDupPairs scaladoc: the conservative global-
+    // watermark check flags any stateful op below flatMapGroupsWithState;
+    // this pipeline provably emits nothing older than the watermark
+    val ccKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = s.conf.getOption(ccKey)
+    s.conf.set(ccKey, "false")
+    try {
+      StreamSink.parquetSink(pairs, out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(ccKey, v)
+      case None    => s.conf.unset(ccKey)
+    }
+    // union of committed batch=<id> dirs (explicit schema: an all-empty
+    // run still reads; temp dirs live until the JVM's /tmp is reaped)
+    val sunk = s.read
+      .schema(StructType(Seq(
+        StructField("id_a", LongType), StructField("id_b", LongType),
+        StructField("ts", TimestampType))))
+      .parquet(s"$out/batch=*")
+    // identical verification tail to the batch operator: exact shingle
+    // Jaccard >= 0.5 on the candidate pairs, same aliases and ordering
+    val docSh = graft.operators.Dedup.shingleHashes(s, d)
+      .groupBy("doc_id").agg(sort_array(collect_list("h")).as("shs"))
+    sunk.select("id_a", "id_b").distinct()
+      .join(docSh.select(col("doc_id").as("id_a"), col("shs").as("sha")),
+        "id_a")
+      .join(docSh.select(col("doc_id").as("id_b"), col("shs").as("shb")),
+        "id_b")
+      .withColumn("i", call_function("vec_inter_sorted",
+        col("sha"), col("shb")))
+      .withColumn("j",
+        col("i") / (size(col("sha")) + size(col("shb")) - col("i")))
+      .filter(col("j") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("stream_neardup_sink" -> (streamNearDupSink _))
+}

@@ -208,4 +208,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(replayed.length == 3, s"replay duplicated: ${replayed.length}")
     } finally q.stop()
   }
+
+  test("stream_neardup_sink gate entry equals the batch LSH operator") {
+    // the full file-source -> online LSH -> idempotent sink -> verify
+    // path (StreamGate scaladoc argues WHY they must agree; this is the
+    // agreement, value-for-value, on the real gate dataset)
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamGate
+      .streamNearDupSink(spark, d).collect().map(_.toString).sorted
+    val batch = graft.operators.Dedup
+      .minhashLsh(spark, d).collect().map(_.toString).sorted
+    assert(streamed.length > 0, "no pairs surfaced")
+    assert(streamed.sameElements(batch),
+      s"stream ${streamed.length} vs batch ${batch.length}")
+  }
 }
