@@ -336,6 +336,23 @@ object Geo {
   * exercise (general PROJ is out of scope — SURVEY §7). */
 object Crs {
 
+  /** Geographic latitude from conformal latitude chi — the standard
+    * fixed-point iteration on tan(pi/4 + phi/2) (Snyder eq. 7-9
+    * inverted); converges to ~1e-15 rad in < 10 rounds for any
+    * terrestrial eccentricity. Shared by the TM / LCC inverses. */
+  private def phiFromConformal(e: Double, chi: Double): Double = {
+    val half = math.tan(math.Pi / 4 + chi / 2)
+    var phi = chi
+    var i = 0
+    while (i < 10) {
+      val es = e * math.sin(phi)
+      phi = 2 * math.atan(half *
+        math.pow((1 + es) / (1 - es), e / 2)) - math.Pi / 2
+      i += 1
+    }
+    phi
+  }
+
   /** Lambert Conformal Conic 2SP forward (Snyder 1987, eqs. 15-1..15-10),
     * ellipsoidal. */
   final class Lcc2SP(a: Double, f: Double, lat1Deg: Double, lat2Deg: Double,
@@ -359,6 +376,16 @@ object Crs {
       val rho = a * bigF * math.pow(t(math.toRadians(latDeg)), n)
       val th = n * (math.toRadians(lonDeg) - lon0)
       (x0 + rho * math.sin(th), y0 + rho0 - rho * math.cos(th))
+    }
+    /** Inverse (Snyder eqs. 15-8..15-11 + conformal-lat iteration). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - x0; val dy = rho0 - (y - y0)
+      val rho = math.signum(n) * math.hypot(dx, dy)
+      val th = math.atan2(math.signum(n) * dx, math.signum(n) * dy)
+      val tt = math.pow(rho / (a * bigF), 1 / n)
+      val chi = math.Pi / 2 - 2 * math.atan(tt)
+      (math.toDegrees(th / n + lon0),
+       math.toDegrees(phiFromConformal(e, chi)))
     }
   }
 
@@ -422,6 +449,42 @@ object Crs {
     }
     private def atanh(x: Double) = 0.5 * math.log((1 + x) / (1 - x))
     private def asinh(x: Double) = math.log(x + math.sqrt(x * x + 1))
+
+    // beta series for the inverse (Karney 2011 eq. 36, same truncation
+    // order as alpha)
+    private val beta = Array(
+      n / 2 - 2.0 / 3 * n * n + 37.0 / 96 * math.pow(n, 3) -
+        1.0 / 360 * math.pow(n, 4) - 81.0 / 512 * math.pow(n, 5) +
+        96199.0 / 604800 * math.pow(n, 6),
+      1.0 / 48 * n * n + 1.0 / 15 * math.pow(n, 3) -
+        437.0 / 1440 * math.pow(n, 4) + 46.0 / 105 * math.pow(n, 5) -
+        1118711.0 / 3870720 * math.pow(n, 6),
+      17.0 / 480 * math.pow(n, 3) - 37.0 / 840 * math.pow(n, 4) -
+        209.0 / 4480 * math.pow(n, 5) + 5569.0 / 90720 * math.pow(n, 6),
+      4397.0 / 161280 * math.pow(n, 4) - 11.0 / 504 * math.pow(n, 5) -
+        830251.0 / 7257600 * math.pow(n, 6),
+      4583.0 / 161280 * math.pow(n, 5) - 108847.0 / 3991680 * math.pow(n, 6),
+      20648693.0 / 638668800 * math.pow(n, 6))
+
+    /** Inverse of [[forward]]: (easting, northing) about `lon0Deg` with
+      * scale k0, no offsets → (lonDeg, latDeg). */
+    def inverse(lon0Deg: Double, k0: Double,
+                x: Double, y: Double): (Double, Double) = {
+      val xi = y / (k0 * A1)
+      val eta = x / (k0 * A1)
+      var xip = xi
+      var etap = eta
+      var j = 1
+      while (j <= 6) {
+        xip -= beta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        etap -= beta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xip) / math.cosh(etap))
+      val lam = math.atan2(math.sinh(etap), math.cos(xip))
+      (lon0Deg + math.toDegrees(lam),
+       math.toDegrees(phiFromConformal(e, chi)))
+    }
   }
 
   /** WGS84 instance (UTM 326zz/327zz). */
@@ -459,6 +522,27 @@ object Crs {
       (x0 + b * d * math.cos(beta) * math.sin(lam),
        y0 + (b / d) * (math.cos(beta0) * math.sin(beta) -
          math.sin(beta0) * math.cos(beta) * math.cos(lam)))
+    }
+    /** Inverse (Snyder eqs. 24-16..24-21 + the authalic-latitude series
+      * 3-18). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - x0) / d
+      val dy = d * (y - y0)
+      val rho = math.hypot(dx, dy)
+      if (rho < 1e-12) return (lon0Deg, lat0Deg)
+      val ce = 2 * math.asin(rho / (2 * rq))
+      val beta = math.asin(math.cos(ce) * math.sin(beta0) +
+        dy * math.sin(ce) * math.cos(beta0) / rho)
+      val lam = math.atan2(dx * math.sin(ce),
+        rho * math.cos(beta0) * math.cos(ce) -
+          dy * math.sin(beta0) * math.sin(ce))
+      val phi = beta +
+        (e2 / 3 + 31 * e2 * e2 / 180 + 517 * math.pow(e2, 3) / 5040) *
+          math.sin(2 * beta) +
+        (23 * e2 * e2 / 360 + 251 * math.pow(e2, 3) / 3780) *
+          math.sin(4 * beta) +
+        (761 * math.pow(e2, 3) / 45360) * math.sin(6 * beta)
+      (math.toDegrees(lon0 + lam), math.toDegrees(phi))
     }
   }
 
@@ -518,6 +602,17 @@ object Crs {
       val z2 = tz + s * (-ry * x + rx * y + z)
       fromEcef(aDst, fDst, x2, y2, z2)
     }
+    /** Target-datum → source-datum: the exact linear inverse of
+      * [[shift]] with the transposed small-angle rotation (sub-mm from
+      * the true matrix inverse at these rotation magnitudes). */
+    def inverseShift(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x2, y2, z2) = toEcef(aDst, fDst, lonDeg, latDeg)
+      val dx = (x2 - tx) / s; val dy = (y2 - ty) / s; val dz = (z2 - tz) / s
+      val x = dx + rz * dy - ry * dz
+      val y = -rz * dx + dy + rx * dz
+      val z = ry * dx - rx * dy + dz
+      fromEcef(aSrc, fSrc, x, y, z)
+    }
   }
 
   /** WGS84 → OSGB36 (published OS/EPSG tfm 1314 parameters, inverted
@@ -575,5 +670,43 @@ object Crs {
         s"transform: unsupported target SRID $other (supported: 4326, " +
           "3857, 3812, 2154, 3035, 27700, ETRS89 UTM 25828-25838, " +
           "UTM 32601-32660/32701-32760)")
+    }
+
+  /** Projected point in `fromSrid` → lon/lat (4326): the inverse of
+    * [[transform]], same SRID coverage. */
+  def inverse(fromSrid: Int, x: Double, y: Double): (Double, Double) =
+    fromSrid match {
+      case 4326 => (x, y)
+      case 3857 => Geo.mercatorToLonLat(x, y)
+      case 3812 => BelgianLambert2008.inverse(x, y)
+      case 2154 => Lambert93.inverse(x, y)
+      case 3035 => LaeaEurope.inverse(x, y)
+      case 27700 =>
+        val (_, n0) = TmercAiry.forward(-2.0, 0.9996012717, -2.0, 49.0)
+        val (lo, la) = TmercAiry.inverse(-2.0, 0.9996012717,
+          x - 400000.0, y + n0 + 100000.0)
+        Wgs84ToOsgb36.inverseShift(lo, la)
+      case etrs if etrs >= 25828 && etrs <= 25838 =>
+        TmercGrs80.inverse((etrs - 25800) * 6 - 183, 0.9996, x - 500000.0, y)
+      case utmZone if (utmZone >= 32601 && utmZone <= 32660) ||
+        (utmZone >= 32701 && utmZone <= 32760) =>
+        val south = utmZone >= 32701
+        val zone = utmZone - (if (south) 32700 else 32600)
+        TransverseMercator.inverse(zone * 6 - 183, 0.9996,
+          x - 500000.0, y - (if (south) 10000000.0 else 0.0))
+      case other => throw new IllegalArgumentException(
+        s"transform: unsupported source SRID $other")
+    }
+
+  /** Arbitrary supported-pair transform via the 4326 pivot — the
+    * reference (inheriting PROJ, src/geo/geoset.cpp:106-122) transforms
+    * between any CRS pair; this covers every pair of OUR compiled-in
+    * codes. */
+  def transformBetween(fromSrid: Int, toSrid: Int,
+                       x: Double, y: Double): (Double, Double) =
+    if (fromSrid == toSrid) (x, y)
+    else {
+      val (lon, lat) = inverse(fromSrid, x, y)
+      transform(toSrid, lon, lat)
     }
 }

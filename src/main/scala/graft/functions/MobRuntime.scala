@@ -1095,25 +1095,25 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "transform" =>
-        // closed-form transforms FROM lon/lat for the EPSG codes the ref
-        // tests use: 3857 (BerlinMOD) and 3812 (geoset.test:49); general
-        // PROJ out of scope (SURVEY §7)
+        // closed-form transforms between any pair of compiled-in EPSG
+        // codes (forward + inverse projections pivoting through 4326);
+        // the full PROJ database stays out of scope (SURVEY §7)
         a0 match {
           case VTPoint(t) =>
             val target = asLong(a1).toInt
-            require(t.srid == 4326 || t.srid == 0,
-              s"transform: source must be 4326, got ${t.srid}")
+            val src = if (t.srid == 0) 4326 else t.srid
             VTPoint(TPoint(t.subtype, t.interp, target, t.seqs.map { s =>
-              val conv = (0 until s.n).map(i => Crs.transform(target, s.xs(i), s.ys(i)))
+              val conv = (0 until s.n).map(i =>
+                Crs.transformBetween(src, target, s.xs(i), s.ys(i)))
               s.copy(xs = conv.map(_._1).toArray, ys = conv.map(_._2).toArray)
             }))
           case VGeoSet(g) =>
             val target = asLong(a1).toInt
-            require(g.gsrid == 4326 || g.gsrid == 0,
-              s"transform: source must be 4326, got ${g.gsrid}")
+            val src = if (g.gsrid == 0) 4326 else g.gsrid
             VGeoSet(g.copy(wkbs = g.wkbs.map { w =>
               val (gt, pts) = Wkb.read(w)
-              val conv = pts.map { case (x, y) => Crs.transform(target, x, y) }
+              val conv = pts.map { case (x, y) =>
+                Crs.transformBetween(src, target, x, y) }
               gt match {
                 case Wkb.PointType => Wkb.writePoint(conv(0)._1, conv(0)._2)
                 case Wkb.LineStringType => Wkb.writeLineString(conv)

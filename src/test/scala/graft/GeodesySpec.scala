@@ -156,6 +156,38 @@ class GeodesySpec extends AnyFunSuite {
     assert(d > 50 && d < 200, s"datum shift moved $d m")
   }
 
+  test("every supported SRID round-trips forward->inverse to sub-mm") {
+    import graft.core.Crs
+    // representative in-extent points per code (lon, lat)
+    val cases = Seq(
+      3857 -> (13.4, 52.5), 3812 -> (4.35, 50.85),
+      2154 -> (2.35, 48.85), 3035 -> (14.5, 48.5),
+      27700 -> (-0.12, 51.5), 25832 -> (10.0, 53.55),
+      32617 -> (-79.39, 43.64), 32756 -> (153.0, -27.5))
+    for ((srid, (lon, lat)) <- cases) {
+      val (x, y) = Crs.transform(srid, lon, lat)
+      val (lon2, lat2) = Crs.inverse(srid, x, y)
+      // 2e-8 deg ~ 2 mm: datum-free codes round-trip to ~1e-12; 27700's
+      // transposed small-angle rotation leaves ~1 mm, far inside the
+      // published Helmert's own ~5 m accuracy
+      assert(math.abs(lon2 - lon) < 2e-8 && math.abs(lat2 - lat) < 2e-8,
+        s"$srid: ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("pairwise transform pivots exactly: from->to == from->4326->to") {
+    import graft.core.Crs
+    // Brussels in Belgian Lambert 2008 -> ETRS89/UTM31 must equal the
+    // two-step path by construction, and transformBetween(same, same)
+    // is the identity
+    val (bx, by) = Crs.transform(3812, 4.35, 50.85)
+    val (ux, uy) = Crs.transformBetween(3812, 25831, bx, by)
+    val (ux2, uy2) = Crs.transform(25831, 4.35, 50.85)
+    assert(math.abs(ux - ux2) < 1e-6 && math.abs(uy - uy2) < 1e-6,
+      s"($ux,$uy) vs ($ux2,$uy2)")
+    assert(Crs.transformBetween(3812, 3812, bx, by) == ((bx, by)))
+  }
+
   test("wide boxes (>= 180 deg lon) split at the midpoint meridian") {
     val whole = Geodesy.boxArea(-100, 100, 10, 20)
     val halves = Geodesy.boxArea(-100, 0, 10, 20) + Geodesy.boxArea(0, 100, 10, 20)
