@@ -46,9 +46,9 @@ object Bench {
     // Each timing carries an optional error: a query that throws must be
     // REPORTED as an error, not silently recorded as a fast wall-clock
     // (that corrupted nothing yet, but the failure mode was invisible).
-    def timed(work: Seq[(String, () => Unit)],
-              clear: Boolean = true): Seq[(String, Double, Option[String])] =
-      for (pass <- 0 to 1; (name, run) <- work) yield {
+    def timed(work: Seq[(String, () => Unit)], clear: Boolean = true,
+              passes: Int = 2): Seq[(String, Double, Option[String])] =
+      for (pass <- 0 until passes; (name, run) <- work) yield {
         val t0 = System.nanoTime()
         val err = try { run(); None } catch {
           case e: Throwable =>
@@ -119,7 +119,27 @@ object Bench {
             s"berlinmod_${n}_10x" -> (() => { df.count(); () })
           }, clear = false))
     } catch { case _: Throwable => Seq.empty }
-    val results = (results0 ++ bmTimes ++ bm10Times).sortBy(_._1)
+    // 100x (14 100 vehicles, same area): the second decade of the scale
+    // curve. Generation goes distributed above the BigFleet threshold
+    // (the driver never holds the ~11.6M points — fits the default 8 GB
+    // driver heap), and the density-adaptive cell keeps per-key pair
+    // work bounded. One timed pass: at ~10 s/query the min-of-two
+    // contention defense matters less than the block's wall-clock.
+    val bm100Times = try {
+      spark.catalog.clearCache()
+      graft.berlinmod.BerlinMod.load(spark, nVehicles = 14100,
+        tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120)
+      spark.sql("SELECT * FROM Trips").count()
+      spark.sql("SELECT * FROM SegCells").count()
+      spark.sql("SELECT * FROM SegTime").count()
+      val wanted = Set("q6", "q10")
+      minPerQuery(timed(
+        graft.berlinmod.BerlinMod.queries(spark)
+          .filter(p => wanted(p._1)).map { case (n, df) =>
+            s"berlinmod_${n}_100x" -> (() => { df.count(); () })
+          }, clear = false, passes = 1))
+    } catch { case _: Throwable => Seq.empty }
+    val results = (results0 ++ bmTimes ++ bm10Times ++ bm100Times).sortBy(_._1)
     // r4's official artifact died because the single stdout line carried
     // 96 queries at full double precision (~4 KB) and overflowed the
     // driver's tail-capture window. Stdout now gets (a) one bare JSON line

@@ -40,6 +40,10 @@ object BerlinMod {
   private val CellMax = 500.0
   private val CellPad = "5.000001D"
 
+  /** Fleet size at which [[load]] switches from the driver-side
+    * sequential generator to distributed per-vehicle generation. */
+  private val BigFleet = 5000
+
   /** The segment-pair equi-join clause: (hour bucket × grid cell) key +
     * time-overlap + padded-bbox prefilters. `cells = false` reproduces the
     * hour-only key for the diff test. */
@@ -177,27 +181,72 @@ object BerlinMod {
 
     // Trips: 2-4 trips per vehicle, random walks snapped to a 100 m grid
     // so distinct vehicles revisit shared points (q11/q12 need meetups).
-    val tripRows = scala.collection.mutable.ArrayBuffer[TripPoint]()
-    var tripId = 0
-    for (vid <- 1 to nVehicles;
-         _ <- 0 until (tripsMin + rng.nextInt(tripsMax - tripsMin + 1))) {
-      tripId += 1
-      var x = math.floor(rng.nextDouble() * 100) / 10.0 * 100
-      var y = math.floor(rng.nextDouble() * 100) / 10.0 * 100
-      var t = base + rng.nextInt(90 * 24) * 3600000000L
-      val n = ptsMin + rng.nextInt(ptsMax - ptsMin + 1)
-      for (_ <- 0 until n) {
-        tripRows += TripPoint(tripId, vid, x, y, new java.sql.Timestamp(t / 1000))
-        x += (rng.nextInt(3) - 1) * 100.0
-        y += (rng.nextInt(3) - 1) * 100.0
-        t += (60 + rng.nextInt(240)) * 1000000L
-      }
-    }
+    //
+    // Two generation paths with identical schema and walk model:
+    // - below [[BigFleet]]: the original single-rng sequential walk,
+    //   kept BIT-IDENTICAL (specs and the 1x/10x bench fixtures depend
+    //   on its exact draw sequence); the driver holds the points.
+    // - at/above [[BigFleet]]: DISTRIBUTED generation — each task owns
+    //   a vehicle range with a per-vehicle deterministic rng, so the
+    //   driver never materializes a point (the 100x bench row OOMed the
+    //   default 8 GB driver heap on the sequential path). This is also
+    //   the 100 TB shape: generation parallelism == cluster width.
     import spark.implicits._
-    // cache: the raw instants feed TripsBase, SegCells AND q7's
-    // coordinate equi-join; uncached, each use re-ships the rows from
-    // the driver
-    tripRows.toSeq.toDF().cache().createOrReplaceTempView("TripsInput")
+    val bigFleet = nVehicles >= BigFleet
+    var tripId = 0
+    if (!bigFleet) {
+      val tripRows = scala.collection.mutable.ArrayBuffer[TripPoint]()
+      for (vid <- 1 to nVehicles;
+           _ <- 0 until (tripsMin + rng.nextInt(tripsMax - tripsMin + 1))) {
+        tripId += 1
+        var x = math.floor(rng.nextDouble() * 100) / 10.0 * 100
+        var y = math.floor(rng.nextDouble() * 100) / 10.0 * 100
+        var t = base + rng.nextInt(90 * 24) * 3600000000L
+        val n = ptsMin + rng.nextInt(ptsMax - ptsMin + 1)
+        for (_ <- 0 until n) {
+          tripRows += TripPoint(tripId, vid, x, y, new java.sql.Timestamp(t / 1000))
+          x += (rng.nextInt(3) - 1) * 100.0
+          y += (rng.nextInt(3) - 1) * 100.0
+          t += (60 + rng.nextInt(240)) * 1000000L
+        }
+      }
+      // cache: the raw instants feed TripsBase, SegCells AND q7's
+      // coordinate equi-join; uncached, each use re-ships the rows from
+      // the driver
+      tripRows.toSeq.toDF().cache().createOrReplaceTempView("TripsInput")
+    } else {
+      require(tripsMax <= 64, "distributed path packs trip ids as vid*64+k")
+      val (tMin, tMax, pMin, pMax, sd, b) =
+        (tripsMin, tripsMax, ptsMin, ptsMax, seed, base)
+      spark.range(1, nVehicles + 1L)
+        .repartition(math.min(256, math.max(32, nVehicles / 512)))
+        .as[Long]
+        .flatMap { vidL =>
+          val vid = vidL.toInt
+          // per-vehicle stream: splitmix-style seed mix decorrelates
+          // adjacent vehicles under the shared LCG
+          val r = new Rng(sd * 0x9E3779B97F4A7C15L + vidL * 0xBF58476D1CE4E5B9L)
+          val nt = tMin + r.nextInt(tMax - tMin + 1)
+          (0 until nt).iterator.flatMap { k =>
+            // globally unique trip id: tripsMax <= 64 by contract
+            val tid = vid * 64 + k
+            var x = math.floor(r.nextDouble() * 100) / 10.0 * 100
+            var y = math.floor(r.nextDouble() * 100) / 10.0 * 100
+            var t = b + r.nextInt(90 * 24) * 3600000000L
+            val n = pMin + r.nextInt(pMax - pMin + 1)
+            (0 until n).map { _ =>
+              val row = TripPoint(tid, vid, x, y, new java.sql.Timestamp(t / 1000))
+              x += (r.nextInt(3) - 1) * 100.0
+              y += (r.nextInt(3) - 1) * 100.0
+              t += (60 + r.nextInt(240)) * 1000000L
+              row
+            }
+          }
+        }
+        .toDF().cache().createOrReplaceTempView("TripsInput")
+      tripId = spark.sql("SELECT count(DISTINCT TripId) FROM TripsInput")
+        .collect()(0).getLong(0).toInt
+    }
     // the reference loader pipeline: array_agg ORDER BY t -> tgeompointSeq
     // (ref sql/load/07_trips.sql:26-37); our seq constructor sorts by t
     spark.sql(
@@ -300,19 +349,16 @@ object BerlinMod {
     // keys are absorbed by the queries' DISTINCT (q6/q16) / spanset
     // normalization (q10).
     val cellSize: Double = cellSizeOverride.getOrElse {
-      var xmin = Double.MaxValue; var xmax = Double.MinValue
-      var ymin = Double.MaxValue; var ymax = Double.MinValue
-      val buckets = scala.collection.mutable.HashSet.empty[Long]
-      tripRows.foreach { p =>
-        if (p.PosX < xmin) xmin = p.PosX
-        if (p.PosX > xmax) xmax = p.PosX
-        if (p.PosY < ymin) ymin = p.PosY
-        if (p.PosY > ymax) ymax = p.PosY
-        buckets += p.t.getTime / 3600000L
-      }
-      val area = math.max(xmax - xmin, 100.0) * math.max(ymax - ymin, 100.0)
-      val raw = math.sqrt(
-        CellTargetPerKey * buckets.size * area / math.max(tripRows.size, 1))
+      // one aggregate over the (cached) instants — works for both
+      // generation paths without driver-side point materialization
+      val st = spark.sql(
+        """SELECT min(PosX), max(PosX), min(PosY), max(PosY), count(*),
+             count(DISTINCT floor(unix_millis(t) / 3600000))
+           FROM TripsInput""").collect()(0)
+      val area = math.max(st.getDouble(1) - st.getDouble(0), 100.0) *
+        math.max(st.getDouble(3) - st.getDouble(2), 100.0)
+      val raw = math.sqrt(CellTargetPerKey * st.getLong(5) * area /
+        math.max(st.getLong(4), 1L))
       math.min(CellMax, math.max(CellMin, raw))
     }
     spark.sql(
