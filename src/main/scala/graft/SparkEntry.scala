@@ -314,8 +314,10 @@ object SparkEntry {
     TextAnalysis.oracles ++ Multimodal.oracles ++
     Quality.oracles ++ Sketches.oracles ++
     graft.sources.RoundTrip.oracles ++
-    // the streaming gate's verified output equals the batch LSH
-    // operator's (see StreamGate scaladoc) -- same oracle text
+    // the streaming gate entries provably equal their batch operators
+    // (see StreamGate scaladoc) -- same oracle texts
     Dedup.oracles.get("dedup_minhash_lsh")
-      .map("stream_neardup_sink" -> _).toMap
+      .map("stream_neardup_sink" -> _).toMap ++
+    MobilityOps.oracles.get("mob_q4_sessions")
+      .map("stream_sessions_sink" -> _).toMap
 }

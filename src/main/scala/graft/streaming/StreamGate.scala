@@ -96,6 +96,64 @@ object StreamGate {
       .orderBy("id_a", "id_b")
   }
 
+  /** `stream_sessions_sink` gate entry: the events table replayed as a
+    * bounded stream through the stateful sessionizer and the idempotent
+    * sink, then aggregated to the batch `mob_q4_sessions` shape (same
+    * oracle SQL).
+    *
+    * Determinism: all files land in ONE data batch (FileStreamSource
+    * does not order batches by event time, so splitting could process
+    * the sentinel first and mark everything late). The state function
+    * sorts each user's history; sessions closed by a later event emit
+    * inline, and each user's LAST session is flushed by the event-time
+    * timeout that the sentinel-advanced watermark fires in the trailing
+    * no-data batch AvailableNow runs — so the stateful timeout path is
+    * still what produces the final sessions. */
+  def streamSessionsSink(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_sess_").toString
+    val staging = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("value"))
+    val Array(minTs, maxTs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val spanSec = (maxTs - minTs) / 1000000L + 1
+    val horizon = s"${spanSec + 3600} seconds"
+    // sentinel: far enough that watermark = sentinel - horizon clears
+    // every last-event + gap close; user -1 never closes and is dropped
+    val sentinelTs = maxTs + (spanSec + 7200 + 1800) * 1000000L
+    ev.unionByName(s.range(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(sentinelTs)).as("ts"), lit(0.0).as("value")))
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(staging)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(staging)
+    val sessions = StreamSessions.sessionize(s, stream, horizon)
+    StreamSink.parquetSink(sessions, out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.read
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("start", TimestampType), StructField("end", TimestampType),
+        StructField("n_events", org.apache.spark.sql.types.IntegerType),
+        StructField("total_value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$out/batch=*")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("num_sessions"),
+        round((sum(unix_micros(col("end")) - unix_micros(col("start"))) /
+          1000000.0), 6).as("total_s"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("stream_neardup_sink" -> (streamNearDupSink _))
+    Map("stream_neardup_sink" -> (streamNearDupSink _),
+        "stream_sessions_sink" -> (streamSessionsSink _))
 }

@@ -22,6 +22,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) (TESTDATA.md gotcha)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
@@ -219,6 +221,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = graft.operators.Dedup
       .minhashLsh(spark, d).collect().map(_.toString).sorted
     assert(streamed.length > 0, "no pairs surfaced")
+    assert(streamed.sameElements(batch),
+      s"stream ${streamed.length} vs batch ${batch.length}")
+  }
+
+  test("stream_sessions_sink gate entry equals the batch sessionizer") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamGate
+      .streamSessionsSink(spark, d).collect().map(_.toString).sorted
+    val batch = graft.operators.MobilityOps
+      .q4Sessions(spark, d).collect().map(_.toString).sorted
+    assert(streamed.length > 0, "no sessions surfaced")
     assert(streamed.sameElements(batch),
       s"stream ${streamed.length} vs batch ${batch.length}")
   }
