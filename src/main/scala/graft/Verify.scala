@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query filter — local
+    // iteration only; the driver always passes exactly two]
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // heap pre-touch before Spark threads exist (see HeapWarm scaladoc)
     graft.util.HeapWarm.pretouch()
@@ -45,7 +49,9 @@ object Verify {
     // pattern exactly: one JSON line per query as it completes, plus ONE
     // final manifest line. Progress/diagnostics stay on stderr; the files
     // (parquet per query, manifest.json, oracle_sql.json) are kept too.
-    val manifest = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val manifest = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val r = try {
         val df = fn(spark, sfDir)

@@ -652,7 +652,64 @@ object Dedup {
       .orderBy("train_id", "eval_id")
   }
 
+  /** EXACT substring dedup — the "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022) operator: find every
+    * K-token gram that occurs more than once ANYWHERE in the corpus and
+    * report, per document, how many gram positions and how many tokens
+    * sit inside such repeated substrings (the spans that pipeline would
+    * cut). K = 8 here, proportionate to the gate corpus's short docs
+    * (the paper uses 50 on web text).
+    *
+    * Spark-first shape instead of the paper's suffix array: documents
+    * explode into (doc, pos, gramhash) — positions come from one
+    * `transform(sequence(...))` over the token array, hashing INSIDE the
+    * lambda so only the 8-byte gram hash leaves the row, never the gram
+    * text; a corpus-wide hash aggregate counts gram occurrences; grams
+    * with count >= 2 join back to mark spans; interval-union coverage is
+    * an explode + distinct per doc. Every stage is a partial+final hash
+    * agg or an equi-join on the gram hash — the same shuffle class as
+    * word-count, at any corpus size (the suffix array's O(n log n)
+    * global sort would be strictly worse on a cluster). At 100 TB the
+    * count>=2 filter drops the (huge) singleton tail BEFORE the
+    * join-back, so the marking join carries only repeated grams — for
+    * extra headroom a Bloom/count-min prefilter on gram hashes would
+    * cut the aggregate's shuffle too, at the cost of exactness. */
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .persist()
+    val grams = docs
+      .filter(size(col("t")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${K - 1}),
+            i -> md5(concat_ws(' ', slice(t, i, $K))))"""))
+        .as(Seq("gidx", "ghex")))
+      .select(col("doc_id"), (col("gidx") + 1).as("gpos"),
+        graft.util.Md5Lower64.of("ghex").as("g"))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val marked = grams.join(dupG, "g").persist()
+    val ndg = marked.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    val cov = marked
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + (K - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+    val out = docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(ndg, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 4).as("dup_ratio"))
+      .orderBy("doc_id")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (substringDedup _),
     "dedup_contamination" -> (contamination _),
     "dedup_exact" -> (exact _),
     "dedup_jaccard" -> (jaccard _),
@@ -721,6 +778,35 @@ object Dedup {
     }.toMap
 
   private val staticOracles: Map[String, String] = Map(
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+         g AS (
+           SELECT doc_id, i AS gpos,
+             CAST(md5_number_lower(array_to_string(toks[i:i+7], ' '))
+               & 9223372036854775807 AS BIGINT) AS g
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7))
+             AS i) s),
+         cnt AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+         dup AS (SELECT g.doc_id, g.gpos
+                 FROM g JOIN cnt USING (g) WHERE cnt.c >= 2),
+         ndg AS (SELECT doc_id, count(*) AS n_dup_grams FROM dup GROUP BY 1),
+         cov AS (
+           SELECT doc_id, count(DISTINCT p) AS n_dup_tokens
+           FROM dup, LATERAL (SELECT unnest(generate_series(gpos, gpos + 7))
+             AS p) s
+           GROUP BY 1),
+         base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                  FROM documents)
+         SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(ndg.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           round(CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE)
+             / b.n_tokens, 4) AS dup_ratio
+         FROM base b
+         LEFT JOIN ndg ON b.doc_id = ndg.doc_id
+         LEFT JOIN cov ON b.doc_id = cov.doc_id
+         ORDER BY b.doc_id""",
     "dedup_contamination" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_distinct(list_transform(

@@ -184,12 +184,117 @@ object Sketches {
       .orderBy("grp")
   }
 
+  /** HyperLogLog registers + estimate, ENGINE-IDENTICAL (Flajolet et al.
+    * 2007). Spark's approx_count_distinct is HLL++ with a register layout
+    * DuckDB can't replay, so — as with [[kmv]] — the sketch math is
+    * spelled out over the md5 parity hash and the APPROXIMATE estimator
+    * gets an EXACT oracle.
+    *
+    * Layout: p = 10 (m = 1024 registers) carved from the 63-bit hash as
+    * bucket = h div 2^53, w = h mod 2^53; rho(w) = leading zeros of the
+    * 53-bit field + 1 = 54 - bitlength(w) (bitlength via `length(bin(w))`
+    * — integer-exact in both engines, where floor(log2) would be one ulp
+    * from wrong at powers of two). Register state is one hash aggregate
+    * (max rho per bucket); the harmonic sum is kept in EXACT integer form
+    * S = sum 2^(54 - M_j) (decimal — each term <= 2^53) so both engines
+    * divide the same integer; the only floating steps are one division
+    * and the small-range ln, both quantized by round().
+    *
+    * Scale shape: ONE scan + a 1024-group partial+final aggregate —
+    * registers merge by max, so this parallelizes/unions like any
+    * partial agg (the property HLL is chosen for at 100 TB). The exact
+    * count rides along only to report realized error, as in [[kmv]]. */
+  def hll(s: SparkSession, d: String): DataFrame = {
+    val m = 1024                      // 2^p, p = 10
+    val pow54 = "18014398509481984"   // 2^54 (the S scale)
+    // alpha_m * m^2 * 2^54 — one literal computed here and interpolated
+    // into the oracle, so both engines divide by S with the identical
+    // numerator (Double.toString round-trips exactly)
+    val hashed = Tables.lineitem(s, d)
+      .select(md5(concat(col("l_partkey").cast("string"), lit("|"),
+        col("l_suppkey").cast("string"))).as("hx"))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .select("h").persist()
+    val exact = hashed.agg(count_distinct(col("h")).as("exact_distinct"))
+    val regs = hashed
+      .select(expr("h div 9007199254740992").as("bucket"),
+        expr("h % 9007199254740992").as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0, lit(54))
+          .otherwise(lit(54) - length(bin(col("w")))).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("reg"))
+    val state = regs.agg(
+      count(lit(1)).as("n_nonempty"),
+      sum(expr("cast(shiftleft(cast(1 as bigint), 54 - reg) as decimal(20,0))"))
+        .as("s_ne"))
+      .select(
+        (lit(m) - col("n_nonempty")).cast("long").as("v_empty"),
+        col("s_ne"))
+    state.crossJoin(exact)
+      .withColumn("s_scaled",
+        expr(s"cast(cast(v_empty as decimal(20,0)) * $pow54 + s_ne as decimal(24,0))"))
+      .withColumn("raw_est",
+        lit(HllAlphaM2Pow54) / col("s_scaled").cast("double"))
+      .withColumn("hll_estimate",
+        when(col("raw_est") <= lit(2.5 * m) && col("v_empty") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty"))))
+          .otherwise(round(col("raw_est"))).cast("bigint"))
+      .select(
+        lit(m).as("m"), col("v_empty"),
+        col("s_scaled").cast("double").as("s_scaled"),
+        col("exact_distinct"), col("hll_estimate"),
+        round(lit(100.0) * (col("hll_estimate") - col("exact_distinct"))
+          / col("exact_distinct"), 2).as("rel_err_pct"))
+  }
+
+  /** alpha_1024 * 1024^2 * 2^54 (see [[hll]]) — package-visible so the
+    * oracle interpolates the identical double literal. */
+  private val HllAlphaM2Pow54: Double =
+    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 18014398509481984.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv" -> (kmv _),
     "sketch_kmv_grouped" -> (kmvGrouped _),
+    "sketch_hll" -> (hll _),
     "sketch_bloom" -> (bloom _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_hll" ->
+      s"""WITH h AS (
+           SELECT DISTINCT CAST(md5_number_lower(
+             CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))
+             & 9223372036854775807 AS BIGINT) AS h
+           FROM lineitem),
+         ex AS (SELECT count(*) AS exact_distinct FROM h),
+         regs AS (
+           SELECT h // 9007199254740992 AS bucket,
+             max(CASE WHEN h % 9007199254740992 = 0 THEN 54
+               ELSE 54 - length(bin(h % 9007199254740992)) END) AS reg
+           FROM h GROUP BY 1),
+         st AS (
+           SELECT 1024 - count(*) AS v_empty,
+             sum(CAST(CAST(1 AS BIGINT) << (54 - reg) AS HUGEINT)) AS s_ne
+           FROM regs),
+         est AS (
+           SELECT CAST(st.v_empty AS BIGINT) AS v_empty,
+             CAST(st.v_empty AS HUGEINT) * 18014398509481984 + st.s_ne
+               AS s_scaled,
+             ex.exact_distinct,
+             ${HllAlphaM2Pow54}
+               / CAST(CAST(st.v_empty AS HUGEINT) * 18014398509481984
+                 + st.s_ne AS DOUBLE) AS raw_est
+           FROM st CROSS JOIN ex),
+         fin AS (
+           SELECT v_empty, s_scaled, exact_distinct,
+             CAST(CASE WHEN raw_est <= 2560.0 AND v_empty > 0
+               THEN round(1024.0 * ln(1024.0 / v_empty))
+               ELSE round(raw_est) END AS BIGINT) AS hll_estimate
+           FROM est)
+         SELECT 1024 AS m, v_empty, CAST(s_scaled AS DOUBLE) AS s_scaled,
+           exact_distinct, hll_estimate,
+           round(100.0 * (hll_estimate - exact_distinct) / exact_distinct, 2)
+             AS rel_err_pct
+         FROM fin""",
     "sketch_kmv_grouped" ->
       """WITH h AS (
            SELECT DISTINCT l_returnflag AS grp,
