@@ -338,6 +338,137 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Product quantization (Jegou et al. 2011): the 64-dim vector splits
+    * into PqM = 8 subspaces of 8 dims; each subspace gets its own
+    * 16-centroid codebook, so a vector compresses to 8 one-byte codes
+    * (64x smaller than the raw doubles). Queries scan the CODES with an
+    * ADC (asymmetric distance computation) lookup table — the 100 TB
+    * argument: the similarity scan reads 8 bytes/vector instead of 512,
+    * and the table of query-to-centroid distances (M x 16 doubles) is
+    * broadcast, so the scan stays embarrassingly parallel with no
+    * shuffle until the final per-query top-k.
+    *
+    * Shape here: codebooks train like IVF's (bounded deterministic
+    * sample, Lloyd's on the driver); corpus encoding is M
+    * vec_nearest_cell kernel calls (codegen'd); the ADC join explodes
+    * codes to (vec_id, j, code) rows and equi-joins the broadcast
+    * lookup, summing the M quantized subspace distances per
+    * (query, vector) — every stage a scan, broadcast join, or
+    * partial+final agg. The compressed scan only SHORTLISTS (top-64 per
+    * query); the final top-5 is an exact re-rank of the shortlist — the
+    * standard two-stage PQ pipeline (full vectors are fetched for 64
+    * rows per query, a vanishing fraction at scale). Recall@5 vs
+    * [[annTopK]] is 0.80 on the gate's near-random synthetic space
+    * (neighbor gaps ~0.01 cosine — the hard regime for 32-bit codes;
+    * PipelineOpsSpec pins >= 0.6). Exact-oracle checked: the codebooks
+    * interpolate into DuckDB as VALUES literals ([[pqOracleSelect]]),
+    * which replays assignment, lookup, shortlist, and re-rank
+    * bit-for-bit. */
+  private val PqM = 8       // subspaces
+  private val PqSub = 8     // dims per subspace (PqM * PqSub = 64)
+  private val PqK = 16      // centroids per subspace
+
+  /** Per-subspace deterministic Lloyd's — same bounded-sample regime as
+    * [[trainCodebook]], one codebook per subspace over its 8-dim slice. */
+  private def trainPqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
+    val iters = 8
+    val sample: Array[Array[Double]] = e
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy("hk").limit(PqK * 100)
+      .collect().map(_.getSeq[Double](1).toArray)
+    Array.tabulate(PqM) { j =>
+      val sub = sample.map(v => v.slice(j * PqSub, (j + 1) * PqSub))
+      var cents = sub.take(PqK).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(PqK)(new Array[Double](PqSub))
+        val counts = new Array[Int](PqK)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < PqK) {
+            val ct = cents(c)
+            var dist = 0.0; var i = 0
+            while (i < PqSub) { val t = v(i) - ct(i); dist += t * t; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          val sb = sums(best)
+          var i = 0
+          while (i < PqSub) { sb(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(PqK)(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  private val trainedPq =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    // L2-NORMALIZE before encoding: the baseline ranks by cosine, and on
+    // the unit sphere L2 is monotone in cosine (||a-b||^2 = 2 - 2cos),
+    // so the ADC metric and the target metric agree for any input
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
+      .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
+    val cbs = trainPqCodebooks(e)
+    trainedPq.put("ann_pq", cbs)
+    // corpus -> (vec_id, j, code): one nearest-cell kernel per subspace
+    val codeCols = (0 until PqM).map { j =>
+      struct(lit(j).as("j"),
+        call_function("vec_nearest_cell",
+          slice(col("v"), j * PqSub + 1, PqSub),
+          typedLit(cbs(j).flatten.toSeq)).as("code"))
+    }
+    val codes = e
+      .select(col("vec_id"), explode(array(codeCols: _*)).as("jc"))
+      .select(col("vec_id"), col("jc.j").as("j"), col("jc.code").as("code"))
+    // broadcast ADC lookup: query x subspace x centroid -> quantized d
+    import s.implicits._
+    val cells = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("j", "code", "c")
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val adc = q.crossJoin(cells)
+      .select(col("query_id"), col("j"), col("code"),
+        round(expr("aggregate(zip_with(slice(qv, j * 8 + 1, 8), c," +
+          " (x, y) -> (x - y) * (x - y)), 0d, (acc, t) -> acc + t)"), 6)
+          .as("dsub"))
+    val scored = codes.join(broadcast(adc), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dsub").as("d2"))
+    // ADC shortlist (top-64 in the compressed domain; round at 1e-6 =
+    // the dsub quantum so the cut is engine-stable), then EXACT re-rank
+    // of the shortlist only — the standard PQ pipeline: full vectors are
+    // read for 64 rows per query, not the corpus
+    val wd = Window.partitionBy("query_id")
+      .orderBy(round(col("d2"), 6).asc, col("vec_id").asc)
+    val shortlist = scored
+      .withColumn("adc_rank", row_number().over(wd))
+      .filter(col("adc_rank") <= 64)
+      .select("query_id", "vec_id")
+    val rerank = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(q.withColumnRenamed("qv", "qv2")), "query_id")
+      .withColumn("cos", dot(col("v"), col("qv2")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    rerank
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Sign-LSH bucketed near-duplicate PAIRS (cos >= 0.4) — the sublinear
     * 100 TB path for embedding dedup: candidates must share >= 7 of 8
     * projection signs (own bucket + 1-bit flips), so the corpus
@@ -417,6 +548,7 @@ object Similarity {
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_bucketed" -> (annIvfBucketed _),
+    "ann_pq" -> (annPq _),
     "dedup_emb_lsh" -> (embLshPairs _),
     "emb_lang_centroids" -> (embLangCentroids _))
 
@@ -509,6 +641,67 @@ object Similarity {
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** PQ oracle: the M per-subspace codebooks ride along as one VALUES
+    * literal (j, code, centroid); DuckDB re-derives code assignment
+    * (sequential fold, ties to the lowest code — the kernel semantics),
+    * the ADC lookup, and the compressed-domain ranking. */
+  private def pqOracleSelect(cbs: Array[Array[Array[Double]]]): String = {
+    val vals = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) =>
+        s"($j, $code, ${c.mkString("[", ",", "]")})"
+      }
+    }.mkString(",\n")
+    s"""WITH cb(j, code, c) AS (VALUES $vals),
+       emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       emb AS (SELECT vec_id, list_transform(v0,
+           x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM emb0),
+       sub AS (
+         SELECT vec_id, js.j, v[js.j * 8 + 1 : js.j * 8 + 8] AS sv
+         FROM emb, (SELECT unnest(range(8)) AS j) js),
+       dist AS (
+         SELECT s.vec_id, s.j, cb.code,
+           list_sum(list_transform(generate_series(1, 8),
+             i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i]))) AS d2
+         FROM sub s JOIN cb ON cb.j = s.j),
+       codes AS (
+         SELECT vec_id, j, code FROM (
+           SELECT vec_id, j, code,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code)
+               AS rk
+           FROM dist) WHERE rk = 1),
+       q AS (SELECT vec_id AS query_id, j, sv FROM sub
+             WHERE vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
+       adc AS (
+         SELECT q.query_id, q.j, cb.code,
+           round(list_sum(list_transform(generate_series(1, 8),
+             i -> (q.sv[i] - cb.c[i]) * (q.sv[i] - cb.c[i]))), 6) AS dsub
+         FROM q JOIN cb ON cb.j = q.j),
+       scored AS (
+         SELECT a.query_id, c.vec_id, sum(a.dsub) AS d2
+         FROM codes c JOIN adc a ON a.j = c.j AND a.code = c.code
+         WHERE c.vec_id <> a.query_id
+         GROUP BY 1, 2),
+       shortlist AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(d2, 6) ASC, vec_id ASC) AS adc_rank
+           FROM scored) WHERE adc_rank <= 64),
+       rerank AS (
+         SELECT s.query_id, s.vec_id AS neighbor_id,
+           list_dot_product(e.v, qe.v) AS cos
+         FROM shortlist s
+         JOIN emb e ON e.vec_id = s.vec_id
+         JOIN emb qe ON qe.vec_id = s.query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+         FROM rerank)
+       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   def oracles: Map[String, String] = Map(
     // approximate LSH queries, EXACT oracles: DuckDB runs the identical
     // deterministic hash family (planes interpolated as literals)
@@ -547,5 +740,7 @@ object Similarity {
          GROUP BY 1, 2 ORDER BY 1, 2""") ++
     Seq("ann_ivf", "ann_ivf_bucketed").flatMap { k =>
       Option(trainedCodebooks.get(k)).map(c => k -> ivfOracleSelect(c))
-    }.toMap
+    }.toMap ++
+    Option(trainedPq.get("ann_pq"))
+      .map(c => "ann_pq" -> pqOracleSelect(c)).toMap
 }

@@ -183,6 +183,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM perplexity bucketing — the CCNet-style quality signal
+    * (Wenzek et al. 2020 score with a lightweight LM; the real pipeline
+    * uses KenLM 5-grams, the shape is identical): train an add-k bigram
+    * model on the corpus itself, score each document's perplexity, and
+    * split the corpus into head/middle/tail terciles (head = most
+    * fluent, the slice kept for training).
+    *
+    * p(w2|w1) = (c(w1,w2) + 0.5) / (c(w1) + 0.5 * V); per-bigram logs
+    * quantized to 6 decimals (the tf-idf trick) before the tf-weighted
+    * sum, perplexity = exp(-S/n) rounded to 4. Terciles come from two
+    * interpolated percentile BOUNDARIES broadcast against the scores —
+    * a scan + tiny join, NOT a global ntile window (which would
+    * single-partition the corpus at 100 TB). Model tables are
+    * vocabulary-sized aggregates; nothing is corpus x corpus. */
+  def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val third = (1.0 / 3).toString
+    val twoThird = (2.0 / 3).toString
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bg = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"""))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .persist()
+    val c2 = bg.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = toks.select(explode(col("t")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val lp = c2.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c2") + lit(0.5))
+          / (col("c1") + lit(0.5) * col("v"))), 6).as("lp"))
+    val scored = bg.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lp")).as("sc"), sum("tf").as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-col("sc") / col("n_bigrams")), 4).as("ppl"))
+    val bounds = scored.agg(
+      expr(s"percentile(ppl, $third)").as("b1"),
+      expr(s"percentile(ppl, $twoThird)").as("b2"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_bigrams"), col("ppl"),
+        when(col("ppl") <= col("b1"), lit("head"))
+          .when(col("ppl") <= col("b2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Inverted-index build: term -> document frequency, total
     * occurrences, and the posting list head (first 10 doc ids,
     * ascending). The keyword-search backbone: one explode + one
@@ -209,6 +261,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> (invertedIndex _),
     "text_ngram_lm" -> (ngramLm _),
+    "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_stats" -> (textStats _),
     "text_token_counts" -> (tokenCounts _),
     "text_lang_id" -> (langId _),
@@ -230,6 +283,38 @@ object TextAnalysis {
              AS postings_head
          FROM td GROUP BY term
          ORDER BY df DESC, term ASC LIMIT 50""",
+    "text_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+         bg AS (
+           SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, count(*) AS tf
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+             AS i) s
+           GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+                FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         vocab AS (
+           SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(toks) AS tok FROM t)),
+         lp AS (
+           SELECT c2.w1, c2.w2,
+             round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vocab.v)), 6) AS lp
+           FROM c2 JOIN c1 USING (w1) CROSS JOIN vocab),
+         scored AS (
+           SELECT bg.doc_id, CAST(sum(bg.tf) AS BIGINT) AS n_bigrams,
+             round(exp(-sum(bg.tf * lp.lp) / sum(bg.tf)), 4) AS ppl
+           FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+           GROUP BY 1),
+         bounds AS (
+           SELECT quantile_cont(ppl, ${(1.0 / 3).toString}) AS b1,
+             quantile_cont(ppl, ${(2.0 / 3).toString}) AS b2
+           FROM scored)
+         SELECT doc_id, n_bigrams, ppl,
+           CASE WHEN ppl <= b1 THEN 'head'
+             WHEN ppl <= b2 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM scored CROSS JOIN bounds
+         ORDER BY doc_id""",
     "text_ngram_lm" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -153,6 +153,70 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hll estimate within the m=1024 error envelope; state consistent") {
+    val r = graft.operators.Sketches.hll(spark, d).collect()(0)
+    val (m, vEmpty) = (r.getInt(0), r.getLong(1))
+    val (exact, est) = (r.getLong(3), r.getLong(4))
+    assert(m == 1024 && vEmpty >= 0 && vEmpty < 1024)
+    assert(est > 0)
+    // 1.04/sqrt(1024) = 3.25% std error; 5 sigma = 16%
+    assert(math.abs(est - exact).toDouble / exact < 0.16,
+      s"est $est vs exact $exact")
+  }
+
+  test("substring dedup: coverage bounds and repeated-text planted case") {
+    val rows = Dedup.substringDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length == 500)
+    rows.foreach { case (doc, n, ndg, ndt, ratio) =>
+      assert(ndt <= n, s"doc $doc coverage exceeds tokens")
+      // a duplicated 8-gram covers at least its own 8 tokens
+      if (ndg > 0) assert(ndt >= 8, s"doc $doc: $ndg grams but $ndt tokens")
+      else assert(ndt == 0)
+      assert(math.abs(ratio - math.rint(ndt.toDouble / n * 1e4) / 1e4) < 1e-9)
+    }
+    // the corpus has planted near-duplicates: some doc must hit
+    assert(rows.exists(_._3 > 0), "no repeated 8-gram found in the corpus")
+    // planted case: two docs sharing identical full text are fully covered
+    val t = Tables.documents(spark, d)
+      .groupBy("text").count().filter(col("count") >= 2)
+      .join(Tables.documents(spark, d), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.filter(r => t.contains(r._1) && r._2 >= 8).foreach {
+      case (doc, n, _, ndt, _) => assert(ndt == n, s"exact-dup doc $doc not fully covered")
+    }
+  }
+
+  test("perplexity buckets: terciles ordered and balanced") {
+    val rows = TextAnalysis.perplexityBuckets(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.length == 500)
+    val byBucket = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // boundaries: every head ppl <= every middle ppl <= every tail ppl
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // percentile split keeps the thirds roughly balanced
+    byBucket.values.foreach(b => assert(b.length > 100 && b.length < 234))
+    rows.foreach { case (_, nb, ppl, _) => assert(nb > 0 && ppl > 0) }
+  }
+
+  test("pq ann: recall@5 >= 0.6 vs exact top-k; well-formed ranking") {
+    val exact = graft.operators.Similarity.annTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = graft.operators.Similarity.annPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    pq.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to 5), s"query $q ranks")
+    }
+    val got = pq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & got(q)).size / 5.0).sum / exact.size
+    assert(recall >= 0.6, s"recall@5 $recall")
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
