@@ -510,6 +510,51 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication — cluster the
+    * embedding space with the deterministic k-means codebook, then
+    * WITHIN each cluster remove every vector that is cos >= tau to an
+    * earlier-ranked clustermate (rank = distance to own centroid, the
+    * paper's kept-representative rule, ties by id). The design point is
+    * that clustering BOUNDS the quadratic: pair work is sum over cells
+    * of |cell|^2, never corpus^2, and at 100 TB k grows with the corpus
+    * to hold cell sizes flat while cells process embarrassingly
+    * parallel (one shuffle on cell id). Emits one row per REMOVED
+    * vector with its keeper and similarity. Exact-oracle checked via
+    * the interpolated codebook (same trick as IVF/PQ). */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val tau = 0.4
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = trainCodebook(e)
+    trainedCodebooks.put("dedup_semantic", cents)
+    import s.implicits._
+    val cells = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "c")
+    val assigned = e
+      .withColumn("cell", nearestCell(cents)(col("v")))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .join(broadcast(cells), "cell")
+      .withColumn("d2c", expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
+          " 0d, (acc, t) -> acc + t)"))
+      .withColumn("rk", row_number().over(Window.partitionBy("cell")
+        .orderBy(round(col("d2c"), 6).asc, col("vec_id").asc)))
+      .select("cell", "vec_id", "v", "n", "rk")
+    val a = assigned.select(col("cell"), col("vec_id").as("keep_id"),
+      col("v").as("va"), col("n").as("na"), col("rk").as("rka"))
+    val removed = assigned.join(a, "cell")
+      .filter(col("rka") < col("rk"))
+      .withColumn("cos", dot(col("v"), col("va")) / (col("n") * col("na")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("rka"), col("keep_id"), col("cos"))).as("kp"))
+      .select(col("vec_id"), col("cell"), col("kp.keep_id").as("kept_id"),
+        round(col("kp.cos"), 5).as("cos"))
+      .orderBy("vec_id")
+    removed
+  }
+
   /** Cross-modal subcorpus diagnostic: per-language embedding CENTROIDS
     * (embeddings joined to documents on the id) and the cosine between
     * every language pair's centroid — the drift check a training
@@ -549,6 +594,7 @@ object Similarity {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_bucketed" -> (annIvfBucketed _),
     "ann_pq" -> (annPq _),
+    "dedup_semantic" -> (semDedup _),
     "dedup_emb_lsh" -> (embLshPairs _),
     "emb_lang_centroids" -> (embLangCentroids _))
 
@@ -702,6 +748,43 @@ object Similarity {
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** SemDeDup oracle: codebook as a VALUES literal; DuckDB re-derives
+    * assignment, the centroid-distance rank, and the earlier-clustermate
+    * removal rule. */
+  private def semDedupOracle(cents: Array[Array[Double]]): String = {
+    val vals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
+      .mkString(",\n")
+    s"""WITH cells(cell, c) AS (VALUES $vals),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       dist AS (
+         SELECT e.vec_id, e.v, cl.cell,
+           list_sum(list_transform(generate_series(1, len(cl.c)),
+             i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
+         FROM emb e CROSS JOIN cells cl),
+       asg AS (
+         SELECT vec_id, v, cell, d2, sqrt(list_dot_product(v, v)) AS n
+         FROM (SELECT vec_id, v, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+           FROM dist) WHERE rk = 1),
+       rnk AS (
+         SELECT vec_id, v, n, cell,
+           row_number() OVER (PARTITION BY cell
+             ORDER BY round(d2, 6), vec_id) AS rk
+         FROM asg),
+       pairs AS (
+         SELECT b.vec_id, b.cell, a.vec_id AS keep_id, a.rk AS rka,
+           list_dot_product(b.v, a.v) / (b.n * a.n) AS cos
+         FROM rnk b JOIN rnk a ON a.cell = b.cell AND a.rk < b.rk
+         WHERE list_dot_product(b.v, a.v) / (b.n * a.n) >= 0.4),
+       sel AS (
+         SELECT vec_id, cell, keep_id, cos,
+           row_number() OVER (PARTITION BY vec_id, cell ORDER BY rka) AS pr
+         FROM pairs)
+       SELECT vec_id, cell, keep_id AS kept_id, round(cos, 5) AS cos
+       FROM sel WHERE pr = 1 ORDER BY vec_id"""
+  }
+
   def oracles: Map[String, String] = Map(
     // approximate LSH queries, EXACT oracles: DuckDB runs the identical
     // deterministic hash family (planes interpolated as literals)
@@ -742,5 +825,7 @@ object Similarity {
       Option(trainedCodebooks.get(k)).map(c => k -> ivfOracleSelect(c))
     }.toMap ++
     Option(trainedPq.get("ann_pq"))
-      .map(c => "ann_pq" -> pqOracleSelect(c)).toMap
+      .map(c => "ann_pq" -> pqOracleSelect(c)).toMap ++
+    Option(trainedCodebooks.get("dedup_semantic"))
+      .map(c => "dedup_semantic" -> semDedupOracle(c)).toMap
 }

@@ -217,6 +217,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"recall@5 $recall")
   }
 
+  test("semdedup: removals are true cosine pairs and keepers precede") {
+    val removed = graft.operators.Similarity.semDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(removed.nonEmpty, "no semantic duplicates found at tau=0.4")
+    // every (removed, keeper) pair must be a REAL cos>=0.4 pair per the
+    // exact all-pairs operator (cluster-local search cannot invent pairs)
+    val exactPairs = Dedup.embCosinePairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    removed.foreach { case (v, _, k, cos) =>
+      assert(cos >= 0.4, s"removed $v at cos $cos")
+      val key = (math.min(v, k), math.max(v, k))
+      assert(exactPairs.contains(key), s"pair $key not in exact cos pairs")
+    }
+    // a vector is removed at most once
+    assert(removed.map(_._1).distinct.length == removed.length)
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
