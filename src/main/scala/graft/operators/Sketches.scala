@@ -252,13 +252,77 @@ object Sketches {
   private val HllAlphaM2Pow54: Double =
     0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 18014398509481984.0
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over document token
+    * frequencies: d = 4 rows x w = 1024 counters, the 4 positions carved
+    * as disjoint 10-bit fields of the one md5 parity hash. Counters
+    * build as ONE partial+final aggregate over (row, pos) — 4096 cells
+    * of state at any corpus size, mergeable by +, the property CM is
+    * chosen for. The probe estimates the 20 most frequent tokens
+    * (min over rows of their counters) against exact counts; overcount
+    * = estimate - exact is the realized CM error, >= 0 BY THEOREM
+    * (PipelineOpsSpec pins the one-sided guarantee). Everything is
+    * integer arithmetic — the oracle replays it exactly with no float
+    * quantization anywhere. */
+  def countMin(s: SparkSession, d: String): DataFrame = {
+    val w = 1024
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("hx", md5(col("tok")))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .persist()
+    val counters = tf
+      .select(col("cnt"), explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"),
+          pmod(expr(s"h div ${math.pow(w, i).toLong}"), lit(w)).as("p"))): _*))
+        .as("rp"))
+      .groupBy(col("rp.i").as("i"), col("rp.p").as("p"))
+      .agg(sum("cnt").as("c"))
+    val top = tf.orderBy(col("cnt").desc, col("tok").asc).limit(20)
+    val probes = top
+      .select(col("tok"), col("cnt"), explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"),
+          pmod(expr(s"h div ${math.pow(w, i).toLong}"), lit(w)).as("p"))): _*))
+        .as("rp"))
+      .select(col("tok"), col("cnt"), col("rp.i").as("i"), col("rp.p").as("p"))
+    probes.join(broadcast(counters), Seq("i", "p"))
+      .groupBy("tok", "cnt")
+      .agg(min("c").as("cm_estimate"))
+      .select(col("tok"), col("cnt").as("exact_cnt"), col("cm_estimate"),
+        (col("cm_estimate") - col("cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv" -> (kmv _),
     "sketch_kmv_grouped" -> (kmvGrouped _),
     "sketch_hll" -> (hll _),
+    "sketch_countmin" -> (countMin _),
     "sketch_bloom" -> (bloom _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_countmin" ->
+      """WITH tf AS (
+           SELECT tok, count(*) AS cnt,
+             CAST(md5_number_lower(tok) & 9223372036854775807 AS BIGINT) AS h
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY tok),
+         rp(i, dv) AS (VALUES (0, 1), (1, 1024), (2, 1048576),
+           (3, 1073741824)),
+         counters AS (
+           SELECT rp.i, (tf.h // rp.dv) % 1024 AS p,
+             CAST(sum(tf.cnt) AS BIGINT) AS c
+           FROM tf CROSS JOIN rp GROUP BY 1, 2),
+         top AS (SELECT tok, cnt, h FROM tf
+                 ORDER BY cnt DESC, tok ASC LIMIT 20),
+         probes AS (
+           SELECT t.tok, t.cnt, rp.i, (t.h // rp.dv) % 1024 AS p
+           FROM top t CROSS JOIN rp)
+         SELECT p.tok, p.cnt AS exact_cnt, min(c.c) AS cm_estimate,
+           min(c.c) - p.cnt AS overcount
+         FROM probes p JOIN counters c ON c.i = p.i AND c.p = p.p
+         GROUP BY p.tok, p.cnt
+         ORDER BY exact_cnt DESC, tok ASC""",
     "sketch_hll" ->
       s"""WITH h AS (
            SELECT DISTINCT CAST(md5_number_lower(

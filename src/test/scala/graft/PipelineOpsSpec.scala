@@ -234,6 +234,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(removed.map(_._1).distinct.length == removed.length)
   }
 
+  test("count-min: one-sided guarantee and theoretical error bound") {
+    val rows = graft.operators.Sketches.countMin(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    val totalTokens = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { case (tok, exact, est, over) =>
+      // CM never undercounts (min over rows of counters >= true count)
+      assert(est >= exact, s"$tok undercounted: $est < $exact")
+      assert(over == est - exact)
+      // expected overcount per row is N/w; min over 4 rows far tighter.
+      // 8x the single-row expectation is a generous determinism-safe cap
+      assert(over <= 8 * totalTokens / 1024, s"$tok overcount $over")
+    }
+    // top-20 probes are sorted by exact count descending
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),

@@ -313,9 +313,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("dedup_simhash", Dedup.simhash(spark, d)),
         ("dedup_minhash_lsh", Dedup.minhashLsh(spark, d)),
         ("ann_lsh", Similarity.annLsh(spark, d)),
-        ("ann_ivf", Similarity.annIvf(spark, d)))) {
+        ("ann_ivf", Similarity.annIvf(spark, d)),
+        ("ann_pq", Similarity.annPq(spark, d)),
+        ("dedup_semantic", Similarity.semDedup(spark, d)),
+        ("dedup_substring", Dedup.substringDedup(spark, d)),
+        ("sketch_hll", graft.operators.Sketches.hll(spark, d)),
+        ("sketch_countmin", graft.operators.Sketches.countMin(spark, d)),
+        ("text_perplexity_buckets",
+          graft.operators.TextAnalysis.perplexityBuckets(spark, d)))) {
       val p = plan(df)
       assert(!p.contains("UDF"), s"$name plan has a ScalaUDF:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$name plan has a cartesian product:\n${p.take(1500)}")
     }
   }
 
