@@ -319,5 +319,7 @@ object SparkEntry {
     Dedup.oracles.get("dedup_minhash_lsh")
       .map("stream_neardup_sink" -> _).toMap ++
     MobilityOps.oracles.get("mob_q4_sessions")
-      .map("stream_sessions_sink" -> _).toMap
+      .map("stream_sessions_sink" -> _).toMap ++
+    // per-day register pipeline replayed from raw events (own SQL)
+    graft.streaming.StreamGate.oracles
 }

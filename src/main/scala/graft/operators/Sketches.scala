@@ -248,8 +248,9 @@ object Sketches {
   }
 
   /** alpha_1024 * 1024^2 * 2^54 (see [[hll]]) — package-visible so the
-    * oracle interpolates the identical double literal. */
-  private val HllAlphaM2Pow54: Double =
+    * oracle (and the streaming gate's per-window variant) interpolate
+    * the identical double literal. */
+  private[graft] val HllAlphaM2Pow54: Double =
     0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 18014398509481984.0
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005) over document token

@@ -153,7 +153,133 @@ object StreamGate {
       .orderBy("user_id")
   }
 
+  /** `stream_hll_sink` gate entry: the events table replayed as a
+    * bounded stream; per-day HyperLogLog REGISTERS accumulate in a
+    * watermarked windowed aggregate (the same p=10 / md5-parity
+    * register math as the batch `sketch_hll`), stream through the
+    * idempotent sink as finalized windows, and the estimate is computed
+    * on read — the streaming-sketch layout a 100 TB pipeline runs
+    * ("distinct users per day, continuously"): register state is
+    * bounded (<= 1024 rows per open window), merges by max, and the
+    * sunk table is replayable.
+    *
+    * Determinism (same argument as the sessions entry): one data batch,
+    * then a far-future sentinel advances the watermark in AvailableNow's
+    * trailing batch so every real window finalizes; the sentinel's own
+    * window stays below the watermark and never emits. Registers are
+    * arrival-order-invariant (max), so the sunk table equals the batch
+    * register table and the DuckDB oracle replays the whole pipeline
+    * from the raw parquet. */
+  def streamHllSink(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_hll_").toString
+    val staging = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    // sentinel 3 days past the last event: watermark reaches
+    // sentinel - 1s in the trailing batch, past every real day window
+    val sentinelTs = maxTs + 3L * 86400L * 1000000L
+    ev.unionByName(s.range(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(sentinelTs)).as("ts")))
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(staging)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+      .parquet(staging)
+    val regs = stream
+      .withWatermark("ts", "1 second")
+      .withColumn("hx", md5(col("user_id").cast("string")))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .withColumn("bucket", expr("h div 9007199254740992"))
+      .withColumn("w", expr("h % 9007199254740992"))
+      .withColumn("rho", when(col("w") === 0, lit(54))
+        .otherwise(lit(54) - length(bin(col("w")))))
+      .groupBy(window(col("ts"), "1 day").as("win"), col("bucket"))
+      .agg(max("rho").as("reg"))
+      .select(col("win.start").as("day"), col("bucket"), col("reg"))
+    StreamSink.parquetSink(regs, out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val sunk = s.read
+      .schema(StructType(Seq(
+        StructField("day", TimestampType), StructField("bucket", LongType),
+        StructField("reg", org.apache.spark.sql.types.IntegerType))))
+      .parquet(s"$out/batch=*")
+      // defensive re-merge: append emits each finalized (day, bucket)
+      // once, but replayed batch dirs must stay idempotent
+      .groupBy("day", "bucket").agg(max("reg").as("reg"))
+    val state = sunk.groupBy("day")
+      .agg(count(lit(1)).as("n_nonempty"),
+        sum(expr(
+          "cast(shiftleft(cast(1 as bigint), 54 - reg) as decimal(20,0))"))
+          .as("s_ne"))
+      .select(col("day"), (lit(1024) - col("n_nonempty")).cast("long")
+        .as("v_empty"), col("s_ne"))
+    val exact = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    state.join(exact, "day")
+      .withColumn("raw_est",
+        lit(graft.operators.Sketches.HllAlphaM2Pow54)
+          / expr("cast(cast(v_empty as decimal(20,0)) * 18014398509481984" +
+            " + s_ne as decimal(24,0))").cast("double"))
+      .withColumn("hll_estimate",
+        when(col("raw_est") <= lit(2560.0) && col("v_empty") > 0,
+          round(lit(1024.0) * log(lit(1024.0) / col("v_empty"))))
+          .otherwise(round(col("raw_est"))).cast("bigint"))
+      .select(col("day"), col("v_empty"), col("exact_distinct"),
+        col("hll_estimate"),
+        round(lit(100.0) * (col("hll_estimate") - col("exact_distinct"))
+          / col("exact_distinct"), 2).as("rel_err_pct"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("stream_neardup_sink" -> (streamNearDupSink _),
-        "stream_sessions_sink" -> (streamSessionsSink _))
+        "stream_sessions_sink" -> (streamSessionsSink _),
+        "stream_hll_sink" -> (streamHllSink _))
+
+  /** DuckDB replay of the per-day register pipeline ([[streamHllSink]])
+    * straight from the raw events parquet — arrival-order-invariant
+    * registers make the streamed and batch-replayed state identical. */
+  val oracles: Map[String, String] = Map(
+    "stream_hll_sink" ->
+      s"""WITH h AS (
+           SELECT DISTINCT date_trunc('day', ts) AS day,
+             CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) AS h
+           FROM events),
+         regs AS (
+           SELECT day, h // 9007199254740992 AS bucket,
+             max(CASE WHEN h % 9007199254740992 = 0 THEN 54
+               ELSE 54 - length(bin(h % 9007199254740992)) END) AS reg
+           FROM h GROUP BY 1, 2),
+         st AS (
+           SELECT day, 1024 - count(*) AS v_empty,
+             sum(CAST(CAST(1 AS BIGINT) << (54 - reg) AS HUGEINT)) AS s_ne
+           FROM regs GROUP BY 1),
+         ex AS (
+           SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY 1),
+         est AS (
+           SELECT st.day, CAST(st.v_empty AS BIGINT) AS v_empty,
+             ex.exact_distinct,
+             ${graft.operators.Sketches.HllAlphaM2Pow54}
+               / CAST(CAST(st.v_empty AS HUGEINT) * 18014398509481984
+                 + st.s_ne AS DOUBLE) AS raw_est
+           FROM st JOIN ex ON st.day = ex.day),
+         fin AS (
+           SELECT day, v_empty, exact_distinct,
+             CAST(CASE WHEN raw_est <= 2560.0 AND v_empty > 0
+               THEN round(1024.0 * ln(1024.0 / v_empty))
+               ELSE round(raw_est) END AS BIGINT) AS hll_estimate
+           FROM est)
+         SELECT day, v_empty, exact_distinct, hll_estimate,
+           round(100.0 * (hll_estimate - exact_distinct) / exact_distinct, 2)
+             AS rel_err_pct
+         FROM fin ORDER BY day""")
 }

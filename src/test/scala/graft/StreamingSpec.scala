@@ -235,4 +235,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.sameElements(batch),
       s"stream ${streamed.length} vs batch ${batch.length}")
   }
+
+  test("stream_hll_sink: streamed registers give sane daily estimates") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.streaming.StreamGate.streamHllSink(spark, d).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val nDays = graft.util.Tables.events(spark, d)
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    assert(rows.length == nDays, s"${rows.length} windows vs $nDays days")
+    rows.foreach { case (day, vEmpty, exact, est, err) =>
+      assert(vEmpty > 0 && vEmpty < 1024, s"$day registers")
+      assert(exact > 0 && est > 0)
+      // small-range (linear counting) regime at this scale: tight
+      assert(math.abs(err) < 15.0, s"$day err $err% (est $est vs $exact)")
+    }
+  }
 }
