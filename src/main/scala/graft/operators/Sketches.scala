@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -294,7 +295,63 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("tok").asc)
   }
 
+  /** Mergeable equi-width HISTOGRAM quantiles — the scalable substitute
+    * for exact `percentile` (whose per-group state is the value
+    * multiset): 128 integer-binned counters per group, built as one
+    * partial+final aggregate, merged by +, then each requested quantile
+    * is linearly interpolated INSIDE its bin (uniform-within-bin
+    * assumption — the classic histogram estimator). Binning is pure
+    * integer arithmetic ((x - mn) * 128 div (mx - mn + 1)); the only
+    * floats are the final interpolation, identical expressions both
+    * engines, quantized by round. Exact percentiles ride along to
+    * report realized error per group x quantile (the [[kmv]] pattern).
+    *
+    * Domain: per-language token counts of the documents table — the
+    * same quantity `text_length_quantiles` computes exactly, so the two
+    * entries together show the exact operator and its 100 TB form. */
+  def quantileHist(s: SparkSession, d: String): DataFrame = {
+    val nb = 128
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val x = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("x"))
+      .persist()
+    val bounds = x.agg(min("x").as("mn"), max("x").as("mx"))
+    val binned = x.crossJoin(broadcast(bounds))
+      .select(col("lang"), col("mn"), col("mx"),
+        expr(s"((x - mn) * $nb) div (mx - mn + 1)").as("bin"))
+      .groupBy("lang", "mn", "mx", "bin").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("lang").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = binned
+      .withColumn("cum_before", coalesce(sum("c").over(wcum), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    val probes = cum.crossJoin(
+      s.createDataFrame(ps.map(Tuple1(_))).toDF("p"))
+      .withColumn("k", col("p") * (col("n") - 1))
+      // the bin holding fractional rank k: cum_before <= k < cum_before + c
+      .filter(col("k") >= col("cum_before") &&
+        col("k") < col("cum_before") + col("c"))
+      // bin spans [mn + bin*W/nb, mn + (bin+1)*W/nb) with W = mx-mn+1;
+      // interpolate uniformly inside it
+      .withColumn("est", round(
+        col("mn") + (col("bin") + (col("k") - col("cum_before")) / col("c"))
+          * (col("mx") - col("mn") + 1) / lit(nb), 4))
+    val exact = x.groupBy("lang").agg(
+      expr("percentile(x, 0.25)").as("e25"), expr("percentile(x, 0.5)").as("e50"),
+      expr("percentile(x, 0.75)").as("e75"), expr("percentile(x, 0.9)").as("e90"))
+      .select(col("lang"), explode(map(
+        lit(0.25), col("e25"), lit(0.5), col("e50"),
+        lit(0.75), col("e75"), lit(0.9), col("e90"))).as(Seq("p", "exact")))
+    probes.select(col("lang"), col("p"), col("est"))
+      .join(exact, Seq("lang", "p"))
+      .select(col("lang"), col("p"), col("est").as("hist_estimate"),
+        round(col("exact"), 4).as("exact_quantile"),
+        round(col("est") - col("exact"), 4).as("abs_err"))
+      .orderBy("lang", "p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_quantile_hist" -> (quantileHist _),
     "sketch_kmv" -> (kmv _),
     "sketch_kmv_grouped" -> (kmvGrouped _),
     "sketch_hll" -> (hll _),
@@ -302,6 +359,44 @@ object Sketches {
     "sketch_bloom" -> (bloom _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_quantile_hist" ->
+      """WITH x AS (
+           SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+           FROM documents),
+         b AS (SELECT min(x) AS mn, max(x) AS mx FROM x),
+         binned AS (
+           SELECT lang, mn, mx, ((x - mn) * 128) // (mx - mn + 1) AS bin,
+             count(*) AS c
+           FROM x CROSS JOIN b GROUP BY 1, 2, 3, 4),
+         cum AS (
+           SELECT lang, mn, mx, bin, c,
+             coalesce(sum(c) OVER (PARTITION BY lang ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             sum(c) OVER (PARTITION BY lang) AS n
+           FROM binned),
+         probes AS (
+           SELECT cum.*, pp.p, pp.p * (n - 1) AS k
+           FROM cum CROSS JOIN (SELECT unnest(
+             CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS p) pp
+           WHERE pp.p * (n - 1) >= cum_before
+             AND pp.p * (n - 1) < cum_before + c),
+         est AS (
+           SELECT lang, p,
+             round(mn + (bin + (k - cum_before) / c) * (mx - mn + 1) / 128,
+               4) AS hist_estimate
+           FROM probes),
+         ex AS (
+           SELECT lang,
+             unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS p,
+             unnest([quantile_cont(x, 0.25), quantile_cont(x, 0.5),
+               quantile_cont(x, 0.75), quantile_cont(x, 0.9)]) AS q
+           FROM x GROUP BY lang)
+         SELECT est.lang, est.p, est.hist_estimate,
+           round(ex.q, 4) AS exact_quantile,
+           round(est.hist_estimate - ex.q, 4) AS abs_err
+         FROM est JOIN ex ON est.lang = ex.lang AND est.p = ex.p
+         ORDER BY est.lang, est.p""",
     "sketch_countmin" ->
       """WITH tf AS (
            SELECT tok, count(*) AS cnt,

@@ -252,6 +252,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("histogram quantiles: within two bin widths of exact percentile") {
+    val rows = graft.operators.Sketches.quantileHist(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val langs = rows.map(_._1).distinct
+    assert(rows.length == langs.length * 4)
+    val Array(mn, mx) = Tables.documents(spark, d)
+      .select(size(split(col("text"), " ")).cast("long").as("x"))
+      .agg(min("x"), max("x")).collect()(0).toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    val binW = (mx - mn + 1).toDouble / 128
+    rows.foreach { case (lang, p, est, exact, err) =>
+      // estimate and exact interpolation can sit in adjacent bins, so
+      // two bin widths bounds the uniform-within-bin estimator
+      assert(math.abs(err) <= 2 * binW + 1e-9, s"$lang p$p err $err")
+      assert(math.abs(est - exact - err) < 1e-3)
+    }
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
