@@ -159,6 +159,36 @@ object TextAnalysis {
       .orderBy("lang", "sample_rank")
   }
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis 2006) —
+    * the data-mixing sampler a training pipeline uses to draw documents
+    * proportional to a weight (here n_chars): each doc gets key =
+    * ln(u)/w with u a uniform from the engine-portable md5 hash, and
+    * the k LARGEST keys are the weighted sample. One scan + a
+    * TakeOrdered top-k (per-partition heads merged on the driver — no
+    * global sort), deterministic at any parallelism, so the same draw
+    * reproduces on any cluster and the oracle replays it exactly. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val k = 50
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      // u in (0, 1]: (h+1)/2^63; key = ln(u)/w, maximized (E-S with the
+      // log transform — monotone in u^(1/w))
+      .withColumn("es_key", round(
+        log((col("h") + 1) / lit(9.223372036854775808e18)) / col("n_chars"),
+        9))
+    // TakeOrdered top-k FIRST (per-partition heads, no global sort /
+    // single-partition window over the corpus); the rank window then
+    // runs on k rows only
+    keyed.orderBy(col("es_key").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("es_key").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("n_chars").as("weight"),
+        col("es_key"))
+      .orderBy("rank")
+  }
+
   /** Unigram language-model surprisal per document: train token
     * probabilities on the corpus itself (one vocabulary-sized agg),
     * score each document by its average -ln p(token). Per-token logs
@@ -268,7 +298,8 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf" -> (tfidf _),
     "text_length_quantiles" -> (lengthQuantiles _),
-    "text_sample_stratified" -> (sampleStratified _))
+    "text_sample_stratified" -> (sampleStratified _),
+    "text_sample_weighted" -> (sampleWeighted _))
 
   val oracles: Map[String, String] = Map(
     "text_inverted_index" ->
@@ -283,6 +314,19 @@ object TextAnalysis {
              AS postings_head
          FROM td GROUP BY term
          ORDER BY df DESC, term ASC LIMIT 50""",
+    "text_sample_weighted" ->
+      """WITH k AS (
+           SELECT doc_id, n_chars,
+             round(ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                 & 9223372036854775807 AS BIGINT) + 1)
+               / 9223372036854775808.0) / n_chars, 9) AS es_key
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_chars, es_key,
+             row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS rank
+           FROM k)
+         SELECT rank, doc_id, n_chars AS weight, es_key
+         FROM r WHERE rank <= 50 ORDER BY rank""",
     "text_perplexity_buckets" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
              FROM documents),

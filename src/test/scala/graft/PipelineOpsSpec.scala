@@ -271,6 +271,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("weighted sample: well-formed, deterministic, weight-biased") {
+    val rows = TextAnalysis.sampleWeighted(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1 to 50))
+    val keys = rows.map(_._4)
+    assert(keys.sliding(2).forall(p => p(0) >= p(1)), "keys not descending")
+    // E-S draws proportional to weight: on this fixed corpus the sample
+    // mean weight exceeds the corpus mean (a deterministic fact here)
+    val corpusMean = Tables.documents(spark, d)
+      .agg(avg("n_chars")).collect()(0).getDouble(0)
+    val sampleMean = rows.map(_._3).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean <= corpus mean $corpusMean")
+    // same draw on a different partitioning (determinism across layouts)
+    val again = TextAnalysis.sampleWeighted(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.sameElements(rows))
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
