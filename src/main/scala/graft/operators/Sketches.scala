@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,11 +206,6 @@ object Sketches {
     * partial agg (the property HLL is chosen for at 100 TB). The exact
     * count rides along only to report realized error, as in [[kmv]]. */
   def hll(s: SparkSession, d: String): DataFrame = {
-    val m = 1024                      // 2^p, p = 10
-    val pow54 = "18014398509481984"   // 2^54 (the S scale)
-    // alpha_m * m^2 * 2^54 — one literal computed here and interpolated
-    // into the oracle, so both engines divide by S with the identical
-    // numerator (Double.toString round-trips exactly)
     val hashed = Tables.lineitem(s, d)
       .select(md5(concat(col("l_partkey").cast("string"), lit("|"),
         col("l_suppkey").cast("string"))).as("hx"))
@@ -218,41 +213,25 @@ object Sketches {
       .select("h").persist()
     val exact = hashed.agg(count_distinct(col("h")).as("exact_distinct"))
     val regs = hashed
-      .select(expr("h div 9007199254740992").as("bucket"),
-        expr("h % 9007199254740992").as("w"))
-      .select(col("bucket"),
-        when(col("w") === 0, lit(54))
-          .otherwise(lit(54) - length(bin(col("w")))).as("rho"))
+      .select(Hll.bucket(col("h")).as("bucket"), Hll.rho(col("h")).as("rho"))
       .groupBy("bucket").agg(max("rho").as("reg"))
     val state = regs.agg(
       count(lit(1)).as("n_nonempty"),
-      sum(expr("cast(shiftleft(cast(1 as bigint), 54 - reg) as decimal(20,0))"))
-        .as("s_ne"))
+      sum(expr(Hll.RegTermSql)).as("s_ne"))
       .select(
-        (lit(m) - col("n_nonempty")).cast("long").as("v_empty"),
+        (lit(Hll.M) - col("n_nonempty")).cast("long").as("v_empty"),
         col("s_ne"))
     state.crossJoin(exact)
-      .withColumn("s_scaled",
-        expr(s"cast(cast(v_empty as decimal(20,0)) * $pow54 + s_ne as decimal(24,0))"))
-      .withColumn("raw_est",
-        lit(HllAlphaM2Pow54) / col("s_scaled").cast("double"))
+      .withColumn("s_scaled", Hll.sScaled(col("v_empty"), col("s_ne")))
       .withColumn("hll_estimate",
-        when(col("raw_est") <= lit(2.5 * m) && col("v_empty") > 0,
-          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty"))))
-          .otherwise(round(col("raw_est"))).cast("bigint"))
+        Hll.estimate(col("v_empty"), col("s_scaled")))
       .select(
-        lit(m).as("m"), col("v_empty"),
+        lit(Hll.M).as("m"), col("v_empty"),
         col("s_scaled").cast("double").as("s_scaled"),
         col("exact_distinct"), col("hll_estimate"),
         round(lit(100.0) * (col("hll_estimate") - col("exact_distinct"))
           / col("exact_distinct"), 2).as("rel_err_pct"))
   }
-
-  /** alpha_1024 * 1024^2 * 2^54 (see [[hll]]) — package-visible so the
-    * oracle (and the streaming gate's per-window variant) interpolate
-    * the identical double literal. */
-  private[graft] val HllAlphaM2Pow54: Double =
-    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 18014398509481984.0
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005) over document token
     * frequencies: d = 4 rows x w = 1024 counters, the 4 positions carved
@@ -267,6 +246,12 @@ object Sketches {
     * quantization anywhere. */
   def countMin(s: SparkSession, d: String): DataFrame = {
     val w = 1024
+    // one definition of the 4-row (i, p) field carve, used by BOTH the
+    // counter build and the probe — a drift between the two would
+    // silently probe positions that were never accumulated
+    val positions: Column = explode(array((0 until 4).map(i =>
+      struct(lit(i).as("i"),
+        pmod(expr(s"h div ${math.pow(w, i).toLong}"), lit(w)).as("p"))): _*))
     val tf = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -274,18 +259,12 @@ object Sketches {
       .withColumn("h", graft.util.Md5Lower64.of("hx"))
       .persist()
     val counters = tf
-      .select(col("cnt"), explode(array((0 until 4).map(i =>
-        struct(lit(i).as("i"),
-          pmod(expr(s"h div ${math.pow(w, i).toLong}"), lit(w)).as("p"))): _*))
-        .as("rp"))
+      .select(col("cnt"), positions.as("rp"))
       .groupBy(col("rp.i").as("i"), col("rp.p").as("p"))
       .agg(sum("cnt").as("c"))
     val top = tf.orderBy(col("cnt").desc, col("tok").asc).limit(20)
     val probes = top
-      .select(col("tok"), col("cnt"), explode(array((0 until 4).map(i =>
-        struct(lit(i).as("i"),
-          pmod(expr(s"h div ${math.pow(w, i).toLong}"), lit(w)).as("p"))): _*))
-        .as("rp"))
+      .select(col("tok"), col("cnt"), positions.as("rp"))
       .select(col("tok"), col("cnt"), col("rp.i").as("i"), col("rp.p").as("p"))
     probes.join(broadcast(counters), Seq("i", "p"))
       .groupBy("tok", "cnt")
@@ -426,31 +405,20 @@ object Sketches {
              & 9223372036854775807 AS BIGINT) AS h
            FROM lineitem),
          ex AS (SELECT count(*) AS exact_distinct FROM h),
-         regs AS (
-           SELECT h // 9007199254740992 AS bucket,
-             max(CASE WHEN h % 9007199254740992 = 0 THEN 54
-               ELSE 54 - length(bin(h % 9007199254740992)) END) AS reg
-           FROM h GROUP BY 1),
-         st AS (
-           SELECT 1024 - count(*) AS v_empty,
-             sum(CAST(CAST(1 AS BIGINT) << (54 - reg) AS HUGEINT)) AS s_ne
-           FROM regs),
+         regs AS (${Hll.regsSql("")}),
+         st AS (${Hll.stSql("")}),
          est AS (
            SELECT CAST(st.v_empty AS BIGINT) AS v_empty,
-             CAST(st.v_empty AS HUGEINT) * 18014398509481984 + st.s_ne
+             CAST(st.v_empty AS HUGEINT) * ${Hll.Pow54} + st.s_ne
                AS s_scaled,
              ex.exact_distinct,
-             ${HllAlphaM2Pow54}
-               / CAST(CAST(st.v_empty AS HUGEINT) * 18014398509481984
-                 + st.s_ne AS DOUBLE) AS raw_est
+             ${Hll.rawEstSql("st.v_empty", "st.s_ne")} AS raw_est
            FROM st CROSS JOIN ex),
          fin AS (
            SELECT v_empty, s_scaled, exact_distinct,
-             CAST(CASE WHEN raw_est <= 2560.0 AND v_empty > 0
-               THEN round(1024.0 * ln(1024.0 / v_empty))
-               ELSE round(raw_est) END AS BIGINT) AS hll_estimate
+             ${Hll.estimateSql("raw_est", "v_empty")} AS hll_estimate
            FROM est)
-         SELECT 1024 AS m, v_empty, CAST(s_scaled AS DOUBLE) AS s_scaled,
+         SELECT ${Hll.M} AS m, v_empty, CAST(s_scaled AS DOUBLE) AS s_scaled,
            exact_distinct, hll_estimate,
            round(100.0 * (hll_estimate - exact_distinct) / exact_distinct, 2)
              AS rel_err_pct
@@ -557,4 +525,83 @@ object Sketches {
            round(100.0 * (kmv_estimate - exact_distinct) / exact_distinct, 2)
              AS rel_err_pct
          FROM est""")
+}
+
+/** The ONE source of truth for the HyperLogLog math — register carving,
+  * exact-integer harmonic sum, estimator, and the DuckDB oracle
+  * fragments — shared by the batch [[Sketches.hll]] and the streaming
+  * per-window variant (`graft.streaming.StreamGate.streamHllSink`) so a
+  * parameter change cannot desync the two (each side's oracle is built
+  * from the same fragments, so wrong-vs-wrong agreement is impossible).
+  *
+  * Layout: p = 10 (M = 1024 registers) carved from the 63-bit md5
+  * parity hash as bucket = h div 2^53, w = h mod 2^53; rho(w) = leading
+  * zeros of the 53-bit field + 1 = 54 - bitlength(w) (bitlength via
+  * `length(bin(w))` — integer-exact in both engines, where floor(log2)
+  * would be one ulp from wrong at powers of two). The harmonic sum is
+  * kept as the EXACT integer S = sum 2^(54 - M_j); the only floating
+  * steps are one division and the small-range ln, both quantized. */
+private[graft] object Hll {
+  val M = 1024                      // 2^p, p = 10
+  val Pow53 = 9007199254740992L     // 2^53 (bucket/remainder carve)
+  val Pow54 = 18014398509481984L    // 2^54 (the S scale)
+  /** alpha_M * M^2 * 2^54 — computed once; `Double.toString`
+    * round-trips exactly, so the interpolated oracle literal is the
+    * identical double. */
+  val AlphaM2Pow54: Double =
+    0.7213 / (1.0 + 1.079 / M) * M * M * Pow54.toDouble
+
+  /** Register index: top 10 bits of the 63-bit hash (= h div 2^53). */
+  def bucket(h: Column): Column = shiftright(h, 53)
+
+  /** rho = leading zeros of the 53-bit remainder + 1 (= 54 - bitlen). */
+  def rho(h: Column): Column = {
+    val w = h.bitwiseAND(lit(Pow53 - 1))
+    when(w === 0, lit(54)).otherwise(lit(54) - length(bin(w)))
+  }
+
+  /** 2^(54 - reg) as exact decimal — the harmonic-sum term (sum these
+    * with `sum(expr(RegTermSql))` over a `reg` column). */
+  val RegTermSql =
+    "cast(shiftleft(cast(1 as bigint), 54 - reg) as decimal(20,0))"
+
+  /** Exact integer V * 2^54 + S_ne (decimal — fits 24 digits). */
+  def sScaled(vEmpty: Column, sNe: Column): Column =
+    (vEmpty.cast("decimal(20,0)") * lit(Pow54) + sNe).cast("decimal(24,0)")
+
+  /** The Flajolet estimator with small-range (linear counting)
+    * correction, from the exact integer state. */
+  def estimate(vEmpty: Column, sScaled: Column): Column = {
+    val raw = lit(AlphaM2Pow54) / sScaled.cast("double")
+    when(raw <= lit(2.5 * M) && vEmpty > 0,
+      round(lit(M.toDouble) * log(lit(M.toDouble) / vEmpty)))
+      .otherwise(round(raw)).cast("bigint")
+  }
+
+  // ---- DuckDB oracle fragments (grpPrefix e.g. "day, " or "") ----
+
+  /** regs CTE body over a CTE `h(<grp,> h)` — GROUP BY ALL groups by
+    * the prefix columns + bucket in either shape. */
+  def regsSql(grpPrefix: String): String =
+    s"""SELECT ${grpPrefix}h // $Pow53 AS bucket,
+         max(CASE WHEN h % $Pow53 = 0 THEN 54
+           ELSE 54 - length(bin(h % $Pow53)) END) AS reg
+       FROM h GROUP BY ALL"""
+
+  /** st CTE body over regs: (v_empty, s_ne) per group. */
+  def stSql(grpPrefix: String): String =
+    s"""SELECT ${grpPrefix}$M - count(*) AS v_empty,
+         sum(CAST(CAST(1 AS BIGINT) << (54 - reg) AS HUGEINT)) AS s_ne
+       FROM regs GROUP BY ALL"""
+
+  /** raw estimate expression from (v_empty, s_ne) SQL names. */
+  def rawEstSql(v: String, sNe: String): String =
+    s"""$AlphaM2Pow54
+       / CAST(CAST($v AS HUGEINT) * $Pow54 + $sNe AS DOUBLE)"""
+
+  /** final estimate with the small-range branch, as BIGINT. */
+  def estimateSql(raw: String, v: String): String =
+    s"""CAST(CASE WHEN $raw <= ${2.5 * M} AND $v > 0
+         THEN round($M.0 * ln($M.0 / $v))
+         ELSE round($raw) END AS BIGINT)"""
 }

@@ -173,11 +173,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"),
         md5(col("doc_id").cast("string")).as("hx"))
       .withColumn("h", graft.util.Md5Lower64.of("hx"))
-      // u in (0, 1]: (h+1)/2^63; key = ln(u)/w, maximized (E-S with the
-      // log transform — monotone in u^(1/w))
+      // u in (0, 1]: (h+1)/2^63 with the +1 in the DOUBLE domain — a
+      // bigint h+1 would overflow at h = 2^63-1 (Spark wraps silently,
+      // DuckDB errors: divergent). key = ln(u)/w, maximized (E-S with
+      // the log transform — monotone in u^(1/w))
       .withColumn("es_key", round(
-        log((col("h") + 1) / lit(9.223372036854775808e18)) / col("n_chars"),
-        9))
+        log((col("h").cast("double") + 1) / lit(9.223372036854775808e18))
+          / col("n_chars"), 9))
     // TakeOrdered top-k FIRST (per-partition heads, no global sort /
     // single-partition window over the corpus); the rank window then
     // runs on k rows only
@@ -317,8 +319,8 @@ object TextAnalysis {
     "text_sample_weighted" ->
       """WITH k AS (
            SELECT doc_id, n_chars,
-             round(ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
-                 & 9223372036854775807 AS BIGINT) + 1)
+             round(ln((CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                 & 9223372036854775807 AS BIGINT) AS DOUBLE) + 1)
                / 9223372036854775808.0) / n_chars, 9) AS es_key
            FROM documents),
          r AS (

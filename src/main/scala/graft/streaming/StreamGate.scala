@@ -191,10 +191,8 @@ object StreamGate {
       .withWatermark("ts", "1 second")
       .withColumn("hx", md5(col("user_id").cast("string")))
       .withColumn("h", graft.util.Md5Lower64.of("hx"))
-      .withColumn("bucket", expr("h div 9007199254740992"))
-      .withColumn("w", expr("h % 9007199254740992"))
-      .withColumn("rho", when(col("w") === 0, lit(54))
-        .otherwise(lit(54) - length(bin(col("w")))))
+      .withColumn("bucket", graft.operators.Hll.bucket(col("h")))
+      .withColumn("rho", graft.operators.Hll.rho(col("h")))
       .groupBy(window(col("ts"), "1 day").as("win"), col("bucket"))
       .agg(max("rho").as("reg"))
       .select(col("win.start").as("day"), col("bucket"), col("reg"))
@@ -211,25 +209,19 @@ object StreamGate {
       // defensive re-merge: append emits each finalized (day, bucket)
       // once, but replayed batch dirs must stay idempotent
       .groupBy("day", "bucket").agg(max("reg").as("reg"))
+    val Hll = graft.operators.Hll
     val state = sunk.groupBy("day")
       .agg(count(lit(1)).as("n_nonempty"),
-        sum(expr(
-          "cast(shiftleft(cast(1 as bigint), 54 - reg) as decimal(20,0))"))
-          .as("s_ne"))
-      .select(col("day"), (lit(1024) - col("n_nonempty")).cast("long")
+        sum(expr(Hll.RegTermSql)).as("s_ne"))
+      .select(col("day"), (lit(Hll.M) - col("n_nonempty")).cast("long")
         .as("v_empty"), col("s_ne"))
     val exact = Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count_distinct(col("user_id")).as("exact_distinct"))
     state.join(exact, "day")
-      .withColumn("raw_est",
-        lit(graft.operators.Sketches.HllAlphaM2Pow54)
-          / expr("cast(cast(v_empty as decimal(20,0)) * 18014398509481984" +
-            " + s_ne as decimal(24,0))").cast("double"))
       .withColumn("hll_estimate",
-        when(col("raw_est") <= lit(2560.0) && col("v_empty") > 0,
-          round(lit(1024.0) * log(lit(1024.0) / col("v_empty"))))
-          .otherwise(round(col("raw_est"))).cast("bigint"))
+        Hll.estimate(col("v_empty"),
+          Hll.sScaled(col("v_empty"), col("s_ne"))))
       .select(col("day"), col("v_empty"), col("exact_distinct"),
         col("hll_estimate"),
         round(lit(100.0) * (col("hll_estimate") - col("exact_distinct"))
@@ -245,22 +237,16 @@ object StreamGate {
   /** DuckDB replay of the per-day register pipeline ([[streamHllSink]])
     * straight from the raw events parquet — arrival-order-invariant
     * registers make the streamed and batch-replayed state identical. */
-  val oracles: Map[String, String] = Map(
-    "stream_hll_sink" ->
+  val oracles: Map[String, String] = {
+    val Hll = graft.operators.Hll
+    Map("stream_hll_sink" ->
       s"""WITH h AS (
            SELECT DISTINCT date_trunc('day', ts) AS day,
              CAST(md5_number_lower(CAST(user_id AS VARCHAR))
                & 9223372036854775807 AS BIGINT) AS h
            FROM events),
-         regs AS (
-           SELECT day, h // 9007199254740992 AS bucket,
-             max(CASE WHEN h % 9007199254740992 = 0 THEN 54
-               ELSE 54 - length(bin(h % 9007199254740992)) END) AS reg
-           FROM h GROUP BY 1, 2),
-         st AS (
-           SELECT day, 1024 - count(*) AS v_empty,
-             sum(CAST(CAST(1 AS BIGINT) << (54 - reg) AS HUGEINT)) AS s_ne
-           FROM regs GROUP BY 1),
+         regs AS (${Hll.regsSql("day, ")}),
+         st AS (${Hll.stSql("day, ")}),
          ex AS (
            SELECT date_trunc('day', ts) AS day,
              count(DISTINCT user_id) AS exact_distinct
@@ -268,18 +254,15 @@ object StreamGate {
          est AS (
            SELECT st.day, CAST(st.v_empty AS BIGINT) AS v_empty,
              ex.exact_distinct,
-             ${graft.operators.Sketches.HllAlphaM2Pow54}
-               / CAST(CAST(st.v_empty AS HUGEINT) * 18014398509481984
-                 + st.s_ne AS DOUBLE) AS raw_est
+             ${Hll.rawEstSql("st.v_empty", "st.s_ne")} AS raw_est
            FROM st JOIN ex ON st.day = ex.day),
          fin AS (
            SELECT day, v_empty, exact_distinct,
-             CAST(CASE WHEN raw_est <= 2560.0 AND v_empty > 0
-               THEN round(1024.0 * ln(1024.0 / v_empty))
-               ELSE round(raw_est) END AS BIGINT) AS hll_estimate
+             ${Hll.estimateSql("raw_est", "v_empty")} AS hll_estimate
            FROM est)
          SELECT day, v_empty, exact_distinct, hll_estimate,
            round(100.0 * (hll_estimate - exact_distinct) / exact_distinct, 2)
              AS rel_err_pct
          FROM fin ORDER BY day""")
+  }
 }

@@ -284,8 +284,14 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sampleMean = rows.map(_._3).sum.toDouble / rows.length
     assert(sampleMean > corpusMean,
       s"sample mean $sampleMean <= corpus mean $corpusMean")
-    // same draw on a different partitioning (determinism across layouts)
-    val again = TextAnalysis.sampleWeighted(spark, d).collect()
+    // same draw on a GENUINELY different layout: rewrite the corpus as
+    // 7 shuffled parquet parts and re-run — TakeOrdered must merge
+    // per-partition heads to the identical top-50 at any parallelism
+    val tmp = java.nio.file.Files.createTempDirectory("wsample").toFile
+    Tables.documents(spark, d).repartition(7, col("text"))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val again = TextAnalysis.sampleWeighted(spark, tmp.getPath).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(again.sameElements(rows))
   }
