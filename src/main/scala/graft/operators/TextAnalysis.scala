@@ -191,6 +191,51 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Distribution-drift monitor: PSI (population stability index) of
+    * each source's token-length distribution against the corpus
+    * baseline — the per-ingest data-quality check a training pipeline
+    * runs continuously (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    * drifted, the standard credit-scoring bands). 10 equal-width
+    * integer bins over the global range (the integer-binning trick of
+    * sketch_quantile_hist); add-half smoothing keeps empty bins finite
+    * and deterministic. Each (p_s - p_b) * ln(p_s / p_b) term is >= 0
+    * and quantized at 1e-9 before the 10-term sum (spec pins
+    * non-negativity). One scan + two bin-sized aggregates + a
+    * bins x sources join — nothing corpus-sized shuffles. */
+  def driftPsi(s: SparkSession, d: String): DataFrame = {
+    val nb = 10
+    val x = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("x"))
+      .persist()
+    val bounds = x.agg(min("x").as("mn"), max("x").as("mx"))
+    val binned = x.crossJoin(broadcast(bounds))
+      .select(col("source"), expr(s"((x - mn) * $nb) div (mx - mn + 1)").as("bin"))
+    val bins = s.range(nb).select(col("id").cast("long").as("bin"))
+    val base = binned.groupBy("bin").agg(count(lit(1)).as("cb"))
+      .join(bins, Seq("bin"), "right")
+      .select(col("bin"), coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(x.agg(count(lit(1)).as("nb_total"))))
+    val srcTotals = x.groupBy("source").agg(count(lit(1)).as("ns"))
+    val srcBins = binned.groupBy("source", "bin").agg(count(lit(1)).as("cs"))
+      .join(srcTotals.crossJoin(bins), Seq("source", "bin"), "right")
+      .select(col("source"), col("bin"), col("ns"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val terms = srcBins.join(base, "bin")
+      .withColumn("ps", (col("cs") + lit(0.5))
+        / (col("ns") + lit(0.5) * nb))
+      .withColumn("pb", (col("cb") + lit(0.5))
+        / (col("nb_total") + lit(0.5) * nb))
+      .withColumn("term",
+        round((col("ps") - col("pb")) * log(col("ps") / col("pb")), 9))
+    terms.groupBy("source")
+      .agg(max("ns").as("n_docs"), round(sum("term"), 6).as("psi"))
+      .select(col("source"), col("n_docs"), col("psi"),
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("drifted")).as("verdict"))
+      .orderBy("source")
+  }
+
   /** Unigram language-model surprisal per document: train token
     * probabilities on the corpus itself (one vocabulary-sized agg),
     * score each document by its average -ln p(token). Per-token logs
@@ -301,7 +346,8 @@ object TextAnalysis {
     "text_tfidf" -> (tfidf _),
     "text_length_quantiles" -> (lengthQuantiles _),
     "text_sample_stratified" -> (sampleStratified _),
-    "text_sample_weighted" -> (sampleWeighted _))
+    "text_sample_weighted" -> (sampleWeighted _),
+    "text_drift_psi" -> (driftPsi _))
 
   val oracles: Map[String, String] = Map(
     "text_inverted_index" ->
@@ -316,6 +362,44 @@ object TextAnalysis {
              AS postings_head
          FROM td GROUP BY term
          ORDER BY df DESC, term ASC LIMIT 50""",
+    "text_drift_psi" ->
+      """WITH x AS (
+           SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+           FROM documents),
+         b AS (SELECT min(x) AS mn, max(x) AS mx FROM x),
+         binned AS (
+           SELECT source, ((x - mn) * 10) // (mx - mn + 1) AS bin
+           FROM x CROSS JOIN b),
+         bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         base AS (
+           SELECT bins.bin, coalesce(bc.cb, 0) AS cb, nt.nb_total
+           FROM bins
+           LEFT JOIN (SELECT bin, count(*) AS cb FROM binned GROUP BY 1) bc
+             ON bins.bin = bc.bin
+           CROSS JOIN (SELECT count(*) AS nb_total FROM x) nt),
+         srcs AS (SELECT source, count(*) AS ns FROM x GROUP BY 1),
+         grid AS (SELECT s.source, s.ns, bins.bin
+                  FROM srcs s CROSS JOIN bins),
+         sb AS (
+           SELECT g.source, g.bin, g.ns, coalesce(sc.cs, 0) AS cs
+           FROM grid g
+           LEFT JOIN (SELECT source, bin, count(*) AS cs
+                      FROM binned GROUP BY 1, 2) sc
+             ON g.source = sc.source AND g.bin = sc.bin),
+         terms AS (
+           SELECT sb.source, sb.ns,
+             round(((sb.cs + 0.5) / (sb.ns + 0.5 * 10)
+                 - (base.cb + 0.5) / (base.nb_total + 0.5 * 10))
+               * ln(((sb.cs + 0.5) / (sb.ns + 0.5 * 10))
+                 / ((base.cb + 0.5) / (base.nb_total + 0.5 * 10))), 9)
+               AS term
+           FROM sb JOIN base ON sb.bin = base.bin)
+         SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+           round(sum(term), 6) AS psi,
+           CASE WHEN round(sum(term), 6) < 0.1 THEN 'stable'
+             WHEN round(sum(term), 6) < 0.25 THEN 'moderate'
+             ELSE 'drifted' END AS verdict
+         FROM terms GROUP BY source ORDER BY source""",
     "text_sample_weighted" ->
       """WITH k AS (
            SELECT doc_id, n_chars,

@@ -296,6 +296,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.sameElements(rows))
   }
 
+  test("psi drift: non-negative by theorem, bands consistent, full cover") {
+    val rows = TextAnalysis.driftPsi(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // every (p-q)*ln(p/q) term is >= 0, so PSI is >= 0
+    rows.foreach { case (src, n, psi, verdict) =>
+      assert(psi >= 0, s"$src psi $psi")
+      assert(n > 0)
+      val expected =
+        if (psi < 0.1) "stable" else if (psi < 0.25) "moderate" else "drifted"
+      assert(verdict == expected, s"$src psi $psi verdict $verdict")
+    }
+    // sources partition the corpus
+    val total = Tables.documents(spark, d).count()
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
