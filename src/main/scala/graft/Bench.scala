@@ -13,6 +13,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // keeps the old TIMESTAMP(NANOS) events encoding readable;
+      // Tables.events normalizes all three observed encodings
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // the driver-generated tables are single small parquet files; split
@@ -164,16 +166,24 @@ object Bench {
       if (errs.nonEmpty) s""","errors":${errs.mkString("{", ",", "}")}"""
       else ""
     val total = results.collect { case (_, t, e) if e.isEmpty => t }.sum
-    def line(round: Boolean): String =
-      s"""{"metric":"total","value":${if (round) r3(total) else total},""" +
-        s""""unit":"sec","queries":${queriesJson(round)}$errPart,"sf":"$sfDir"}"""
-    // Both channels: the bare stdout lines (outputStrategy := StdoutOutput in
-    // build.sbt keeps them prefix-free) and a fixed file the driver/judge can
-    // read regardless of how sbt mangles the console.
-    println(line(round = true))
+    // The FINAL stdout line must fit the driver's ~2000-char tail window
+    // (with sbt's trailing [success] banner) or BENCH "parsed" is null —
+    // this killed r1/r4/r5. So the stdout total line carries NO queries
+    // map (~400 bytes even with errors); per-query timings live in the
+    // per-query lines above (the last ~50 stay inside the window) and in
+    // full precision in target/bench.json.
+    val stdoutLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""n":${results.size}$errPart,"sf":"$sfDir"}"""
+    val fileLine =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":${queriesJson(round = false)}$errPart,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench.json"), line(round = false))
+      java.nio.file.Paths.get("target/bench.json"), fileLine)
+    // Bare stdout (outputStrategy := StdoutOutput in build.sbt keeps it
+    // prefix-free), printed LAST so it sits at the very end of the tail.
+    println(stdoutLine)
     spark.stop()
   }
 }

@@ -18,8 +18,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (Tables
-      // normalizes back to micros TimestampType)
+      // events.parquet has shipped as TIMESTAMP(NANOS), NTZ micros, and
+      // UTC micros across driver regenerations; nanosAsLong keeps the
+      // nanos encoding readable and Tables.events normalizes every
+      // encoding to TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // the driver-generated tables are single small parquet files; split
@@ -60,6 +62,23 @@ object Verify {
         (name, rows, null: String)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Still write a parquet: with no file the driver's compare skips
+        // the query entirely and the red row vanishes from CORRECTNESS
+        // (r5 recorded 84 rows for an 87-query gate). An empty frame with
+        // the intended schema — or a sentinel schema when even analysis
+        // failed — forces a recorded rows/schema mismatch instead.
+        try {
+          val schema =
+            try fn(spark, sfDir).schema
+            catch { case _: Throwable =>
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(
+                  "graft_query_failed", org.apache.spark.sql.types.StringType)))
+            }
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
         (name, -1L, s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")

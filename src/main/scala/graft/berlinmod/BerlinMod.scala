@@ -32,11 +32,23 @@ object BerlinMod {
     * ~100x more per key at 10x fleet in the same city area. [[load]]
     * computes the size that keeps EXPECTED segments per key near
     * [[CellTargetPerKey]] — cell = sqrt(target * buckets * area / segs) —
-    * clamped to [[CellMin]] (steps are <= ~100 m, so finer cells only
-    * inflate the explode without shrinking per-key work) and
-    * [[CellMax]] (coarser stops discriminating in a ~1 km^2 extent). */
+    * clamped to [[CellMin]] and [[CellMax]] (coarser stops discriminating
+    * in a ~1 km^2 extent).
+    *
+    * [[CellMin]] was 125 m through r5 because the explode covered the
+    * whole padded segment BBOX: for ~100 m diagonal steps, cells per
+    * segment grow (step/cell)^2, so cells below the step length inflated
+    * the explode without shrinking per-key pair work — and at 100x fleet
+    * density the 125 m clamp was binding and q6's pair work resumed
+    * growing ~density^2 (r5 verdict's one weak flag). The SegTime view
+    * now keeps only CAPSULE cells — bbox cells whose pad-expanded
+    * rectangle actually intersects the segment (exact line-straddle
+    * arithmetic, see the WHERE clause) — so cells per segment grow
+    * ~(step/cell) and shrinking the cell below the step length still
+    * divides per-key density. That makes a 25 m floor productive: pad
+    * only requires d/2 + eps ~ 5 m for the midpoint-cover argument. */
   private val CellTargetPerKey = 24.0
-  private val CellMin = 125.0
+  private val CellMin = 25.0
   private val CellMax = 500.0
   private val CellPad = "5.000001D"
 
@@ -361,20 +373,53 @@ object BerlinMod {
         math.max(st.getLong(4), 1L))
       math.min(CellMax, math.max(CellMin, raw))
     }
+    // Capsule filter on the exploded bbox cells: keep (cx, cy) only when
+    // the segment intersects the cell's pad-expanded rectangle. The
+    // separating-axis test for a segment vs an axis-aligned box needs the
+    // box axes (satisfied by construction — the explode ranges ARE the
+    // pad-expanded bbox overlap) plus the segment's normal: the box is
+    // hit iff its four corners do not lie strictly on one side of the
+    // segment's line, i.e. min(corner cross products) <= 0 <= max.
+    // Exactness is unchanged: for any pair within d the midpoint m is
+    // within d/2 < pad of BOTH segments (the load scaladoc argument), so
+    // each segment passes within pad of m's cell and the expanded-rect
+    // test keeps it on both sides. For ~100 m diagonal steps this prunes
+    // the bbox-corner cells the segment never approaches — kept cells
+    // per segment grow ~(step/cell) instead of (step/cell)^2, which is
+    // what makes the 25 m [[CellMin]] floor pay at 100x density.
+    // Float safety: the straddle margin for a genuinely-within-pad cell
+    // is >= the 1e-6 m pad slack ~ |seg|*1e-6 in cross-product units,
+    // ~6 orders above double ulp at these coordinate scales.
     spark.sql(
-      s"""SELECT TripId, VehicleId,
-           array(x1, y1, cast(tl AS double), x2, y2, cast(tu AS double)) AS seg,
+      s"""SELECT TripId, VehicleId, seg,
            sxmin, sxmax, symin, symax, tl, tu, bucket, cx, cy
-         FROM Segs
-         LATERAL VIEW explode(sequence(
-           cast(floor(tl / 3600000000) AS bigint),
-           cast(floor(tu / 3600000000) AS bigint))) bk AS bucket
-         LATERAL VIEW explode(sequence(
-           cast(floor((sxmin - $CellPad) / ${cellSize}D) AS int),
-           cast(floor((sxmax + $CellPad) / ${cellSize}D) AS int))) cxs AS cx
-         LATERAL VIEW explode(sequence(
-           cast(floor((symin - $CellPad) / ${cellSize}D) AS int),
-           cast(floor((symax + $CellPad) / ${cellSize}D) AS int))) cys AS cy""")
+         FROM (
+           SELECT TripId, VehicleId,
+             array(x1, y1, cast(tl AS double), x2, y2, cast(tu AS double)) AS seg,
+             x2 - x1 AS dxs, y2 - y1 AS dys, x1, y1,
+             cx * ${cellSize}D - $CellPad AS gx1,
+             (cx + 1) * ${cellSize}D + $CellPad AS gx2,
+             cy * ${cellSize}D - $CellPad AS gy1,
+             (cy + 1) * ${cellSize}D + $CellPad AS gy2,
+             sxmin, sxmax, symin, symax, tl, tu, bucket, cx, cy
+           FROM Segs
+           LATERAL VIEW explode(sequence(
+             cast(floor(tl / 3600000000) AS bigint),
+             cast(floor(tu / 3600000000) AS bigint))) bk AS bucket
+           LATERAL VIEW explode(sequence(
+             cast(floor((sxmin - $CellPad) / ${cellSize}D) AS int),
+             cast(floor((sxmax + $CellPad) / ${cellSize}D) AS int))) cxs AS cx
+           LATERAL VIEW explode(sequence(
+             cast(floor((symin - $CellPad) / ${cellSize}D) AS int),
+             cast(floor((symax + $CellPad) / ${cellSize}D) AS int))) cys AS cy)
+         WHERE least(dxs * (gy1 - y1) - dys * (gx1 - x1),
+                     dxs * (gy1 - y1) - dys * (gx2 - x1),
+                     dxs * (gy2 - y1) - dys * (gx1 - x1),
+                     dxs * (gy2 - y1) - dys * (gx2 - x1)) <= 0D
+           AND greatest(dxs * (gy1 - y1) - dys * (gx1 - x1),
+                        dxs * (gy1 - y1) - dys * (gx2 - x1),
+                        dxs * (gy2 - y1) - dys * (gx1 - x1),
+                        dxs * (gy2 - y1) - dys * (gx2 - x1)) >= 0D""")
       .cache().createOrReplaceTempView("SegTime")
     // Hour-only variant (no cells, uncached, lazy): kept for the
     // old-vs-new diff test in BerlinModSpec — proves the cell key drops

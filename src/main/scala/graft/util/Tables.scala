@@ -1,8 +1,8 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated test data.
   *
@@ -21,16 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench
-    * session builders). Normalize back to TimestampType (micros,
-    * truncating) so downstream code sees one type either way.
+  /** `events.ts` has shipped in three parquet encodings across driver data
+    * regenerations: TIMESTAMP(NANOS) (reads as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench
+    * session builders), micros with `isAdjustedToUTC=false` (reads as
+    * TIMESTAMP_NTZ in Spark 4), and plain UTC micros (TimestampType).
+    * Normalize ALL of them to TimestampType so downstream `unix_micros`
+    * consumers see one type. The NTZ→LTZ cast is exact under the pinned
+    * UTC session zone, and parity-safe: DuckDB reads the same naive
+    * micros for the oracle.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

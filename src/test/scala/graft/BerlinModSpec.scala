@@ -137,12 +137,15 @@ class BerlinModSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("cell key is exact at ANY cell size (diff at 125m and 500m)") {
+  test("cell key is exact at ANY cell size (diff at 25m, 125m, 500m)") {
     // density-adaptive sizing picks whatever size keeps per-key pair
-    // work bounded; the d/2-padded-midpoint argument must make every
-    // size give identical results — pin the two clamp extremes
+    // work bounded; the d/2-padded-midpoint argument (and since r6 the
+    // capsule straddle filter) must make every size give identical
+    // results — pin both clamp extremes plus the old 125 m floor, where
+    // cells sit well below the ~100 m step length so the capsule filter
+    // actually prunes bbox-corner cells
     val baseline = scala.collection.mutable.Map.empty[String, Seq[String]]
-    for (size <- Seq(125.0, 500.0)) {
+    for (size <- Seq(25.0, 125.0, 500.0)) {
       // bench-density generator params (trips/points per vehicle) at a
       // small fleet so q6/q10 actually produce proximity pairs to diff
       BerlinMod.load(spark, nVehicles = 40, seed = 7L,
