@@ -233,6 +233,100 @@ object Sketches {
           / col("exact_distinct"), 2).as("rel_err_pct"))
   }
 
+  /** Cross-source overlap estimation from KMV synopses (Beyer et al.
+    * 2007, "On synopses for distinct-value estimation under multiset
+    * operations"): per source, keep the K smallest distinct 3-gram
+    * shingle hashes; for each source pair the K smallest of the MERGED
+    * synopses
+    * are a valid synopsis of the union (k-min(A ∪ B) ⊆ k-min(A) ∪
+    * k-min(B)), so |A ∪ B| gets the standard KMV estimate, and the
+    * ratio estimator |A ∩ B| ~ (K_both / K) * |A ∪ B| falls out of the
+    * same K rows (h in the union's k-min is in k-min(A) iff h ∈ A —
+    * fewer than K values of A ⊆ A∪B lie below it). This is the
+    * cross-crawl planning question ("how much would deduping source X
+    * against Y remove?") answered from per-source sketch state that
+    * merges associatively — no cross-source data shuffle at 100 TB,
+    * only K-row synopses meet.
+    *
+    * Exact pair counts ride along to report realized error (the [[kmv]]
+    * pattern — dropped at scale). Integer bound prefilter + md5 parity
+    * hash + round-quantized division: engine-identical, exact oracle. */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    // element = word 3-gram shingle (the dedup content unit; the plain
+    // token vocabulary is ~31 words here — degenerate for a K=256
+    // sketch, while shingles are ~1.1-1.5k distinct per source)
+    val hashed = Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""")).as("g"))
+      .withColumn("hx", md5(col("g")))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .select("source", "h").distinct()
+      .persist()
+    val exact = hashed.groupBy("source").agg(count(lit(1)).as("n"))
+    // per-source count-derived prefilter below the rank window (the
+    // kmvGrouped tail-bound argument, verbatim)
+    val thr = exact.select(col("source"),
+      when(col("n") <= K * 16L, lit(Long.MaxValue))
+        .otherwise(expr(s"(9223372036854775807 div n) * ${K * 16L}"))
+        .as("tg"))
+    val w = Window.partitionBy("source").orderBy("h")
+    val syn = hashed
+      .join(broadcast(thr), "source")
+      .filter(col("h") <= col("tg"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select("source", "h")
+      .persist()
+    // source pairs (a < b), each with the K smallest of the merged
+    // synopses; nboth = values present in BOTH sources among those K
+    val srcs = syn.select("source").distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val merged = pairs.join(syn,
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy("src_a", "src_b", "h")
+      .agg(count(lit(1)).as("n_src"))
+    val wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    val unionSyn = merged
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= K)
+      .groupBy("src_a", "src_b")
+      .agg(max("h").as("kth_hash"), count(lit(1)).as("k_used"),
+        sum(when(col("n_src") === 2, 1L).otherwise(0L)).as("n_both"))
+    // exact union/intersection per pair: one hash-key self-meet on h —
+    // error reporting only, dropped at 100 TB
+    val exInter = hashed.select(col("source").as("src_a"), col("h"))
+      .join(hashed.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
+    val exPair = pairs
+      .join(exact.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(exact.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .join(exInter, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", col("na") + col("nb") - col("exact_inter"))
+    exPair.join(unionSyn, Seq("src_a", "src_b"))
+      .withColumn("union_est",
+        when(col("exact_union") <= K, col("exact_union"))
+          .otherwise(round(lit((K - 1).toDouble) * lit(9.223372036854775808e18)
+            / col("kth_hash").cast("double")).cast("bigint")))
+      .withColumn("inter_est",
+        when(col("exact_union") <= K, col("exact_inter"))
+          .otherwise(expr(s"(n_both * union_est) div $K")))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_both"),
+        col("exact_union"), col("union_est"),
+        col("exact_inter"), col("inter_est"),
+        round(col("n_both").cast("double") / lit(K.toDouble), 4)
+          .as("jaccard_est"),
+        round(col("exact_inter").cast("double") / col("exact_union"), 4)
+          .as("jaccard_exact"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) over document token
     * frequencies: d = 4 rows x w = 1024 counters, the 4 positions carved
     * as disjoint 10-bit fields of the one md5 parity hash. Counters
@@ -333,6 +427,7 @@ object Sketches {
     "sketch_quantile_hist" -> (quantileHist _),
     "sketch_kmv" -> (kmv _),
     "sketch_kmv_grouped" -> (kmvGrouped _),
+    "sketch_kmv_overlap" -> (kmvOverlap _),
     "sketch_hll" -> (hll _),
     "sketch_countmin" -> (countMin _),
     "sketch_bloom" -> (bloom _))
@@ -500,6 +595,77 @@ object Sketches {
            CAST(sum(CASE WHEN member AND NOT maybe THEN 1 ELSE 0 END)
              AS BIGINT) AS n_missed
          FROM truth CROSS JOIN bits GROUP BY 1, 2""",
+    "sketch_kmv_overlap" ->
+      """WITH t AS (
+           SELECT source, string_split(text, ' ') AS toks
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         u AS (
+           SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i
+           FROM t),
+         h AS (
+           SELECT DISTINCT source,
+             CAST(md5_number_lower(
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               & 9223372036854775807 AS BIGINT) AS h
+           FROM u),
+         ex AS (SELECT source, count(*) AS n FROM h GROUP BY 1),
+         thr AS (
+           SELECT source, CASE WHEN n <= 4096 THEN 9223372036854775807
+             ELSE (9223372036854775807 // n) * 4096 END AS tg
+           FROM ex),
+         syn AS (
+           SELECT source, h FROM (
+             SELECT h.source, h.h,
+               row_number() OVER (PARTITION BY h.source ORDER BY h.h) AS rk
+             FROM h JOIN thr ON h.source = thr.source WHERE h.h <= thr.tg)
+           WHERE rk <= 256),
+         srcs AS (SELECT DISTINCT source FROM syn),
+         pairs AS (
+           SELECT a.source AS src_a, b.source AS src_b
+           FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source),
+         merged AS (
+           SELECT p.src_a, p.src_b, s.h, count(*) AS n_src
+           FROM pairs p
+           JOIN syn s ON s.source = p.src_a OR s.source = p.src_b
+           GROUP BY 1, 2, 3),
+         usyn AS (
+           SELECT src_a, src_b, max(h) AS kth_hash,
+             count(*) AS k_used,
+             CAST(sum(CASE WHEN n_src = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY src_a, src_b ORDER BY h) AS rk
+                 FROM merged)
+           WHERE rk <= 256 GROUP BY 1, 2),
+         exi AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS exact_inter
+           FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2),
+         exp2 AS (
+           SELECT p.src_a, p.src_b,
+             coalesce(exi.exact_inter, 0) AS exact_inter,
+             ea.n + eb.n - coalesce(exi.exact_inter, 0) AS exact_union
+           FROM pairs p
+           JOIN ex ea ON ea.source = p.src_a
+           JOIN ex eb ON eb.source = p.src_b
+           LEFT JOIN exi ON exi.src_a = p.src_a AND exi.src_b = p.src_b),
+         fin AS (
+           SELECT e.src_a, e.src_b, u.k_used, u.n_both, e.exact_union,
+             CASE WHEN e.exact_union <= 256 THEN e.exact_union
+               ELSE CAST(round(255.0 * 9223372036854775808.0
+                 / CAST(u.kth_hash AS DOUBLE)) AS BIGINT) END AS union_est,
+             e.exact_inter
+           FROM exp2 e
+           JOIN usyn u ON u.src_a = e.src_a AND u.src_b = e.src_b)
+         SELECT src_a, src_b, k_used, n_both, exact_union, union_est,
+           exact_inter,
+           CASE WHEN exact_union <= 256 THEN exact_inter
+             ELSE (n_both * union_est) // 256 END AS inter_est,
+           round(CAST(n_both AS DOUBLE) / 256.0, 4) AS jaccard_est,
+           round(CAST(exact_inter AS DOUBLE) / exact_union, 4)
+             AS jaccard_exact
+         FROM fin ORDER BY src_a, src_b""",
     "sketch_kmv" ->
       """WITH r AS (
            SELECT CAST(md5_number_lower(

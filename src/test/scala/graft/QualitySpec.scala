@@ -260,4 +260,39 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = hashedTail.queryExecution.executedPlan
     assert(collectPlan(plan).exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
   }
+
+  test("KMV overlap: union/intersection estimates within sampling error") {
+    val rows = Sketches.kmvOverlap(spark, d).collect()
+    // every unordered source pair exactly once
+    val nSrc = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.length
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    var exercised = 0
+    rows.foreach { r =>
+      val (kUsed, nBoth) = (r.getLong(2), r.getLong(3))
+      val (exU, estU) = (r.getLong(4), r.getLong(5))
+      val (exI, estI) = (r.getLong(6), r.getLong(7))
+      val (jEst, jEx) = (r.getDouble(8), r.getDouble(9))
+      assert(nBoth <= kUsed && kUsed <= 256)
+      if (exU > 256) {
+        exercised += 1
+        // union: plain KMV envelope, ~6.3% stderr at k=256; 4 sigma
+        assert(math.abs(estU - exU).toDouble / exU < 0.25,
+          s"${r.getString(0)}x${r.getString(1)} union $estU vs $exU")
+        // Jaccard ratio estimator: K_both ~ Hypergeometric(K, J);
+        // stderr sqrt(J(1-J)/K) <= 0.032 at K=256 — 4 sigma + slack
+        assert(math.abs(jEst - jEx) < 4 * 0.032 + 0.02,
+          s"jaccard $jEst vs $jEx")
+        // intersection combines both estimators; generous 5-sigma-ish
+        assert(math.abs(estI - exI) <=
+          0.25 * exU + (4 * 0.032 + 0.02) * exU,
+          s"intersection $estI vs $exI (union $exU)")
+      } else assert(estU == exU && estI == exI)
+    }
+    assert(exercised > 0, "fixture never exercised the estimator path")
+    // determinism: same result row-for-row on a second run
+    val again = Sketches.kmvOverlap(spark, d).collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
 }
