@@ -587,7 +587,58 @@ object Similarity {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** 16 deterministic ±1 JL sign rows (splitmix64 stream, distinct
+    * seed from [[planes]]). Database-friendly random projections
+    * (Achlioptas 2003): ±1 entries preserve the Johnson-Lindenstrauss
+    * distance guarantee while the projection is pure add/subtract. */
+  private val jlSigns: Array[Array[Double]] = Array.tabulate(16) { j =>
+    var x = 0xBF58476D1CE4E5B9L * (j + 3)
+    Array.fill(64) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      if ((((x * 0x2545F4914F6CDD1DL) >>> 11) & 1L) == 0L) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    * distance-preservation report. Projection p_j = (1/sqrt(16)) *
+    * <v, sign_j> runs as 16 native vec_dot kernels against broadcast
+    * literal sign rows — one corpus scan, zero shuffle, whole-stage
+    * codegen: exactly how a 100 TB corpus halves its ANN cost before
+    * bucketing. The report pairs the first 64 vectors (deterministic,
+    * k-bounded at any SF) and emits original vs projected Euclidean
+    * distance and their ratio — E[ratio^2] = 1 with std ~ sqrt(2/k) by
+    * the JL lemma (the spec pins the envelope). Distances via the
+    * three-dot-product identity on both engines; projected coords
+    * quantized at 1e-6 before distancing -> exact oracle. */
+  def embRandomProjection(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val proj = emb.select(col("vec_id"), col("v"),
+      array((0 until 16).map(j =>
+        round(dot(col("v"), typedLit(jlSigns(j).toSeq)) * 0.25, 6)): _*)
+        .as("p"))
+    val sample = proj.orderBy("vec_id").limit(64)
+    val a = sample.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("p").as("pa"))
+    val b = sample.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("p").as("pb"))
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .withColumn("d2o", greatest(lit(0.0),
+        dot(col("va"), col("va")) + dot(col("vb"), col("vb"))
+          - lit(2.0) * dot(col("va"), col("vb"))))
+      .withColumn("d2p", greatest(lit(0.0),
+        dot(col("pa"), col("pa")) + dot(col("pb"), col("pb"))
+          - lit(2.0) * dot(col("pa"), col("pb"))))
+      .select(col("id_a"), col("id_b"),
+        round(sqrt(col("d2o")), 5).as("d_orig"),
+        round(sqrt(col("d2p")), 5).as("d_proj"),
+        round(sqrt(col("d2p")) / sqrt(col("d2o")), 4).as("ratio"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_random_projection" -> (embRandomProjection _),
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
@@ -806,6 +857,30 @@ object Similarity {
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "emb_random_projection" -> {
+      val projList = (0 until 16)
+        .map(j => s"round(list_dot_product(v, ${jlSigns(j)
+          .mkString("[", ",", "]")}) * 0.25, 6)")
+        .mkString("[", ", ", "]")
+      s"""WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         samp AS (
+           SELECT vec_id, v, $projList AS p
+           FROM emb ORDER BY vec_id LIMIT 64),
+         pr AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             greatest(0.0, list_dot_product(a.v, a.v)
+               + list_dot_product(b.v, b.v)
+               - 2.0 * list_dot_product(a.v, b.v)) AS d2o,
+             greatest(0.0, list_dot_product(a.p, a.p)
+               + list_dot_product(b.p, b.p)
+               - 2.0 * list_dot_product(a.p, b.p)) AS d2p
+           FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(sqrt(d2o), 5) AS d_orig,
+           round(sqrt(d2p), 5) AS d_proj,
+           round(sqrt(d2p) / sqrt(d2o), 4) AS ratio
+         FROM pr ORDER BY id_a, id_b"""
+    },
     "emb_lang_centroids" ->
       """WITH sel AS (
            SELECT d.lang,

@@ -335,7 +335,63 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Training-mixture budget allocator (UniMax, Chung et al. 2023):
+    * given per-source token counts, a total training budget T = 3x the
+    * corpus, temperature-scaled target weights w_s ∝ n_s^0.5, and an
+    * epoch cap C = 3 (no source repeats more than 3 times), compute the
+    * exact waterfilling allocation: sources whose fair share exceeds
+    * C·n_s are pinned at the cap and their surplus re-flows to the
+    * rest. Closed form instead of UniMax's iterative loop: with
+    * alpha < 1 the fair-share-to-cap ratio T'·sqrt(n)/ (Σ'sqrt) / (C·n)
+    * is DECREASING in n, so cap-binding sources form a prefix of the
+    * n-ascending order — one window pass over cumulative sums finds the
+    * boundary (prefix r capped iff the r-th source's share of the
+    * post-prefix budget still exceeds its cap). One tiny aggregate per
+    * source + one window over the (small by nature) source dimension —
+    * the corpus-scale work is only the token count. All comparisons on
+    * identically-computed doubles; outputs quantized -> exact oracle. */
+  def mixBudget(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n"))
+    val wOrd = Window.orderBy(col("n").asc, col("source").asc)
+    val enriched = counts
+      .withColumn("sq", sqrt(col("n").cast("double")))
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+      .withColumn("cum_n_before",
+        coalesce(sum("n").over(wOrd.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("sq_from",
+        sum("sq").over(wOrd.rowsBetween(0, Window.unboundedFollowing)))
+      // budget and cap
+      .withColumn("t", col("total").cast("double") * 2.5)
+      // capped iff, with every smaller source already at cap, this
+      // source's proportional share STILL exceeds its own cap; the
+      // share-minus-cap difference is quantized at 1e-6 tokens before
+      // the comparison (the PSI precedent) so window-accumulation-order
+      // float dust cannot flip a near-tie differently per engine
+      .withColumn("capped",
+        round((col("t") - lit(2.52) * col("cum_n_before")) * col("sq")
+          / col("sq_from") - lit(2.52) * col("n"), 6) > 0)
+    val caps = enriched.agg(
+      sum(when(col("capped"), col("n")).otherwise(lit(0L))).as("cap_n"),
+      sum(when(!col("capped"), col("sq")).otherwise(lit(0.0))).as("free_sq"))
+    enriched.crossJoin(broadcast(caps))
+      .withColumn("alloc",
+        when(col("capped"), lit(2.52) * col("n"))
+          .otherwise((col("t") - lit(2.52) * col("cap_n")) * col("sq")
+            / col("free_sq")))
+      .select(col("source"), col("n").as("n_tokens"),
+        round(col("sq") / sum("sq").over(Window.partitionBy()), 6)
+          .as("target_weight"),
+        col("capped"),
+        round(col("alloc")).cast("bigint").as("alloc_tokens"),
+        round(col("alloc") / col("n"), 4).as("epochs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mix_budget" -> (mixBudget _),
     "text_inverted_index" -> (invertedIndex _),
     "text_ngram_lm" -> (ngramLm _),
     "text_perplexity_buckets" -> (perplexityBuckets _),
@@ -350,6 +406,42 @@ object TextAnalysis {
     "text_drift_psi" -> (driftPsi _))
 
   val oracles: Map[String, String] = Map(
+    "text_mix_budget" ->
+      """WITH c AS (
+           SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+         e AS (
+           SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS sq,
+             sum(n) OVER () AS total,
+             coalesce(sum(n) OVER (ORDER BY n ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_n_before,
+             sum(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY n ASC, source ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS sq_from,
+             sum(sqrt(CAST(n AS DOUBLE))) OVER () AS sq_all
+           FROM c),
+         e2 AS (
+           SELECT *, CAST(total AS DOUBLE) * 2.5 AS t,
+             round((CAST(total AS DOUBLE) * 2.5 - 2.52 * cum_n_before)
+               * sq / sq_from - 2.52 * n, 6) > 0 AS capped
+           FROM e),
+         caps AS (
+           SELECT CAST(sum(CASE WHEN capped THEN n ELSE 0 END) AS BIGINT)
+               AS cap_n,
+             sum(CASE WHEN capped THEN 0.0 ELSE sq END) AS free_sq
+           FROM e2),
+         fin AS (
+           SELECT e2.*, caps.cap_n, caps.free_sq,
+             CASE WHEN capped THEN 2.52 * n
+               ELSE (t - 2.52 * cap_n) * sq / free_sq END AS alloc
+           FROM e2 CROSS JOIN caps)
+         SELECT source, n AS n_tokens,
+           round(sq / sq_all, 6) AS target_weight, capped,
+           CAST(round(alloc) AS BIGINT) AS alloc_tokens,
+           round(alloc / n, 4) AS epochs
+         FROM fin ORDER BY source""",
     "text_inverted_index" ->
       """WITH td AS (
            SELECT tok AS term, doc_id, count(*) AS tf

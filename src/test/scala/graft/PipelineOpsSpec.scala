@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** Behavioral properties of the round-4 pipeline operators: dup-graph
@@ -311,6 +311,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sources partition the corpus
     val total = Tables.documents(spark, d).count()
     assert(rows.map(_._2).sum == total)
+  }
+
+  test("mix budget: waterfill caps a prefix, conserves the budget") {
+    val rows = TextAnalysis.mixBudget(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getLong(4), r.getDouble(5)))
+    val (capped, free) = rows.partition(_._4)
+    assert(capped.nonEmpty && free.nonEmpty,
+      "fixture must exercise both waterfill branches")
+    // capped sources sit exactly at the epoch cap; uncapped strictly under
+    capped.foreach { r => assert(r._6 == 2.52, r.toString) }
+    free.foreach { r => assert(r._6 < 2.52, r.toString) }
+    // cap-binding sources form a prefix of the n-ascending order
+    assert(capped.map(_._2).max <= free.map(_._2).min)
+    // budget conservation: sum of allocations = 2.5x corpus (rounding slack)
+    val total = rows.map(_._2).sum
+    assert(math.abs(rows.map(_._5).sum - 2.5 * total) <= rows.length,
+      s"allocated ${rows.map(_._5).sum} vs budget ${2.5 * total}")
+    // target weights normalize
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // uncapped epochs decrease with size (alpha < 1 favors small sources)
+    free.sortBy(_._2).map(_._6).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b)
+      case _ => ()
+    }
+  }
+
+  test("random projection: JL distance-preservation envelope") {
+    val rows = Similarity.embRandomProjection(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 64 * 63 / 2)
+    val r2 = rows.map(r => r._5 * r._5)
+    // E[ratio^2] = 1; mean over 2016 pairs concentrates hard
+    val mean = r2.sum / r2.length
+    assert(mean > 0.7 && mean < 1.3, s"mean ratio^2 $mean")
+    // individual ratios: std ~ sqrt(2/16) = 0.35 -> generous hard bounds
+    rows.foreach { r =>
+      assert(r._5 > 0.2 && r._5 < 2.5, s"pair ${r._1},${r._2} ratio ${r._5}")
+    }
+    // deterministic across runs (literal sign matrix, fixed sample)
+    val again = Similarity.embRandomProjection(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.sameElements(again))
   }
 
   test("multimodal codecs survive empty documents (pad convention)") {
