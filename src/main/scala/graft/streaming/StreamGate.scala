@@ -229,17 +229,130 @@ object StreamGate {
       .orderBy("day")
   }
 
+  /** `stream_countmin_sink` gate entry: per-day COUNT-MIN counters over
+    * user activity accumulating in a watermarked windowed aggregate —
+    * the same 4 x 1024 position carve as the batch `sketch_countmin` —
+    * finalized through the idempotent sink; the probe estimates each
+    * day's top-5 users' event counts against exact. The streaming
+    * heavy-hitter layout a 100 TB pipeline runs continuously
+    * ("who dominates today's traffic?"): counter state is bounded
+    * (<= 4096 rows per open window), merges by +, and the sunk table is
+    * replayable. Counters are sums — arrival-order-invariant — so the
+    * sunk table equals a batch replay and the DuckDB oracle recomputes
+    * the whole pipeline from the raw parquet (all-integer: no float
+    * quantization anywhere). Sentinel/watermark determinism argument is
+    * [[streamHllSink]]'s verbatim. */
+  def streamCountMinSink(s: SparkSession, d: String): DataFrame = {
+    val w = 1024
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_cm_").toString
+    val staging = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val sentinelTs = maxTs + 3L * 86400L * 1000000L
+    ev.unionByName(s.range(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(sentinelTs)).as("ts")))
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(staging)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+      .parquet(staging)
+    // one definition of the (i, p) carve for BOTH the streaming build
+    // and the batch probe below (the sketch_countmin drift argument)
+    def positions = explode(array((0 until 4).map(i =>
+      struct(lit(i).as("i"),
+        pmod(expr(s"h div ${math.pow(w, i).toLong}"), lit(w)).as("p"))): _*))
+    val counters = stream
+      .withWatermark("ts", "1 second")
+      .withColumn("hx", md5(col("user_id").cast("string")))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .select(col("ts"), positions.as("rp"))
+      .groupBy(window(col("ts"), "1 day").as("win"),
+        col("rp.i").as("i"), col("rp.p").as("p"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("win.start").as("day"), col("i"), col("p"), col("c"))
+    StreamSink.parquetSink(counters, out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val sunk = s.read
+      .schema(StructType(Seq(
+        StructField("day", TimestampType),
+        StructField("i", org.apache.spark.sql.types.IntegerType),
+        StructField("p", LongType), StructField("c", LongType))))
+      .parquet(s"$out/batch=*")
+      // each finalized (day, i, p) emits once; max keeps replayed batch
+      // dirs idempotent (the streamHllSink convention)
+      .groupBy("day", "i", "p").agg(max("c").as("c"))
+    val exact = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy("day")
+      .orderBy(col("exact_cnt").desc, col("user_id").asc)
+    val probes = exact
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .withColumn("hx", md5(col("user_id").cast("string")))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .select(col("day"), col("user_id"), col("exact_cnt"), positions.as("rp"))
+      .select(col("day"), col("user_id"), col("exact_cnt"),
+        col("rp.i").as("i"), col("rp.p").as("p"))
+    probes.join(sunk, Seq("day", "i", "p"))
+      .groupBy("day", "user_id", "exact_cnt")
+      .agg(min("c").as("cm_estimate"))
+      .select(col("day"), col("user_id"), col("exact_cnt"),
+        col("cm_estimate"),
+        (col("cm_estimate") - col("exact_cnt")).as("overcount"))
+      .orderBy("day", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("stream_neardup_sink" -> (streamNearDupSink _),
         "stream_sessions_sink" -> (streamSessionsSink _),
-        "stream_hll_sink" -> (streamHllSink _))
+        "stream_hll_sink" -> (streamHllSink _),
+        "stream_countmin_sink" -> (streamCountMinSink _))
 
   /** DuckDB replay of the per-day register pipeline ([[streamHllSink]])
     * straight from the raw events parquet — arrival-order-invariant
     * registers make the streamed and batch-replayed state identical. */
   val oracles: Map[String, String] = {
     val Hll = graft.operators.Hll
-    Map("stream_hll_sink" ->
+    Map("stream_countmin_sink" ->
+      """WITH e AS (
+           SELECT date_trunc('day', ts) AS day, user_id FROM events),
+         h AS (
+           SELECT day, user_id,
+             CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) AS h
+           FROM e),
+         rp(i, dv) AS (VALUES (0, 1), (1, 1024), (2, 1048576),
+           (3, 1073741824)),
+         counters AS (
+           SELECT day, rp.i, (h.h // rp.dv) % 1024 AS p,
+             count(*) AS c
+           FROM h CROSS JOIN rp GROUP BY 1, 2, 3),
+         ex AS (
+           SELECT day, user_id, count(*) AS exact_cnt FROM e GROUP BY 1, 2),
+         top AS (
+           SELECT day, user_id, exact_cnt FROM (
+             SELECT day, user_id, exact_cnt,
+               row_number() OVER (PARTITION BY day
+                 ORDER BY exact_cnt DESC, user_id ASC) AS rk
+             FROM ex) WHERE rk <= 5),
+         probes AS (
+           SELECT t.day, t.user_id, t.exact_cnt, rp.i,
+             (CAST(md5_number_lower(CAST(t.user_id AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) // rp.dv) % 1024 AS p
+           FROM top t CROSS JOIN rp)
+         SELECT p.day, p.user_id, p.exact_cnt,
+           CAST(min(c.c) AS BIGINT) AS cm_estimate,
+           CAST(min(c.c) AS BIGINT) - p.exact_cnt AS overcount
+         FROM probes p
+         JOIN counters c ON c.day = p.day AND c.i = p.i AND c.p = p.p
+         GROUP BY 1, 2, 3 ORDER BY p.day, p.user_id""",
+      "stream_hll_sink" ->
       s"""WITH h AS (
            SELECT DISTINCT date_trunc('day', ts) AS day,
              CAST(md5_number_lower(CAST(user_id AS VARCHAR))

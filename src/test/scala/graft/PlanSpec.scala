@@ -320,7 +320,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("sketch_hll", graft.operators.Sketches.hll(spark, d)),
         ("sketch_countmin", graft.operators.Sketches.countMin(spark, d)),
         ("text_perplexity_buckets",
-          graft.operators.TextAnalysis.perplexityBuckets(spark, d)))) {
+          graft.operators.TextAnalysis.perplexityBuckets(spark, d)),
+        ("sketch_kmv_overlap",
+          graft.operators.Sketches.kmvOverlap(spark, d)),
+        ("text_mix_budget",
+          graft.operators.TextAnalysis.mixBudget(spark, d)),
+        ("emb_random_projection",
+          Similarity.embRandomProjection(spark, d)))) {
       val p = plan(df)
       assert(!p.contains("UDF"), s"$name plan has a ScalaUDF:\n${p.take(1500)}")
       assert(!p.contains("CartesianProduct"),
