@@ -165,6 +165,13 @@ object Bench {
     val errPart =
       if (errs.nonEmpty) s""","errors":${errs.mkString("{", ",", "}")}"""
       else ""
+    // stdout variant: a catastrophic round (many errors x ~140 B each)
+    // must not push the final line back over the tail window — show the
+    // first 8 plus the true count; the full map stays in the file line
+    val errPartStdout =
+      if (errs.isEmpty) ""
+      else s""","n_errors":${errs.length},""" +
+        s""""errors":${errs.take(8).mkString("{", ",", "}")}"""
     val total = results.collect { case (_, t, e) if e.isEmpty => t }.sum
     // The FINAL stdout line must fit the driver's ~2000-char tail window
     // (with sbt's trailing [success] banner) or BENCH "parsed" is null —
@@ -174,7 +181,7 @@ object Bench {
     // full precision in target/bench.json.
     val stdoutLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-        s""""n":${results.size}$errPart,"sf":"$sfDir"}"""
+        s""""n":${results.size}$errPartStdout,"sf":"$sfDir"}"""
     val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${queriesJson(round = false)}$errPart,"sf":"$sfDir"}"""

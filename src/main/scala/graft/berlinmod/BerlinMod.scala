@@ -42,11 +42,13 @@ object BerlinMod {
     * density the 125 m clamp was binding and q6's pair work resumed
     * growing ~density^2 (r5 verdict's one weak flag). The SegTime view
     * now keeps only CAPSULE cells — bbox cells whose pad-expanded
-    * rectangle actually intersects the segment (exact line-straddle
-    * arithmetic, see the WHERE clause) — so cells per segment grow
-    * ~(step/cell) and shrinking the cell below the step length still
-    * divides per-key density. That makes a 25 m floor productive: pad
-    * only requires d/2 + eps ~ 5 m for the midpoint-cover argument. */
+    * rectangle the segment's line straddles (corner cross-product
+    * test, see the WHERE clause; a conservative superset of the exact
+    * capsule — completeness is what the key needs) — so kept cells per
+    * segment grow ~(step/cell) and shrinking the cell below the step
+    * length still divides per-key density. That makes a 25 m floor
+    * productive: pad only requires d/2 + eps ~ 5 m for the
+    * midpoint-cover argument. */
   private val CellTargetPerKey = 24.0
   private val CellMin = 25.0
   private val CellMax = 500.0
@@ -374,19 +376,22 @@ object BerlinMod {
       math.min(CellMax, math.max(CellMin, raw))
     }
     // Capsule filter on the exploded bbox cells: keep (cx, cy) only when
-    // the segment intersects the cell's pad-expanded rectangle. The
-    // separating-axis test for a segment vs an axis-aligned box needs the
-    // box axes (satisfied by construction — the explode ranges ARE the
-    // pad-expanded bbox overlap) plus the segment's normal: the box is
-    // hit iff its four corners do not lie strictly on one side of the
-    // segment's line, i.e. min(corner cross products) <= 0 <= max.
-    // Exactness is unchanged: for any pair within d the midpoint m is
-    // within d/2 < pad of BOTH segments (the load scaladoc argument), so
-    // each segment passes within pad of m's cell and the expanded-rect
-    // test keeps it on both sides. For ~100 m diagonal steps this prunes
-    // the bbox-corner cells the segment never approaches — kept cells
-    // per segment grow ~(step/cell) instead of (step/cell)^2, which is
-    // what makes the 25 m [[CellMin]] floor pay at 100x density.
+    // the segment's LINE straddles (or touches) the cell's pad-expanded
+    // rectangle — min(corner cross products) <= 0 <= max. Combined with
+    // the explode ranges (which bound the cell to the pad-expanded
+    // bbox), this keeps every cell the pad-dilated segment touches plus
+    // at most a couple of LINE-EXTENSION cells per endpoint (cells
+    // within pad of the infinite line, inside the padded bbox, just
+    // past the endpoint — the padded bbox extends pad beyond it). A
+    // conservative SUPERSET of the exact capsule is exactly what the
+    // join key needs: completeness is what matters (any within-d pair's
+    // midpoint cell is kept on both sides — the load scaladoc
+    // argument); the rare extra cell only adds a candidate that the
+    // exact eDwithin/tDwithin solvers discard. For ~100 m diagonal
+    // steps this prunes the bbox-corner cells the segment never
+    // approaches — kept cells per segment grow ~(step/cell) instead of
+    // (step/cell)^2, which is what makes the 25 m [[CellMin]] floor pay
+    // at 100x density.
     // Float safety: the straddle margin for a genuinely-within-pad cell
     // is >= the 1e-6 m pad slack ~ |seg|*1e-6 in cross-product units,
     // ~6 orders above double ulp at these coordinate scales.
