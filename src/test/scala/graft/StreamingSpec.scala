@@ -251,4 +251,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(err) < 15.0, s"$day err $err% (est $est vs $exact)")
     }
   }
+
+  test("stream_countmin_sink: one-sided guarantee and CM error bound") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.streaming.StreamGate.streamCountMinSink(spark, d)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val ev = graft.util.Tables.events(spark, d)
+    val nDays = ev.select(date_trunc("day", col("ts"))).distinct().count()
+    assert(rows.length == 5 * nDays, s"${rows.length} vs 5x$nDays")
+    // per-day event volume bounds the CM overcount: with w = 1024 and
+    // d = 4 rows, P[over > e*N/w] <= e^-4 per probe — assert the
+    // theorem's one-sided floor exactly and the envelope loosely
+    val dayN = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    rows.foreach { case (day, _, exact, est, over) =>
+      assert(over >= 0, s"$day undercount: $est < $exact")
+      assert(est - exact == over)
+      val bound = math.max(1L,
+        math.ceil(math.E * dayN(day) / 1024.0).toLong * 4)
+      assert(over <= bound, s"$day overcount $over > bound $bound")
+    }
+  }
 }
