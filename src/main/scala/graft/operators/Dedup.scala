@@ -122,6 +122,57 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** ASYMMETRIC containment pairs: C(A -> B) = |A ∩ B| / |A| >= 0.7
+    * with A the smaller shingle set — the boilerplate/subset-duplication
+    * detector Jaccard misses (a doc quoted whole inside a much larger
+    * one has tiny J but C ~ 1; Broder 1997 distinguishes resemblance
+    * from containment for exactly this). Same scale shape as [[jaccard]]
+    * with one asymmetry: the prefix filter applies only to the CONTAINED
+    * side (a qualifying pair must share one of A's rarest
+    * sz - ceil(0.7 sz) + 1 shingles — pigeonhole on the required
+    * overlap), while the container side probes with its full rarest-
+    * ranked list; containment puts no lower bound on B's share, so no
+    * size-compatibility prune exists and candidate volume is bounded by
+    * the rarest-first prefix df alone. Positional prune on A still
+    * applies (overlap <= sz_a - rank_a + 1). Exact verify on sorted
+    * 64-bit shingle sets (the jaccard collision argument); the oracle
+    * replays with string shingles. */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val minC = 0.7
+    val sh = shingleHashes(s, d).persist()
+    sh.count()
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "h", "rank", "sz")
+    val prefix = ranked
+      .filter(col("rank") <= col("sz") - ceil(col("sz") * minC) + 1)
+    val cand = prefix.as("a")
+      .join(ranked.as("b"), col("a.h") === col("b.h") &&
+        (col("a.sz") < col("b.sz") ||
+          (col("a.sz") === col("b.sz") &&
+            col("a.doc_id") < col("b.doc_id"))) &&
+        col("a.sz") - col("a.rank") + 1 >= ceil(col("a.sz") * minC))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shs").as("sha"),
+        col("sz").as("sza")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shb"),
+        col("sz").as("szb")), "id_b")
+      .withColumn("i", interSorted(col("sha"), col("shb")))
+      .withColumn("c", col("i") / col("sza"))
+      .filter(col("c") >= minC)
+      .select(col("id_a"), col("id_b"), col("sza").as("sz_a"),
+        col("szb").as("sz_b"), round(col("c"), 4).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Incremental ingest near-dup: an incoming BATCH (doc_id % 10 == 0
     * stands in for the day's new documents) checked against the frozen
     * CORPUS (the rest) — the asymmetric join an ingest pipeline runs
@@ -713,6 +764,7 @@ object Dedup {
     "dedup_contamination" -> (contamination _),
     "dedup_exact" -> (exact _),
     "dedup_jaccard" -> (jaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_emb_cosine" -> (embCosinePairs _),
@@ -778,6 +830,33 @@ object Dedup {
     }.toMap
 
   private val staticOracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
+                AND len(string_split(sh, ' ')) = 3),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         dir AS (
+           SELECT id_a, id_b, za.sz AS sz_a, zb.sz AS sz_b, i
+           FROM inter
+           JOIN sz za ON za.doc_id = id_a
+           JOIN sz zb ON zb.doc_id = id_b
+           WHERE za.sz < zb.sz OR (za.sz = zb.sz AND id_a < id_b))
+         SELECT id_a, id_b, CAST(sz_a AS BIGINT) AS sz_a,
+           CAST(sz_b AS BIGINT) AS sz_b,
+           round(CAST(i AS DOUBLE) / sz_a, 4) AS containment
+         FROM dir WHERE CAST(i AS DOUBLE) / sz_a >= 0.7
+         ORDER BY id_a, id_b""",
     "dedup_substring" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
              FROM documents),

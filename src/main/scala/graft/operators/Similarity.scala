@@ -637,7 +637,50 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding-space outlier report: distance of each vector to the
+    * corpus centroid, z-scored — the "far from the data manifold"
+    * quality signal (mislabeled / corrupted / off-distribution samples
+    * cluster in the tail; SemDeDup's prototype-distance cousin). Two
+    * scans + a broadcast 1-row centroid/moment state: centroid = one
+    * partial+final per-dim average; distances via the three-dot-product
+    * identity against the broadcast centroid (native vec_dot, codegen);
+    * moments from 6dp-quantized distance sums (the rel_q19 precedent —
+    * engines' native stddev partials merge in different orders) so the
+    * z-scores replay exactly. Top-20 by |z| (deterministic tiebreak).
+    * Centroid coordinates quantized at 6dp before distancing — exact
+    * oracle. */
+  def embOutliers(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = 64
+    val cent = emb
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(avg("x"), 6).as("m"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("cm"))
+      .select(transform(col("cm"), e => e.getField("m")).as("c"))
+    val dists = emb.crossJoin(broadcast(cent))
+      .withColumn("dist", round(sqrt(greatest(lit(0.0),
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c"))
+          + dot(col("c"), col("c")))), 6))
+      .select("vec_id", "dist")
+    val st = dists.agg(
+      count(lit(1)).as("n"),
+      round(sum("dist"), 6).as("msum"),
+      round(sum(col("dist") * col("dist")), 6).as("ssum"))
+    dists.crossJoin(broadcast(st))
+      .withColumn("z", round(
+        (col("dist") - col("msum") / col("n")) /
+          sqrt((col("ssum") - col("msum") * col("msum") / col("n"))
+            / (col("n") - 1)), 4))
+      .select(col("vec_id"), col("dist"), col("z"))
+      .orderBy(abs(col("z")).desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (embOutliers _),
     "emb_random_projection" -> (embRandomProjection _),
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
@@ -857,6 +900,29 @@ object Similarity {
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "emb_outliers" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (
+           SELECT list(m ORDER BY pos) AS c FROM (
+             SELECT pos, round(avg(x), 6) AS m FROM (
+               SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
+               FROM emb)
+             GROUP BY pos)),
+         dists AS (
+           SELECT vec_id, round(sqrt(greatest(0.0,
+             list_dot_product(v, v) - 2.0 * list_dot_product(v, c)
+             + list_dot_product(c, c))), 6) AS dist
+           FROM emb CROSS JOIN cent),
+         st AS (
+           SELECT count(*) AS n, round(sum(dist), 6) AS msum,
+             round(sum(dist * dist), 6) AS ssum
+           FROM dists)
+         SELECT vec_id, dist,
+           round((dist - msum / n)
+             / sqrt((ssum - msum * msum / n) / (n - 1)), 4) AS z
+         FROM dists CROSS JOIN st
+         ORDER BY abs(z) DESC, vec_id ASC LIMIT 20""",
     "emb_random_projection" -> {
       val projList = (0 until 16)
         .map(j => s"round(list_dot_product(v, ${jlSigns(j)

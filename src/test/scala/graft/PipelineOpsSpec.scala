@@ -358,6 +358,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.sameElements(again))
   }
 
+  test("containment: superset of high-J pairs, bounded, smaller side first") {
+    val cont = Dedup.containment(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(cont.nonEmpty)
+    cont.foreach { case ((a, b), (sza, szb, c)) =>
+      assert(c >= 0.7 && c <= 1.0, s"($a,$b) c=$c")
+      assert(sza < szb || (sza == szb && a < b), s"($a,$b) side order")
+    }
+    // C = i/min(sz) >= i/union = J, so every Jaccard pair with J >= 0.7
+    // must reappear as a containment pair (in some direction) with
+    // containment >= its J
+    val jac = Dedup.jaccard(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter(_._2 >= 0.7)
+    assert(jac.nonEmpty, "fixture needs at least one J >= 0.7 pair")
+    jac.foreach { case ((a, b), j) =>
+      val row = cont.get((a, b)).orElse(cont.get((b, a)))
+      assert(row.isDefined, s"J=$j pair ($a,$b) missing from containment")
+      assert(row.get._3 >= j - 1e-4)
+    }
+  }
+
+  test("embedding outliers: top-20 by |z|, consistent with the tail") {
+    val rows = Similarity.embOutliers(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    // sorted by |z| descending
+    rows.map(r => math.abs(r._3)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b)
+      case _ => ()
+    }
+    // a 500-vector sample must put its extreme tail past 2 sigma, and
+    // z-scores must be standardized (not all one sign)
+    assert(math.abs(rows.head._3) > 2.0, s"max |z| ${rows.head._3}")
+    // deterministic
+    val again = Similarity.embOutliers(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.sameElements(again))
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
