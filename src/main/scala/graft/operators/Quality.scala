@@ -206,7 +206,52 @@ object Quality {
       .orderBy("lang", "pack_id")
   }
 
+  /** Model-based quality filter (the CCNet/Gopher "trained classifier"
+    * stage; Wenzek et al. 2020 §4.4 score with a fasttext-like linear
+    * model): a logistic score over the scan-computed signals with FIXED
+    * literal weights standing in for trained ones (this container has
+    * no training stack — the weights are a documented stub; swapping in
+    * trained weights changes only the literals). The 100 TB shape is
+    * the point: model scoring is ONE broadcast weight vector applied in
+    * a pure scan — zero shuffle, whole-stage codegen — then a tiny
+    * per-(lang, source) aggregate for the triage table. The keep
+    * decision is made on the 1e-6-quantized LINEAR term (t > 0 is
+    * exactly score > 0.5), never on the sigmoid output, so the only
+    * transcendental (exp) touches reporting columns already quantized
+    * at 4dp — exact oracle. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("lang"), col("source"),
+      size(toks).as("n_words"),
+      round(charSum.cast("double") / size(toks), 4).as("mean_wlen"),
+      round(size(filter(toks, t => t.isin(stops: _*))).cast("double")
+        / size(toks), 4).as("stop_ratio"),
+      round((length(col("text")) - length(regexp_replace(col("text"),
+        "[\\.,;:!\\?]", ""))).cast("double") / length(col("text")), 4)
+        .as("punct_ratio"))
+    base
+      .withColumn("t", round(lit(-2.0) + col("n_words") * lit(0.01)
+        + col("mean_wlen") * lit(0.2) + col("stop_ratio") * lit(5.0)
+        - col("punct_ratio") * lit(8.0), 6))
+      // integer score units (1e-4): summing 4dp-rounded DOUBLES put a
+      // group average exactly on a 4dp rounding boundary at sf0.01 and
+      // the engines' accumulated float dust split the round — integer
+      // sums + explicit half-up integer division are order-free
+      .withColumn("score4",
+        round(lit(10000.0) / (lit(1.0) + exp(-col("t")))).cast("bigint"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("t") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum("score4").as("s4"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs"), 4)
+          .as("keep_rate"),
+        (expr("(2 * s4 + n_docs) div (2 * n_docs)").cast("double")
+          / 10000.0).as("avg_score"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_classifier" -> (qualityClassifier _),
     "text_pack_sequences" -> (packSequences _),
     "text_quality_filters" -> (qualityFilters _),
     "text_quality_summary" -> (qualitySummary _),
@@ -215,6 +260,39 @@ object Quality {
     "text_bm25" -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "text_quality_classifier" ->
+      """WITH sig AS (
+           SELECT lang, source, len(toks) AS n_words,
+             round(CAST(list_sum(list_transform(toks, x -> length(x)))
+               AS DOUBLE) / len(toks), 4) AS mean_wlen,
+             round(CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','of','in','on','to','is'], x)))
+               AS DOUBLE) / len(toks), 4) AS stop_ratio,
+             round(CAST(length(text) - length(regexp_replace(text,
+               '[\.,;:!\?]', '', 'g')) AS DOUBLE) / length(text), 4)
+               AS punct_ratio
+           FROM (SELECT lang, source, text,
+                   string_split(text, ' ') AS toks FROM documents)),
+         sc AS (
+           SELECT lang, source,
+             round(-2.0 + n_words * 0.01 + mean_wlen * 0.2
+               + stop_ratio * 5.0 - punct_ratio * 8.0, 6) AS t
+           FROM sig),
+         s2 AS (
+           SELECT lang, source, t,
+             CAST(round(10000.0 / (1.0 + exp(-t))) AS BIGINT) AS score4
+           FROM sc),
+         g AS (
+           SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+             CAST(sum(score4) AS BIGINT) AS s4
+           FROM s2 GROUP BY 1, 2)
+         SELECT lang, source, n_docs, n_keep,
+           round(CAST(n_keep AS DOUBLE) / n_docs, 4) AS keep_rate,
+           CAST((2 * s4 + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0
+             AS avg_score
+         FROM g ORDER BY 1, 2""",
     "text_pack_sequences" ->
       """WITH t AS (
            SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
