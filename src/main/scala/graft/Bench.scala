@@ -125,8 +125,10 @@ object Bench {
     // curve. Generation goes distributed above the BigFleet threshold
     // (the driver never holds the ~11.6M points — fits the default 8 GB
     // driver heap), and the density-adaptive cell keeps per-key pair
-    // work bounded. One timed pass: at ~10 s/query the min-of-two
-    // contention defense matters less than the block's wall-clock.
+    // work bounded. Two passes since r6: the capsule filter cut these
+    // queries to a few seconds, so the min-of-two contention defense
+    // (observed 8-22 s swings for the same work on this shared box) now
+    // costs less than the noise it removes.
     val bm100Times = try {
       spark.catalog.clearCache()
       graft.berlinmod.BerlinMod.load(spark, nVehicles = 14100,
@@ -139,7 +141,7 @@ object Bench {
         graft.berlinmod.BerlinMod.queries(spark)
           .filter(p => wanted(p._1)).map { case (n, df) =>
             s"berlinmod_${n}_100x" -> (() => { df.count(); () })
-          }, clear = false, passes = 1))
+          }, clear = false))
     } catch { case _: Throwable => Seq.empty }
     val results = (results0 ++ bmTimes ++ bm10Times ++ bm100Times).sortBy(_._1)
     // r4's official artifact died because the single stdout line carried
