@@ -679,7 +679,41 @@ object Similarity {
       .limit(20)
   }
 
+  /** k-NN GRAPH build: every vector's top-3 cosine neighbors among its
+    * sign-LSH bucket and the 8 one-bit-flip probes — the batch backbone
+    * of semantic clustering / SemDeDup-style graph methods. Unlike
+    * [[annLsh]] (tiny broadcast query set), BOTH sides here are the
+    * corpus, so the probe side is NOT broadcast: the plan is a plain
+    * shuffle equi-join on the bucket id — each bucket's candidates
+    * co-locate, candidate volume is sum over buckets of
+    * |bucket| x |probers|, never corpus^2, and the per-query top-3 is
+    * a bucket-local window. Each (query, neighbor) pair matches at
+    * most once (a vector lives in ONE bucket; the 9 probed ids are
+    * distinct), so no dedup step is needed. Interpolated plane
+    * literals make the bucketing engine-identical -> exact oracle. */
+  def annKnnGraph(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bkt", bucket(col("v")))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("n").as("qn"), explode(probes(col("bkt"))).as("bkt"))
+    val scored = e.join(q, Seq("bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_graph" -> (annKnnGraph _),
     "emb_outliers" -> (embOutliers _),
     "emb_random_projection" -> (embRandomProjection _),
     "ann_topk" -> (annTopK _),
@@ -900,6 +934,25 @@ object Similarity {
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ann_knn_graph" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
+                 $sqlBucket AS bkt FROM emb),
+         q AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
+                 unnest($sqlProbes) AS bkt
+               FROM b),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
+           FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
+         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
     "emb_outliers" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -390,7 +390,42 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-document 8-gram NOVELTY: the fraction of a doc's distinct
+    * 8-grams first seen in THAT doc (gram ownership = min doc_id) —
+    * the order-aware attribution signal behind incremental-crawl
+    * curation ("how much genuinely new text does each doc add?"),
+    * complementing dedup_substring's order-blind count>=2 marking.
+    * Shape: gram hash-agg (word-count shuffle class) for the min-owner
+    * table + one join-back — no pairs, no windows over the corpus.
+    * md5 parity gram hashes, so ownership attribution is
+    * engine-identical (no xxhash64 collision caveat); novelty is one
+    * exact-integer division -> exact oracle. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 8),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+             toks[i+4], toks[i+5], toks[i+6], toks[i+7]))""")).as("gs"))
+      .withColumn("hx", md5(col("gs")))
+      .withColumn("g", graft.util.Md5Lower64.of("hx"))
+      .select("doc_id", "g").distinct()
+      .persist()
+    val owner = g.groupBy("g").agg(min("doc_id").as("first_doc"))
+    g.join(owner, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (ngramNovelty _),
     "text_mix_budget" -> (mixBudget _),
     "text_inverted_index" -> (invertedIndex _),
     "text_ngram_lm" -> (ngramLm _),
@@ -406,6 +441,27 @@ object TextAnalysis {
     "text_drift_psi" -> (driftPsi _))
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         u AS (
+           SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7))
+             AS i
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             CAST(md5_number_lower(array_to_string(toks[i:i+7], ' '))
+               & 9223372036854775807 AS BIGINT) AS g
+           FROM u),
+         owner AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN owner.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN owner.first_doc = g.doc_id
+             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
+         FROM g JOIN owner USING (g)
+         GROUP BY 1 ORDER BY 1""",
     "text_mix_budget" ->
       """WITH c AS (
            SELECT source,

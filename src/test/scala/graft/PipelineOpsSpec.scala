@@ -399,6 +399,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.sameElements(again))
   }
 
+  test("ngram novelty: first doc fully novel, totals = distinct grams") {
+    val rows = TextAnalysis.ngramNovelty(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ng, nn, nov) =>
+      assert(nn >= 0 && nn <= ng, s"doc $id")
+      assert(nov >= 0.0 && nov <= 1.0, s"doc $id novelty $nov")
+    }
+    // the lowest doc_id owns every one of its grams by construction
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0, s"first doc novelty ${first._4}")
+    // each distinct gram is owned by exactly one doc: novel counts sum
+    // to the corpus-wide distinct gram count
+    val distinctGrams = Tables.documents(spark, d)
+      .selectExpr("explode(transform(sequence(0, size(split(text,' ')) - 8)," +
+        " i -> concat_ws(' ', slice(split(text,' '), i + 1, 8)))) AS g")
+      .where("size(split(g, ' ')) = 8")
+      .select("g").distinct().count()
+    assert(rows.map(_._3).sum == distinctGrams,
+      s"${rows.map(_._3).sum} owned vs $distinctGrams distinct")
+  }
+
+  test("knn graph: restriction to the LSH query set equals ann_lsh top-3") {
+    val graph = Similarity.annKnnGraph(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val lshTop3 = Similarity.annLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 <= 3)
+    assert(lshTop3.nonEmpty)
+    val qids = lshTop3.map(_._1).toSet
+    val sub = graph.filter(r => qids(r._1))
+    assert(sub.sortBy(r => (r._1, r._2)).sameElements(
+      lshTop3.sortBy(r => (r._1, r._2))),
+      "graph restricted to the query set differs from ann_lsh top-3")
+    // every vector with at least one bucket-mate appears as a query
+    assert(graph.map(_._1).distinct.length > 400)
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
