@@ -326,7 +326,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("text_mix_budget",
           graft.operators.TextAnalysis.mixBudget(spark, d)),
         ("emb_random_projection",
-          Similarity.embRandomProjection(spark, d)))) {
+          Similarity.embRandomProjection(spark, d)),
+        ("ann_knn_graph", Similarity.annKnnGraph(spark, d)),
+        ("text_ngram_novelty",
+          graft.operators.TextAnalysis.ngramNovelty(spark, d)),
+        ("dedup_containment", Dedup.containment(spark, d)),
+        ("emb_outliers", Similarity.embOutliers(spark, d)),
+        ("text_quality_classifier",
+          graft.operators.Quality.qualityClassifier(spark, d)))) {
       val p = plan(df)
       assert(!p.contains("UDF"), s"$name plan has a ScalaUDF:\n${p.take(1500)}")
       assert(!p.contains("CartesianProduct"),
