@@ -122,6 +122,36 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Dedup threshold-tuning curve: near-dup pair counts and affected-
+    * document counts at Jaccard thresholds 0.5-0.9, from ONE pass of
+    * the [[jaccard]] machinery (its candidate generation is exact down
+    * to J >= 0.5, so every curve point is exact). The report a pipeline
+    * reads before committing a threshold to a 100 TB dedup run: how
+    * many pairs/docs each setting would touch. The pair set is tiny
+    * relative to the corpus (it IS the near-dup set), so the 5-threshold
+    * fan-out is a broadcast cross of a small frame. */
+  def jaccardCurve(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccard(s, d).persist()
+    val thresholds = s.createDataFrame(
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(Tuple1(_))).toDF("threshold")
+    val hit = pairs.crossJoin(broadcast(thresholds))
+      .filter(col("jac") >= col("threshold"))
+    val nPairs = hit.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b")))
+        .as("doc"))
+      .groupBy("threshold")
+      .agg(count_distinct(col("doc")).as("n_docs"))
+    thresholds
+      .join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
   /** ASYMMETRIC containment pairs: C(A -> B) = |A ∩ B| / |A| >= 0.7
     * with A the smaller shingle set — the boilerplate/subset-duplication
     * detector Jaccard misses (a doc quoted whole inside a much larger
@@ -764,6 +794,7 @@ object Dedup {
     "dedup_contamination" -> (contamination _),
     "dedup_exact" -> (exact _),
     "dedup_jaccard" -> (jaccard _),
+    "dedup_jaccard_curve" -> (jaccardCurve _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -830,6 +861,45 @@ object Dedup {
     }.toMap
 
   private val staticOracles: Map[String, String] = Map(
+    "dedup_jaccard_curve" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
+                AND len(string_split(sh, ' ')) = 3),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b, round(i / (za.sz + zb.sz - i), 4) AS jac
+           FROM inter
+           JOIN sz za ON za.doc_id = id_a
+           JOIN sz zb ON zb.doc_id = id_b
+           WHERE i / (za.sz + zb.sz - i) >= 0.5),
+         th AS (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9] AS DOUBLE[]))
+                  AS threshold),
+         hit AS (
+           SELECT th.threshold, p.id_a, p.id_b
+           FROM th JOIN pairs p ON p.jac >= th.threshold),
+         np AS (SELECT threshold, count(*) AS n_pairs FROM hit GROUP BY 1),
+         nd AS (
+           SELECT threshold, count(DISTINCT doc) AS n_docs
+           FROM (SELECT threshold, unnest([id_a, id_b]) AS doc FROM hit)
+           GROUP BY 1)
+         SELECT th.threshold,
+           CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+         FROM th
+         LEFT JOIN np ON np.threshold = th.threshold
+         LEFT JOIN nd ON nd.threshold = th.threshold
+         ORDER BY th.threshold""",
     "dedup_containment" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -437,6 +437,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graph.map(_._1).distinct.length > 400)
   }
 
+  test("jaccard curve: monotone, consistent with the pair operator") {
+    val curve = Dedup.jaccardCurve(spark, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // cumulative counts are non-increasing in the threshold
+    curve.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 >= b._2 && a._3 >= b._3)
+      case _ => ()
+    }
+    // the 0.5 point IS the jaccard operator's output
+    val pairs = Dedup.jaccard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.head._2 == pairs.length)
+    assert(curve.head._3 ==
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct.length)
+    // spot-check an interior point against a direct filter
+    val at07 = pairs.filter(_._3 >= 0.7)
+    assert(curve(2)._2 == at07.length)
+  }
+
   test("multimodal codecs survive empty documents (pad convention)") {
     val tmp = java.nio.file.Files.createTempDirectory("mmtest").toFile
     spark.createDataFrame(Seq((0L, ""), (1L, ""), (2L, "hello world!"),
