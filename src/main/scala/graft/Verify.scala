@@ -69,7 +69,12 @@ object Verify {
         // failed — forces a recorded rows/schema mismatch instead.
         try {
           val schema =
-            try fn(spark, sfDir).schema
+            // stream_* entries run their whole pipeline (staging write +
+            // micro-batch stream) just to ANALYZE, so a failed streaming
+            // query would run twice here — go straight to the sentinel
+            try if (name.startsWith("stream_"))
+              throw new IllegalStateException("skip schema probe")
+            else fn(spark, sfDir).schema
             catch { case _: Throwable =>
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField(

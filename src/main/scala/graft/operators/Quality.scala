@@ -236,8 +236,12 @@ object Quality {
       // group average exactly on a 4dp rounding boundary at sf0.01 and
       // the engines' accumulated float dust split the round — integer
       // sums + explicit half-up integer division are order-free
+      // sigmoid quantized at 6dp BEFORE the integer round (the
+      // quantize-before-compare convention): a 1-ulp cross-engine exp()
+      // difference at an exact .5 boundary can no longer flip the unit
       .withColumn("score4",
-        round(lit(10000.0) / (lit(1.0) + exp(-col("t")))).cast("bigint"))
+        round(round(lit(10000.0) / (lit(1.0) + exp(-col("t"))), 6))
+          .cast("bigint"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("t") > 0, 1L).otherwise(0L)).as("n_keep"),
@@ -280,7 +284,8 @@ object Quality {
            FROM sig),
          s2 AS (
            SELECT lang, source, t,
-             CAST(round(10000.0 / (1.0 + exp(-t))) AS BIGINT) AS score4
+             CAST(round(round(10000.0 / (1.0 + exp(-t)), 6)) AS BIGINT)
+               AS score4
            FROM sc),
          g AS (
            SELECT lang, source, count(*) AS n_docs,

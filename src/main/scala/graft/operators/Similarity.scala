@@ -633,7 +633,11 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(sqrt(col("d2o")), 5).as("d_orig"),
         round(sqrt(col("d2p")), 5).as("d_proj"),
-        round(sqrt(col("d2p")) / sqrt(col("d2o")), 4).as("ratio"))
+        // duplicate vectors give d_orig = 0; pin the 0/0 case to NULL on
+        // both engines rather than inherit each engine's NaN/div-by-zero
+        // convention
+        when(col("d2o") > 0,
+          round(sqrt(col("d2p")) / sqrt(col("d2o")), 4)).as("ratio"))
       .orderBy("id_a", "id_b")
   }
 
@@ -997,7 +1001,8 @@ object Similarity {
            FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(sqrt(d2o), 5) AS d_orig,
            round(sqrt(d2p), 5) AS d_proj,
-           round(sqrt(d2p) / sqrt(d2o), 4) AS ratio
+           CASE WHEN d2o > 0 THEN round(sqrt(d2p) / sqrt(d2o), 4)
+                ELSE NULL END AS ratio
          FROM pr ORDER BY id_a, id_b"""
     },
     "emb_lang_centroids" ->

@@ -336,9 +336,11 @@ object TextAnalysis {
   }
 
   /** Training-mixture budget allocator (UniMax, Chung et al. 2023):
-    * given per-source token counts, a total training budget T = 3x the
-    * corpus, temperature-scaled target weights w_s ∝ n_s^0.5, and an
-    * epoch cap C = 3 (no source repeats more than 3 times), compute the
+    * given per-source token counts, a total training budget T = 2.5x
+    * the corpus, temperature-scaled target weights w_s ∝ n_s^0.5, and an
+    * epoch cap C = 2.52 (no source repeats more than 2.52 times; the cap
+    * sits slightly ABOVE T/total so the largest source alone can never
+    * be cap-bound — the waterfill always has a free remainder), compute the
     * exact waterfilling allocation: sources whose fair share exceeds
     * C·n_s are pinned at the cap and their surplus re-flows to the
     * rest. Closed form instead of UniMax's iterative loop: with
