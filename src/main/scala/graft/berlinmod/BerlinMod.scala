@@ -759,4 +759,33 @@ object BerlinMod {
            WHERE Hits = mx
            ORDER BY PointId"""))
   }
+
+  /** Composed-run report for the `berlinmod_e2e` gate entry: one row
+    * per query with its row count and an ORDER-FREE 63-bit checksum of
+    * the canonicalized result (every column cast to string under the
+    * pinned UTC session zone, rows folded row-md5 -> lower-63 ->
+    * bit_xor). All query values are already quantized by the queries
+    * themselves (they hash-match the golden corpus per query), so the
+    * checksum is deterministic across runs and machines. The driver
+    * compares it against the repo-pinned constants in
+    * `SparkEntry.e2ePinned` — a SELF-PINNED regression lock, not
+    * independent verification: no external oracle can exist (oracle
+    * DuckDB has no mobility extension, and the reference ships only
+    * result CSVs, not input data — `benchmark/BerlinMOD/results/`).
+    * The only driver-side reads are the 17 one-row aggregate heads. */
+  def e2eReport(spark: SparkSession): DataFrame = {
+    load(spark)
+    val rows = queries(spark).map { case (n, df) =>
+      val r = df
+        .select(md5(concat_ws("\u0001",
+          df.columns.map(c =>
+            coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as("hx"))
+        .withColumn("h", graft.util.Md5Lower64.of("hx"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
+        .head()
+      (n, r.getLong(0), r.getLong(1))
+    }
+    spark.createDataFrame(rows).toDF("query", "n_rows", "checksum")
+  }
 }
