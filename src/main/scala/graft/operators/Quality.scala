@@ -206,20 +206,122 @@ object Quality {
       .orderBy("lang", "pack_id")
   }
 
+  /** Default classifier weights (intercept, n_words, mean_wlen,
+    * stop_ratio, punct_ratio) — only used if [[qualityClassifier]] has
+    * not trained on the session's data yet (the driver always runs the
+    * query before dumping oracles, so the gate always sees the fitted
+    * weights). */
+  private val defaultW =
+    Array(-2.0, 0.01, 0.2, 5.0, -8.0)
+
+  private val trainedClassifier =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** Deterministic in-repo logistic fit (distillation): labels are the
+    * [[qualityFilters]] Gopher keep verdicts, features the four scan
+    * signals; plain full-batch gradient descent on standardized
+    * features (400 iterations, lr 0.5, zero init — no randomness
+    * anywhere), standardization folded back into raw-feature weights,
+    * quantized at 6dp so they interpolate into the DuckDB oracle
+    * exactly (the LSH-plane/codebook convention). The sample is
+    * BOUNDED and deterministic — 2 000 rows by hashed doc_id — so the
+    * driver-side work is constant at any corpus size (the IVF-codebook
+    * argument, `Similarity.trainCodebook`). */
+  private[graft] def fitClassifier(s: SparkSession, d: String): Array[Double] = {
+    val sample = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        round(charSum.cast("double") / size(toks), 4).as("mean_wlen"),
+        round(size(filter(toks, t => t.isin(stops: _*))).cast("double")
+          / size(toks), 4).as("stop_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"),
+          "[\\.,;:!\\?]", ""))).cast("double") / length(col("text")), 4)
+          .as("punct_ratio"),
+        size(filter(toks, t => t.isin(stops: _*))).as("stop_hits"))
+      .withColumn("label",
+        (col("n_words") >= 20 && col("n_words") <= 200 &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0 &&
+          col("stop_hits") >= 1).cast("int"))
+      .withColumn("hk", xxhash64(col("doc_id")))
+      .orderBy("hk").limit(2000)
+      .select("n_words", "mean_wlen", "stop_ratio", "punct_ratio", "label")
+      .collect()
+    val n = sample.length
+    val dims = 4
+    val xs = Array.tabulate(n) { i =>
+      val r = sample(i)
+      Array(r.getInt(0).toDouble, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))
+    }
+    val ys = Array.tabulate(n)(i => sample(i).getInt(4).toDouble)
+    // standardize (fixed sample order -> deterministic sums)
+    val mu = new Array[Double](dims); val sd = new Array[Double](dims)
+    var j = 0
+    while (j < dims) {
+      var m = 0.0; var i = 0
+      while (i < n) { m += xs(i)(j); i += 1 }
+      m /= n
+      var v = 0.0; i = 0
+      while (i < n) { val t = xs(i)(j) - m; v += t * t; i += 1 }
+      mu(j) = m; sd(j) = math.max(math.sqrt(v / n), 1e-9)
+      j += 1
+    }
+    val w = new Array[Double](dims); var b = 0.0
+    val lr = 0.5
+    var it = 0
+    while (it < 400) {
+      val gw = new Array[Double](dims); var gb = 0.0
+      var i = 0
+      while (i < n) {
+        var t = b; var k = 0
+        while (k < dims) { t += w(k) * (xs(i)(k) - mu(k)) / sd(k); k += 1 }
+        val p = 1.0 / (1.0 + math.exp(-t))
+        val e = p - ys(i)
+        k = 0
+        while (k < dims) { gw(k) += e * (xs(i)(k) - mu(k)) / sd(k); k += 1 }
+        gb += e
+        i += 1
+      }
+      var k = 0
+      while (k < dims) { w(k) -= lr * gw(k) / n; k += 1 }
+      b -= lr * gb / n
+      it += 1
+    }
+    // fold standardization back into raw-feature space and quantize
+    val raw = new Array[Double](dims + 1)
+    var k = 0; var b0 = b
+    while (k < dims) {
+      raw(k + 1) = math.rint(w(k) / sd(k) * 1e6) / 1e6
+      b0 -= w(k) * mu(k) / sd(k)
+      k += 1
+    }
+    raw(0) = math.rint(b0 * 1e6) / 1e6
+    raw
+  }
+
+  /** Learned weights for the oracle interpolation (trained by the last
+    * [[qualityClassifier]] call; default literals before that). */
+  private[graft] def classifierWeights: Array[Double] =
+    Option(trainedClassifier.get("w")).getOrElse(defaultW)
+
   /** Model-based quality filter (the CCNet/Gopher "trained classifier"
     * stage; Wenzek et al. 2020 §4.4 score with a fasttext-like linear
-    * model): a logistic score over the scan-computed signals with FIXED
-    * literal weights standing in for trained ones (this container has
-    * no training stack — the weights are a documented stub; swapping in
-    * trained weights changes only the literals). The 100 TB shape is
-    * the point: model scoring is ONE broadcast weight vector applied in
-    * a pure scan — zero shuffle, whole-stage codegen — then a tiny
-    * per-(lang, source) aggregate for the triage table. The keep
-    * decision is made on the 1e-6-quantized LINEAR term (t > 0 is
-    * exactly score > 0.5), never on the sigmoid output, so the only
+    * model): a logistic score over the scan-computed signals with
+    * weights from [[fitClassifier]] — a deterministic in-repo logistic
+    * fit distilled from the Gopher-filter verdicts (no external
+    * training stack; weights traceable to the fit and interpolated
+    * into the oracle as literals). The 100 TB shape: model scoring is
+    * ONE broadcast weight vector applied in a pure scan — zero
+    * shuffle, whole-stage codegen — then a tiny per-(lang, source)
+    * aggregate for the triage table; the bounded fit sample keeps
+    * training cost constant at any corpus size. The keep decision is
+    * made on the 1e-6-quantized LINEAR term (t > 0 is exactly
+    * score > 0.5), never on the sigmoid output, so the only
     * transcendental (exp) touches reporting columns already quantized
-    * at 4dp — exact oracle. */
+    * — exact oracle. */
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val wts = trainedClassifier.computeIfAbsent("w",
+      _ => fitClassifier(s, d))
     val base = Tables.documents(s, d).select(col("lang"), col("source"),
       size(toks).as("n_words"),
       round(charSum.cast("double") / size(toks), 4).as("mean_wlen"),
@@ -229,9 +331,9 @@ object Quality {
         "[\\.,;:!\\?]", ""))).cast("double") / length(col("text")), 4)
         .as("punct_ratio"))
     base
-      .withColumn("t", round(lit(-2.0) + col("n_words") * lit(0.01)
-        + col("mean_wlen") * lit(0.2) + col("stop_ratio") * lit(5.0)
-        - col("punct_ratio") * lit(8.0), 6))
+      .withColumn("t", round(lit(wts(0)) + col("n_words") * lit(wts(1))
+        + col("mean_wlen") * lit(wts(2)) + col("stop_ratio") * lit(wts(3))
+        + col("punct_ratio") * lit(wts(4)), 6))
       // integer score units (1e-4): summing 4dp-rounded DOUBLES put a
       // group average exactly on a 4dp rounding boundary at sf0.01 and
       // the engines' accumulated float dust split the round — integer
@@ -263,9 +365,14 @@ object Quality {
     "text_regex_scrub" -> (regexScrub _),
     "text_bm25" -> (bm25 _))
 
-  val oracles: Map[String, String] = Map(
-    "text_quality_classifier" ->
-      """WITH sig AS (
+  /** `def`, not `val`: the classifier oracle interpolates the weights
+    * LEARNED by the session's [[qualityClassifier]] run (the driver
+    * always runs queries before dumping oracles — the IVF-codebook
+    * convention). */
+  def oracles: Map[String, String] = Map(
+    "text_quality_classifier" -> {
+      val w = classifierWeights
+      s"""WITH sig AS (
            SELECT lang, source, len(toks) AS n_words,
              round(CAST(list_sum(list_transform(toks, x -> length(x)))
                AS DOUBLE) / len(toks), 4) AS mean_wlen,
@@ -273,14 +380,14 @@ object Quality {
                ['the','a','an','and','or','of','in','on','to','is'], x)))
                AS DOUBLE) / len(toks), 4) AS stop_ratio,
              round(CAST(length(text) - length(regexp_replace(text,
-               '[\.,;:!\?]', '', 'g')) AS DOUBLE) / length(text), 4)
+               '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text), 4)
                AS punct_ratio
            FROM (SELECT lang, source, text,
                    string_split(text, ' ') AS toks FROM documents)),
          sc AS (
            SELECT lang, source,
-             round(-2.0 + n_words * 0.01 + mean_wlen * 0.2
-               + stop_ratio * 5.0 - punct_ratio * 8.0, 6) AS t
+             round((${w(0)}) + n_words * (${w(1)}) + mean_wlen * (${w(2)})
+               + stop_ratio * (${w(3)}) + punct_ratio * (${w(4)}), 6) AS t
            FROM sig),
          s2 AS (
            SELECT lang, source, t,
@@ -297,7 +404,8 @@ object Quality {
            round(CAST(n_keep AS DOUBLE) / n_docs, 4) AS keep_rate,
            CAST((2 * s4 + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0
              AS avg_score
-         FROM g ORDER BY 1, 2""",
+         FROM g ORDER BY 1, 2"""
+    },
     "text_pack_sequences" ->
       """WITH t AS (
            SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens

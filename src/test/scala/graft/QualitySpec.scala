@@ -295,4 +295,43 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toString).sorted.sameElements(
       again.map(_.toString).sorted))
   }
+
+  test("classifier fit: deterministic weights, distills the Gopher verdict") {
+    val w1 = Quality.fitClassifier(spark, d)
+    val w2 = Quality.fitClassifier(spark, d)
+    assert(w1.sameElements(w2), "fit is not deterministic")
+    assert(w1.length == 5)
+    // 6dp quantization (the oracle-interpolation contract)
+    w1.foreach(w => assert(w == math.rint(w * 1e6) / 1e6))
+    // the fit must actually separate: apply the learned weights to the
+    // per-doc signals and compare the keep decision (t > 0) against the
+    // Gopher box verdict it distills — a linear model can't reproduce a
+    // box exactly, but anything below 85% agreement means the fit failed
+    import org.apache.spark.sql.functions._
+    val toks = split(col("text"), " ")
+    val stops = Seq("the", "a", "an", "and", "or", "of", "in", "on",
+      "to", "is")
+    val sig = graft.util.Tables.documents(spark, d).select(
+      size(toks).as("n_words"),
+      round(expr("aggregate(transform(split(text, ' '), x -> length(x))," +
+        " 0, (a, x) -> a + x)").cast("double") / size(toks), 4)
+        .as("mean_wlen"),
+      round(size(filter(toks, t => t.isin(stops: _*))).cast("double")
+        / size(toks), 4).as("stop_ratio"),
+      round((length(col("text")) - length(regexp_replace(col("text"),
+        "[\\.,;:!\\?]", ""))).cast("double") / length(col("text")), 4)
+        .as("punct_ratio"),
+      size(filter(toks, t => t.isin(stops: _*))).as("stop_hits"))
+    val scored = sig
+      .withColumn("label",
+        col("n_words") >= 20 && col("n_words") <= 200 &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0 &&
+          col("stop_hits") >= 1)
+      .withColumn("pred", lit(w1(0)) + col("n_words") * lit(w1(1))
+        + col("mean_wlen") * lit(w1(2)) + col("stop_ratio") * lit(w1(3))
+        + col("punct_ratio") * lit(w1(4)) > 0)
+      .agg(avg(when(col("label") === col("pred"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(scored >= 0.85, s"distillation agreement $scored < 0.85")
+  }
 }
