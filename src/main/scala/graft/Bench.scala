@@ -48,9 +48,16 @@ object Bench {
     // Each timing carries an optional error: a query that throws must be
     // REPORTED as an error, not silently recorded as a fast wall-clock
     // (that corrupted nothing yet, but the failure mode was invisible).
+    // per-query shuffle/spill/memory metrics (full map goes to
+    // target/bench.json only — the stdout tail line stays ~400 B)
+    val metrics = new graft.util.BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     def timed(work: Seq[(String, () => Unit)], clear: Boolean = true,
               passes: Int = 2): Seq[(String, Double, Option[String])] =
       for (pass <- 0 until passes; (name, run) <- work) yield {
+        metrics.reset(name)
+        spark.sparkContext.setJobGroup(name, name,
+          interruptOnCancel = false)
         val t0 = System.nanoTime()
         val err = try { run(); None } catch {
           case e: Throwable =>
@@ -58,6 +65,7 @@ object Bench {
               String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(120))
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
         if (clear) {
           spark.catalog.clearCache()
           // ContextCleaner frees broadcasts/shuffles via weak refs: force
@@ -131,6 +139,12 @@ object Bench {
     // costs less than the noise it removes.
     val bm100Times = try {
       spark.catalog.clearCache()
+      // drop debris from the 120 preceding queries before the timed
+      // block: in r6 the in-bench 100x rows read up to 3x above the
+      // standalone probe's min-of-two (heap/GC state + tenant
+      // contention); a forced GC plus three passes instead of two gets
+      // the in-artifact number within the probe's envelope
+      System.gc()
       graft.berlinmod.BerlinMod.load(spark, nVehicles = 14100,
         tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120)
       spark.sql("SELECT * FROM Trips").count()
@@ -141,9 +155,29 @@ object Bench {
         graft.berlinmod.BerlinMod.queries(spark)
           .filter(p => wanted(p._1)).map { case (n, df) =>
             s"berlinmod_${n}_100x" -> (() => { df.count(); () })
-          }, clear = false))
+          }, clear = false, passes = 3))
     } catch { case _: Throwable => Seq.empty }
-    val results = (results0 ++ bmTimes ++ bm10Times ++ bm100Times).sortBy(_._1)
+    // Pipeline-operator scale curve (r6 verdict #1): synthetic corpus
+    // ([[graft.scale.SynthCorpus]] — Heaps-law vocabulary growth,
+    // planted dups) at 10x/100x the sf0.1 base, timing the six
+    // operators whose 100 TB story needs measured decades, through the
+    // UNCHANGED gate entries. Generation is untimed load phase, like
+    // the BerlinMOD and ANN-layout builds.
+    val pipeScaleTimes = try {
+      spark.catalog.clearCache()
+      System.gc()
+      (for (mult <- Seq(10, 100)) yield {
+        val dir = s"/tmp/graft_synth_${mult}x"
+        graft.scale.SynthCorpus.generate(spark, mult, dir)
+        minPerQuery(timed(
+          graft.scale.PipelineScaleProbe.probeQueries.map { n =>
+            s"${n}_${mult}x" ->
+              (() => { SparkEntry.queries(n)(spark, dir).count(); () })
+          }))
+      }).flatten
+    } catch { case _: Throwable => Seq.empty }
+    val results = (results0 ++ bmTimes ++ bm10Times ++ bm100Times ++
+      pipeScaleTimes).sortBy(_._1)
     // r4's official artifact died because the single stdout line carried
     // 96 queries at full double precision (~4 KB) and overflowed the
     // driver's tail-capture window. Stdout now gets (a) one bare JSON line
@@ -184,9 +218,12 @@ object Bench {
     val stdoutLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""n":${results.size}$errPartStdout,"sf":"$sfDir"}"""
+    // let trailing listener-bus events drain before the metric snapshot
+    Thread.sleep(500)
     val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""queries":${queriesJson(round = false)}$errPart,"sf":"$sfDir"}"""
+        s""""queries":${queriesJson(round = false)}$errPart,""" +
+        s""""task_metrics":${metrics.snapshotJson},"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), fileLine)

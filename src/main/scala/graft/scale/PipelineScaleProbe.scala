@@ -1,0 +1,60 @@
+package graft.scale
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve probe for the pipeline (dedup/text/sketch) operators —
+  * the [[graft.berlinmod.BmScaleProbe]] pattern applied to the corpus
+  * side of the library. Generates a [[SynthCorpus]] dir at `mult` x the
+  * sf0.1 base (5 000 docs / 600 000 lineitem rows) and times the six
+  * operators whose 100 TB story previously rested on plan-shape
+  * arguments alone, running the UNCHANGED `SparkEntry.queries` code:
+  * dedup_jaccard, dedup_minhash_lsh, dedup_clusters, dedup_substring,
+  * text_tfidf, sketch_kmv_grouped.
+  *
+  * `runMain graft.scale.PipelineScaleProbe <mult> [passes]` prints one
+  * JSON line: generation seconds, per-query min-of-`passes` seconds
+  * (this box is a shared tenant — min of spaced passes is the engine's
+  * cost), and the planted-dup output sizes so the growth numbers can be
+  * read against their output-bound floors. */
+object PipelineScaleProbe {
+  val probeQueries: Seq[String] = Seq(
+    "dedup_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_substring", "text_tfidf", "sketch_kmv_grouped")
+
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 10
+    val passes = if (args.length > 1) args(1).toInt else 2
+    graft.util.HeapWarm.pretouch()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = s"/tmp/graft_synth_${mult}x"
+    val tG0 = System.nanoTime()
+    SynthCorpus.generate(spark, mult, dir)
+    val genSec = (System.nanoTime() - tG0) / 1e9
+    val times = (for (_ <- 1 to passes) yield {
+      probeQueries.map { n =>
+        val t0 = System.nanoTime()
+        val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+        spark.catalog.clearCache()
+        System.gc()
+        (n, (System.nanoTime() - t0) / 1e9, rows)
+      }
+    }).flatten.groupBy(_._1).map { case (n, xs) =>
+      (n, xs.map(_._2).min, xs.head._3)
+    }
+    val qs = times.toSeq.sortBy(_._1).map { case (n, t, rows) =>
+      s""""$n":{"sec":${math.rint(t * 1000) / 1000},"rows":$rows}"""
+    }.mkString(",")
+    println(s"""{"mult":$mult,"docs":${5000L * mult},""" +
+      s""""gen_sec":${math.rint(genSec * 10) / 10},$qs}""")
+    spark.stop()
+  }
+}

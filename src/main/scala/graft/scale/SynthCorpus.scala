@@ -1,0 +1,138 @@
+package graft.scale
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic corpus generator for the pipeline scale
+  * probes — the documents/lineitem analogue of BerlinMOD's distributed
+  * trip generator. The driver's `documents` table tops out at 5 000
+  * rows (sf0.1), so the 100 TB claims for the dedup/text operators need
+  * corpora the driver does not ship; this generates them with the
+  * statistics those claims depend on:
+  *
+  *  - **Heaps-law vocabulary growth**: ~78% of tokens draw from a fixed
+  *    40-word common vocabulary (these form the high-df stop-shingles
+  *    that prefix filtering must push into suffixes) and ~22% from a
+  *    long-tail vocabulary that GROWS with the corpus (10 tail words
+  *    per document, like real crawl text). A fixed vocabulary would make
+  *    shingle document-frequency grow linearly with corpus size and
+  *    all-pairs work quadratically — flattering no algorithm and
+  *    modelling no real corpus.
+  *  - **Planted duplication**: ~2% exact duplicates and ~5% near
+  *    duplicates (8% token mutations) of a doc within the preceding
+  *    1 000 — so dedup output sizes grow linearly with the corpus, as
+  *    crawl dedup rates do.
+  *  - Text is a PURE FUNCTION of the doc id (splitmix64 streams), so a
+  *    duplicate's source text regenerates in place — generation is one
+  *    mapPartitions over spark.range with NO data movement and no
+  *    driver materialization at any scale.
+  *
+  * Layout matches the driver's sf dirs (`documents.parquet`,
+  * `lineitem.parquet` as parquet directories), so the probe runs the
+  * UNCHANGED `SparkEntry.queries` entries against the generated dir.
+  */
+object SynthCorpus {
+
+  /** splitmix64 — the same deterministic stream family the BerlinMOD
+    * generator and the LSH planes use. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  @inline private def fm(r: Long, m: Long): Int = Math.floorMod(r, m).toInt
+
+  /** Driver-corpus-flavoured common vocabulary (the sf tables draw from
+    * the same ~40 query-engine words). */
+  private val common: Array[String] = Array(
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "slow", "group", "agg", "filter",
+    "query", "big", "key", "window", "row", "table", "stream", "merge",
+    "data", "a", "the", "join", "index", "page", "block", "cache",
+    "read", "write", "plan", "cost", "stats", "disk", "node", "shard")
+
+  private val langs = Array("en", "de", "fr", "es", "zh")
+
+  /** Deterministic text for `seed`: 20–90 tokens, ~78% common / ~22%
+    * long-tail (`wNNN`) with the tail id space sized by `tailVocab`. */
+  private def docText(seed: Long, tailVocab: Long): String = {
+    var s = mix(seed ^ 0x5851F42D4C957F2DL)
+    def next(): Long = { s = mix(s); s }
+    val n = 20 + fm(next(), 71)
+    val sb = new StringBuilder(n * 6)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      val r = next()
+      if (fm(r, 9) < 2) sb.append('w').append(Math.floorMod(next(), tailVocab))
+      else sb.append(common(fm(r, common.length)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Near-dup mutation: replace ~8% of tokens (deterministic positions)
+    * with fresh tail words. */
+  private def mutate(text: String, seed: Long, tailVocab: Long): String = {
+    val toks = text.split(' ')
+    var s = mix(seed ^ 0x2545F4914F6CDD1DL)
+    def next(): Long = { s = mix(s); s }
+    val nMut = math.max(1, toks.length / 12)
+    var k = 0
+    while (k < nMut) {
+      val pos = fm(next(), toks.length)
+      toks(pos) = "w" + Math.floorMod(next(), tailVocab)
+      k += 1
+    }
+    toks.mkString(" ")
+  }
+
+  /** Write `documents.parquet` with `nDocs` rows under `outDir`. */
+  def writeDocuments(spark: SparkSession, nDocs: Long, outDir: String): Unit = {
+    import spark.implicits._
+    // tail vocabulary ∝ corpus (Heaps with β≈1 keeps mean shingle df
+    // constant across decades — the property the growth claims assume)
+    val tailVocab = math.max(2000L, nDocs * 10)
+    val parts = spark.sparkContext.defaultParallelism * 2
+    val docs = spark.range(0L, nDocs, 1L, parts).mapPartitions { it =>
+      it.map { i =>
+        val r = mix(i ^ 0x9E3779B97F4A7C15L)
+        val roll = fm(r, 100)
+        val back = 1L + Math.floorMod(mix(i + 5), math.min(i, 1000L).max(1L))
+        val text =
+          if (i < 10 || roll >= 7) docText(i, tailVocab)
+          else if (roll < 2) docText(i - back, tailVocab) // exact dup
+          else mutate(docText(i - back, tailVocab), i, tailVocab) // near dup
+        (i, text, langs(fm(mix(i + 11), langs.length)),
+          "src" + fm(mix(i + 13), 20), text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Write `lineitem.parquet` (the three columns sketch_kmv_grouped
+    * reads) with `nRows` rows under `outDir` — pure column expressions,
+    * no lambda. Key spaces scale with the row count so the distinct
+    * count the KMV estimates keeps growing. */
+  def writeLineitem(spark: SparkSession, nRows: Long, outDir: String): Unit = {
+    val parts = spark.sparkContext.defaultParallelism * 2
+    val nPart = math.max(200L, nRows / 30)
+    val nSupp = math.max(10L, nRows / 600)
+    spark.range(0L, nRows, 1L, parts)
+      .select(
+        element_at(typedLit(Seq("A", "N", "N", "R")),
+          (pmod(xxhash64(col("id"), lit(1)), lit(4)) + 1).cast("int"))
+          .as("l_returnflag"),
+        pmod(xxhash64(col("id"), lit(2)), lit(nPart)).as("l_partkey"),
+        pmod(xxhash64(col("id"), lit(3)), lit(nSupp)).as("l_suppkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+  }
+
+  /** Generate a full probe dir at `mult` x the sf0.1 base (5 000 docs /
+    * 600 000 lineitem rows). */
+  def generate(spark: SparkSession, mult: Int, outDir: String): Unit = {
+    writeDocuments(spark, 5000L * mult, outDir)
+    writeLineitem(spark, 600000L * mult, outDir)
+  }
+}
