@@ -340,13 +340,14 @@ object Similarity {
 
   /** Product quantization (Jegou et al. 2011): the 64-dim vector splits
     * into PqM = 8 subspaces of 8 dims; each subspace gets its own
-    * 16-centroid codebook, so a vector compresses to 8 one-byte codes
-    * (64x smaller than the raw doubles). Queries scan the CODES with an
-    * ADC (asymmetric distance computation) lookup table — the 100 TB
-    * argument: the similarity scan reads 8 bytes/vector instead of 512,
-    * and the table of query-to-centroid distances (M x 16 doubles) is
-    * broadcast, so the scan stays embarrassingly parallel with no
-    * shuffle until the final per-query top-k.
+    * 256-centroid codebook (8-bit subquantizers — the paper's standard
+    * configuration), so a vector compresses to 8 one-byte codes (64-bit
+    * codes, 64x smaller than the raw doubles). Queries scan the CODES
+    * with an ADC (asymmetric distance computation) lookup table — the
+    * 100 TB argument: the similarity scan reads 8 bytes/vector instead
+    * of 512, and the table of query-to-centroid distances (M x 256
+    * doubles per query) is broadcast, so the scan stays embarrassingly
+    * parallel with no shuffle until the final per-query top-k.
     *
     * Shape here: codebooks train like IVF's (bounded deterministic
     * sample, Lloyd's on the driver); corpus encoding is M
@@ -358,23 +359,26 @@ object Similarity {
     * query); the final top-5 is an exact re-rank of the shortlist — the
     * standard two-stage PQ pipeline (full vectors are fetched for 64
     * rows per query, a vanishing fraction at scale). Recall@5 vs
-    * [[annTopK]] is 0.80 on the gate's near-random synthetic space
-    * (neighbor gaps ~0.01 cosine — the hard regime for 32-bit codes;
-    * PipelineOpsSpec pins >= 0.6). Exact-oracle checked: the codebooks
+    * [[annTopK]] on the gate's near-random synthetic space (neighbor
+    * gaps ~0.01 cosine — the hard regime) went 0.80 -> 0.98 when the
+    * subquantizers moved from 4-bit to these 8-bit codebooks;
+    * PipelineOpsSpec pins >= 0.8. Exact-oracle checked: the codebooks
     * interpolate into DuckDB as VALUES literals ([[pqOracleSelect]]),
     * which replays assignment, lookup, shortlist, and re-rank
     * bit-for-bit. */
   private val PqM = 8       // subspaces
   private val PqSub = 8     // dims per subspace (PqM * PqSub = 64)
-  private val PqK = 16      // centroids per subspace
+  private val PqK = 256     // centroids per subspace (8-bit codes)
 
   /** Per-subspace deterministic Lloyd's — same bounded-sample regime as
-    * [[trainCodebook]], one codebook per subspace over its 8-dim slice. */
+    * [[trainCodebook]], one codebook per subspace over its 8-dim slice.
+    * Sample is PqK x 20 = 5 120 rows (driver-side Lloyd's stays ~1 s at
+    * any corpus size — the bounded-collect argument). */
   private def trainPqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
     val iters = 8
     val sample: Array[Array[Double]] = e
       .withColumn("hk", xxhash64(col("vec_id")))
-      .orderBy("hk").limit(PqK * 100)
+      .orderBy("hk").limit(PqK * 20)
       .collect().map(_.getSeq[Double](1).toArray)
     Array.tabulate(PqM) { j =>
       val sub = sample.map(v => v.slice(j * PqSub, (j + 1) * PqSub))

@@ -202,7 +202,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach { case (_, nb, ppl, _) => assert(nb > 0 && ppl > 0) }
   }
 
-  test("pq ann: recall@5 >= 0.6 vs exact top-k; well-formed ranking") {
+  test("pq ann: recall@5 >= 0.8 vs exact top-k; well-formed ranking") {
     val exact = graft.operators.Similarity.annTopK(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -214,7 +214,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = pq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val recall = exact.keys.toSeq
       .map(q => (exact(q) & got(q)).size / 5.0).sum / exact.size
-    assert(recall >= 0.6, s"recall@5 $recall")
+    assert(recall >= 0.8, s"recall@5 $recall")
   }
 
   test("semdedup: removals are true cosine pairs and keepers precede") {
