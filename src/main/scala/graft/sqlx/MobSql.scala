@@ -26,6 +26,15 @@ object MobSql {
   private val createIndexRe =
     """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+TRTREE\s*\(\s*(\w+)\s*\)\s*;?\s*$""".r
 
+  /** Layout bookkeeping for the maintenance surface: the clustered dir
+    * plus any un-clustered append tails currently read alongside it
+    * (the immutable-files answer to the reference R-tree's
+    * Insert/Append, rtree_module.cpp:106-261). */
+  private final case class LayoutState(boxCol: String, layoutDir: String,
+                                       tailDirs: List[String])
+  private val layouts =
+    new java.util.concurrent.ConcurrentHashMap[String, LayoutState]()
+
   /** Run one statement of the reference dialect. */
   def run(spark: SparkSession, sql: String): DataFrame = sql match {
     case createIndexRe(idxName, table, boxCol) =>
@@ -35,16 +44,30 @@ object MobSql {
       spark.sql(SqlRewriter.rewrite(other))
   }
 
-  private def createTrtreeLayout(spark: SparkSession, idxName: String,
-                                 table: String, boxCol: String): Unit = {
-    val df = spark.table(table)
+  /** Leading cluster keys: spatial min if the box has one, then time. */
+  private def clusterKeys(df: DataFrame, boxCol: String) = {
     val st = df.schema(boxCol).dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // leading cluster keys: spatial min if the box has one, then time
     val keys = Seq("xmin", "tmin", "lower")
       .filter(st.fieldNames.contains)
       .map(f => col(s"$boxCol.$f"))
     require(keys.nonEmpty, s"$boxCol has no box/span min fields to cluster on")
+    keys
+  }
+
+  /** Re-bind the table view to the layout plus its append tails. */
+  private def bind(spark: SparkSession, table: String,
+                   st: LayoutState): Unit = {
+    val full = st.tailDirs.foldLeft(spark.read.parquet(st.layoutDir)) {
+      (d, t) => d.unionByName(spark.read.parquet(t))
+    }
+    full.createOrReplaceTempView(table)
+  }
+
+  private def createTrtreeLayout(spark: SparkSession, idxName: String,
+                                 table: String, boxCol: String): Unit = {
+    val df = spark.table(table)
+    val keys = clusterKeys(df, boxCol)
     // fresh path per build: a re-issued CREATE INDEX would otherwise read
     // and overwrite the same parquet dir the view is bound to, which
     // Spark rejects ("Cannot overwrite a path that is also being read
@@ -55,6 +78,53 @@ object MobSql {
     df.repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir).createOrReplaceTempView(table)
+    val st = LayoutState(boxCol, dir, Nil)
+    layouts.put(table, st)
+    bind(spark, table, st)
+  }
+
+  /** Index maintenance, append half: new rows land in an UN-CLUSTERED
+    * tail dir and the view becomes layout UNION ALL tails — writes stay
+    * O(batch), readers see the rows immediately, and pruning on the
+    * clustered part is untouched (the tails scan unpruned until the
+    * next [[compactLayout]]). This is the documented SURVEY §8f.9
+    * story for the reference's R-tree Insert/Append. */
+  def appendToLayout(spark: SparkSession, table: String,
+                     rows: DataFrame): Unit = {
+    val st = layouts.get(table)
+    require(st != null, s"$table has no TRTREE layout to append to")
+    val dir = new java.io.File(
+      s"target/trtree_${table}_tail_${buildSeq.incrementAndGet()}")
+      .getAbsolutePath
+    rows.write.mode("overwrite").parquet(dir)
+    val st2 = st.copy(tailDirs = st.tailDirs :+ dir)
+    layouts.put(table, st2)
+    bind(spark, table, st2)
+  }
+
+  /** Index maintenance, re-layout half: merge the append tails back
+    * into ONE range-clustered layout (fresh dir, same cluster keys) and
+    * re-bind the view — after this every row is behind tight row-group
+    * min/max statistics again. Row-preserving by construction (one
+    * repartitionByRange over the union); idempotent (compacting a
+    * compacted table just rewrites it). The 100 TB cadence is the
+    * standard LSM-ish one: appends amortize O(batch), one re-layout
+    * pass per maintenance window pays O(table) — exactly what the
+    * reference's BulkConstruct does on its side of the
+    * immutable/mutable divide. */
+  def compactLayout(spark: SparkSession, table: String): Unit = {
+    val st = layouts.get(table)
+    require(st != null, s"$table has no TRTREE layout to compact")
+    val df = spark.table(table) // layout ∪ tails, as currently bound
+    val keys = clusterKeys(df, st.boxCol)
+    val dir = new java.io.File(
+      s"target/trtree_${table}_compact_${buildSeq.incrementAndGet()}")
+      .getAbsolutePath
+    df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(dir)
+    val st2 = LayoutState(st.boxCol, dir, Nil)
+    layouts.put(table, st2)
+    bind(spark, table, st2)
   }
 }

@@ -247,6 +247,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.count() > 0)
   }
 
+  test("TRTREE compact restores pushed-filter pruning over appended rows") {
+    // append leaves a tail scanned unpruned alongside the layout;
+    // compact must fold it back so the WHOLE table is again behind one
+    // clustered scan with pushed min/max filters on the box fields
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(
+      s"""SELECT id, to_stbox(tgeompoint(st_point(cast(id % 50 AS double),
+            cast(id % 31 AS double)), timestamp'2024-01-01')) AS box
+          FROM range(500) t(id)""").createOrReplaceTempView("compact_tab")
+    graft.sqlx.MobSql.run(spark,
+      "CREATE INDEX idx_ct ON compact_tab USING TRTREE(box)")
+    graft.sqlx.MobSql.appendToLayout(spark, "compact_tab", spark.sql(
+      s"""SELECT id, to_stbox(tgeompoint(st_point(cast(id % 50 AS double),
+            cast(id % 31 AS double)), timestamp'2024-01-01')) AS box
+          FROM range(500, 600) t(id)"""))
+    val sql =
+      """SELECT id FROM compact_tab
+         WHERE box && stbox('STBOX X((10.0,10.0),(20.0,20.0))')"""
+    val rowsBefore = graft.sqlx.MobSql.run(spark, sql)
+      .collect().map(_.getLong(0)).sorted
+    graft.sqlx.MobSql.compactLayout(spark, "compact_tab")
+    val q = graft.sqlx.MobSql.run(spark, sql)
+    // identical rows before/after the re-layout
+    assert(q.collect().map(_.getLong(0)).sorted.sameElements(rowsBefore))
+    val f = formatted(q)
+    // single clustered scan again: pushed filters present, no union
+    assert(f.contains("PushedFilters") && f.contains("box.xmin"), f.take(2000))
+    assert(!f.contains("Union"), f.take(2000))
+  }
+
   test("derived range filters keep mixed-dimension boxes (per-row flag guard)") {
     // overlapsST skips a dimension absent on EITHER side: a T-only row box
     // can overlap an XT literal via time alone. The derived xmin/xmax

@@ -55,4 +55,31 @@ class RewriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("idx_t").count() == afterFirst)
     assert(afterFirst == 3)
   }
+
+  test("append -> compact cycle: rows preserved, compact idempotent") {
+    def mk(ids: Seq[Int]) = spark
+      .createDataFrame(ids.map(i => (i, i * 1.0, i * 1.0 + 1)))
+      .toDF("id", "xmin", "xmax")
+      .selectExpr("id", "named_struct('xmin', xmin, 'xmax', xmax) AS box")
+    mk(1 to 100).createOrReplaceTempView("maint_t")
+    MobSql.run(spark, "CREATE INDEX m1 ON maint_t USING TRTREE(box)")
+    // two append batches: visible immediately through the view
+    MobSql.appendToLayout(spark, "maint_t", mk(101 to 110))
+    MobSql.appendToLayout(spark, "maint_t", mk(111 to 115))
+    val before = spark.table("maint_t").collect().map(_.toString).sorted
+    assert(before.length == 115)
+    // compact merges the tails into one clustered layout: identical rows
+    MobSql.compactLayout(spark, "maint_t")
+    val after = spark.table("maint_t").collect().map(_.toString).sorted
+    assert(before.sameElements(after))
+    // idempotent: compacting a compacted table keeps the rows
+    MobSql.compactLayout(spark, "maint_t")
+    assert(spark.table("maint_t").collect().map(_.toString).sorted
+      .sameElements(before))
+    // and the cycle composes: append after compact still works
+    MobSql.appendToLayout(spark, "maint_t", mk(116 to 120))
+    assert(spark.table("maint_t").count() == 120)
+    MobSql.compactLayout(spark, "maint_t")
+    assert(spark.table("maint_t").count() == 120)
+  }
 }
