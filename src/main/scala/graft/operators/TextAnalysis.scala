@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.util.Tables
 
 /** Text analysis for training-data pipelines over `documents`:
-  * quality scoring, token counting (whitespace + BPE-ish regex),
+  * quality scoring, token counting (whitespace + BPE-ish regex + a
+  * LEARNED BPE tokenizer with a deterministic in-repo learner),
   * stopword-profile language ID, and document fingerprinting.
   *
   * Every metric is a pure column expression (whole-stage codegen, no
@@ -426,7 +427,165 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- learned BPE tokenizer -------------------------------------------
+
+  /** Deterministic BPE learner (Sennrich et al. 2016) over the corpus
+    * word-frequency table: start from characters, repeatedly merge the
+    * highest-frequency adjacent symbol pair (ties broken
+    * lexicographically — no randomness anywhere), [[BpeMerges]] merges.
+    * The frequency table is a BOUNDED deterministic collect (top 4 096
+    * words by count — the codebook-training argument: vocabulary is
+    * Heaps-sublinear in the corpus and the learner needs only its
+    * head), so driver-side work is constant at any corpus size. */
+  private[graft] val BpeMerges = 20
+  private[graft] val BpeSteps = 8 // >= max word length - 1 in the corpus
+
+  private[graft] def learnBpe(s: SparkSession, d: String): Seq[(String, String)] = {
+    val freqs: Array[(Array[String], Long)] = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(4096)
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    var words = freqs
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    var done = false
+    while (k < BpeMerges && !done) {
+      val pc = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pc(p) = pc.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        words = words.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 &&
+                syms(i + 1) == best._2) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, c)
+        }
+      }
+      k += 1
+    }
+    merges.toSeq
+  }
+
+  private val trainedBpe =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** Learned merges for the oracle interpolation (populated by the
+    * session's bpe query runs; empty before — the driver always runs
+    * queries before dumping oracles). */
+  private[graft] def bpeMergeList: Seq[(String, String)] =
+    Option(trainedBpe.get("m")).getOrElse(Seq.empty)
+
+  /** One merge-application step as a SQL expression over a `syms`
+    * array column: find the LOWEST-RANK applicable merge (rank = 1-based
+    * position in the keys literal), leftmost occurrence, and merge that
+    * one pair. [[BpeSteps]] chained applications reach the fixed point
+    * for every corpus word (max word length 8). Pure higher-order
+    * functions — codegen, no UDF; the DuckDB oracle replays the same
+    * step as a bounded recursive CTE. */
+  private def bpeStepSql(keysLit: String): String = {
+    // array_position returns 0 (not NULL) for an absent pair on BOTH
+    // engines — nullif maps it to the no-merge sentinel
+    val ranks = s"""transform(sequence(1, size(syms) - 1),
+       i -> coalesce(nullif(array_position($keysLit,
+              concat(element_at(syms, cast(i as int)), char(31),
+                     element_at(syms, cast(i as int) + 1))), 0L), 1000000L))"""
+    val imin = s"cast(array_position($ranks, array_min($ranks)) as int)"
+    s"""CASE WHEN size(syms) < 2 OR array_min($ranks) = 1000000L THEN syms
+        ELSE concat(
+          slice(syms, 1, $imin - 1),
+          array(concat(element_at(syms, $imin),
+                       element_at(syms, $imin + 1))),
+          slice(syms, $imin + 2, size(syms)))
+        END"""
+  }
+
+  /** (word, n_bpe) token lengths for every distinct corpus word: the
+    * vocabulary table (Heaps-sublinear in the corpus) carries the BPE
+    * state; the corpus itself is only ever exploded and hash-joined
+    * against this broadcastable table — token economics at 100 TB
+    * without running the tokenizer over every occurrence. */
+  private def bpeWordLens(s: SparkSession, d: String): DataFrame = {
+    val merges = trainedBpe.computeIfAbsent("m", _ => learnBpe(s, d))
+    val keysLit = merges
+      .map { case (l, r) => s"'$l\u001f$r'" }
+      .mkString("array(", ", ", ")")
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, cast(i as int), 1))"))
+    val merged = (1 to BpeSteps).foldLeft(words) { (df, _) =>
+      df.withColumn("syms", expr(bpeStepSql(keysLit)))
+    }
+    merged.select(col("w"), size(col("syms")).as("n_bpe"))
+  }
+
+  /** Corpus token economics under the LEARNED BPE tokenizer, per
+    * language: whitespace words vs BPE tokens and the compression
+    * ratio — the real version of [[tokenCounts]]'s regex stand-in.
+    * Plan: vocabulary-sized BPE table broadcast onto the exploded
+    * corpus, one partial+final aggregate. */
+  def bpeTokenCounts(s: SparkSession, d: String): DataFrame = {
+    val lens = bpeWordLens(s, d)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(lens), "w")
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("word_tokens"),
+        sum("n_bpe").as("bpe_tokens"))
+      .withColumn("bpe_per_word",
+        round(col("bpe_tokens").cast("double") / col("word_tokens"), 4))
+      .orderBy("lang")
+  }
+
+  /** [[graft.operators.Quality.packSequences]] on LEARNED-BPE token
+    * counts (512-token packs): the pack boundaries a trainer would
+    * actually see. Same per-lang window shape — embarrassingly
+    * parallel across language shards. */
+  def bpePackSequences(s: SparkSession, d: String): DataFrame = {
+    val lens = bpeWordLens(s, d)
+    val docTokens = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(lens), "w")
+      .groupBy("lang", "doc_id")
+      .agg(sum("n_bpe").as("n_tokens"))
+    val seqLen = 512
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docTokens
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $seqLen"))
+      .groupBy("lang", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_token_counts" -> (bpeTokenCounts _),
+    "text_bpe_pack" -> (bpePackSequences _),
     "text_ngram_novelty" -> (ngramNovelty _),
     "text_mix_budget" -> (mixBudget _),
     "text_inverted_index" -> (invertedIndex _),
@@ -442,7 +601,67 @@ object TextAnalysis {
     "text_sample_weighted" -> (sampleWeighted _),
     "text_drift_psi" -> (driftPsi _))
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB replay of the learned tokenizer: merges interpolated as a
+    * rank-ordered key list (rank = 1-based list position — the same
+    * encoding the Spark side uses), application replayed as a bounded
+    * recursive CTE running the IDENTICAL leftmost-lowest-rank step
+    * [[BpeSteps]] times. All outputs integer (plus one 4dp ratio) —
+    * exact oracle. */
+  private def bpeOracleSql(select: String): String = {
+    val ksLit = bpeMergeList
+      .map { case (l, r) => s"('$l' || chr(31) || '$r')" } match {
+      case Nil => "[]::VARCHAR[]"
+      case ks => ks.mkString("[", ", ", "]")
+    }
+    val rk = s"""list_transform(generate_series(1, len(s) - 1),
+       i -> coalesce(nullif(list_position($ksLit,
+              s[i] || chr(31) || s[i + 1]), 0), 1000000))"""
+    val imin = s"list_position($rk, list_min($rk))"
+    s"""WITH RECURSIVE
+       words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+       syms0 AS (SELECT w, list_transform(generate_series(1, length(w)),
+                   i -> w[i:i]) AS s FROM words),
+       it AS (
+         SELECT w, s, 0 AS step FROM syms0
+         UNION ALL
+         SELECT w,
+           CASE WHEN len(s) < 2 OR list_min($rk) = 1000000 THEN s
+                ELSE s[1:$imin - 1] || [s[$imin] || s[$imin + 1]]
+                     || s[$imin + 2:]
+           END AS s,
+           step + 1
+         FROM it WHERE step < $BpeSteps),
+       lens AS (SELECT w, len(s) AS n_bpe FROM it WHERE step = $BpeSteps),
+       tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+       $select"""
+  }
+
+  /** `def`, not `val`: the BPE oracles interpolate the merges LEARNED
+    * by the session's query runs (the codebook convention). */
+  def oracles: Map[String, String] = Map(
+    "text_bpe_token_counts" -> bpeOracleSql(
+      """SELECT lang, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS word_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(n_bpe) AS DOUBLE) / count(*), 4) AS bpe_per_word
+         FROM tok JOIN lens USING (w)
+         GROUP BY lang ORDER BY lang"""),
+    "text_bpe_pack" -> bpeOracleSql(
+      """SELECT lang, (cum - n_tokens) // 512 AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM (
+           SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM (
+             SELECT lang, doc_id, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+             FROM tok JOIN lens USING (w) GROUP BY 1, 2))
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
     "text_ngram_novelty" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks
