@@ -286,8 +286,17 @@ object Sketches {
     val pairs = srcs.select(col("source").as("src_a"))
       .crossJoin(srcs.select(col("source").as("src_b")))
       .filter(col("src_a") < col("src_b"))
-    val merged = pairs.join(syn,
-        col("source") === col("src_a") || col("source") === col("src_b"))
+    // two-branch union of EQUI-joins (not one OR-condition join, which
+    // can only plan as broadcast-NL): each branch hash-joins the pair
+    // dimension on one side's key, so the plan stays hash-joinable if
+    // the source dimension ever grows; syn is persisted, so the two
+    // branches reuse one synopsis materialization
+    val merged = pairs
+      .join(syn.withColumnRenamed("source", "src_a"), "src_a")
+      .select("src_a", "src_b", "h")
+      .unionByName(pairs
+        .join(syn.withColumnRenamed("source", "src_b"), "src_b")
+        .select("src_a", "src_b", "h"))
       .groupBy("src_a", "src_b", "h")
       .agg(count(lit(1)).as("n_src"))
     val wp = Window.partitionBy("src_a", "src_b").orderBy("h")
