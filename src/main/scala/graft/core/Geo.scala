@@ -666,10 +666,13 @@ object Crs {
       case etrs if etrs >= 25828 && etrs <= 25838 => etrsUtm(etrs, lon, lat)
       case utmZone if (utmZone >= 32601 && utmZone <= 32660) ||
         (utmZone >= 32701 && utmZone <= 32760) => utm(utmZone, lon, lat)
-      case other => throw new IllegalArgumentException(
-        s"transform: unsupported target SRID $other (supported: 4326, " +
-          "3857, 3812, 2154, 3035, 27700, ETRS89 UTM 25828-25838, " +
-          "UTM 32601-32660/32701-32760)")
+      case other => EpsgRegistry.forward(other, lon, lat).getOrElse(
+        throw new IllegalArgumentException(
+          s"transform: unsupported target SRID $other (supported: the " +
+            "compiled-in codes — 4326, 3857, 3812, 2154, 3035, 27700, " +
+            "ETRS89 UTM 25828-25838, UTM 32601-32660/32701-32760 — plus " +
+            "the EpsgRegistry table: national grids, polar/equal-area " +
+            "families, geographic datum codes)"))
     }
 
   /** Projected point in `fromSrid` → lon/lat (4326): the inverse of
@@ -694,8 +697,9 @@ object Crs {
         val zone = utmZone - (if (south) 32700 else 32600)
         TransverseMercator.inverse(zone * 6 - 183, 0.9996,
           x - 500000.0, y - (if (south) 10000000.0 else 0.0))
-      case other => throw new IllegalArgumentException(
-        s"transform: unsupported source SRID $other")
+      case other => EpsgRegistry.inverse(other, x, y).getOrElse(
+        throw new IllegalArgumentException(
+          s"transform: unsupported source SRID $other"))
     }
 
   /** Arbitrary supported-pair transform via the 4326 pivot — the

