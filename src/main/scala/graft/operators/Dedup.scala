@@ -38,6 +38,49 @@ object Dedup {
         sum(when(col("rn") > 1, 1).otherwise(0)).as("n_removed"))
   }
 
+  // ---- paragraph-level dedup (the CCNet/Dolma pass: drop repeated ----
+  // ---- paragraphs corpus-wide, keep the earliest occurrence)      ----
+
+  /** Paragraph-level exact dedup: the corpus-wide pass CCNet and Dolma
+    * run before document-level dedup — every paragraph is hashed, only
+    * the EARLIEST occurrence (min (doc_id, pos)) survives, and each
+    * document reports how much of it was duplicated text. The synthetic
+    * corpus has no newlines, so "paragraph" = non-overlapping 10-word
+    * chunk (deterministic and SQL-expressible; on real data the split
+    * would be `\n\n`).
+    *
+    * Scale shape: one explode (pure map), one groupBy(h) with a
+    * partial+final `min(struct(doc_id, pos))` (mergeable — no skew risk
+    * beyond a degenerate all-equal corpus), one equi-join back on the
+    * hash, one per-doc agg: the word-count shuffle class, all stages
+    * codegen. md5 is the paragraph key for oracle parity (DuckDB has no
+    * xxhash64); at 100 TB the key would be xxhash64 (8 B vs 32 B
+    * shuffle rows) with md5 only on residual collisions. */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val paras = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(floor((size(toks) - 1) / 10) as int)),
+           i -> struct(i as pos,
+                       concat_ws(' ', slice(toks, i * 10 + 1, 10)) as para))"""))
+        .as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.para").as("para"))
+      .filter(length(col("para")) > 0)
+      .withColumn("h", md5(col("para")))
+    val firsts = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    paras.join(firsts, "h")
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_paras"),
+        sum(when(col("kept"), length(col("para")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy("doc_id")
+  }
+
   // ---- word 3-gram shingles (shared by jaccard + minhash) ----
 
   /** (doc_id, shingle-hash) pairs, distinct. Shingles are 3-word
@@ -793,6 +836,7 @@ object Dedup {
     "dedup_substring" -> (substringDedup _),
     "dedup_contamination" -> (contamination _),
     "dedup_exact" -> (exact _),
+    "dedup_paragraph" -> (paragraphDedup _),
     "dedup_jaccard" -> (jaccard _),
     "dedup_jaccard_curve" -> (jaccardCurve _),
     "dedup_containment" -> (containment _),
@@ -969,6 +1013,27 @@ object Dedup {
          FROM tr JOIN ev USING (sh)
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY 1, 2""",
+    "dedup_paragraph" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         paras AS (
+           SELECT doc_id, i.i AS pos,
+             array_to_string(toks[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS para
+           FROM toks, LATERAL (SELECT unnest(
+             range((len(toks) - 1) // 10 + 1)) AS i) i),
+         h AS (
+           SELECT doc_id, pos, para, md5(para) AS h
+           FROM paras WHERE len(para) > 0),
+         marked AS (
+           SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           FROM h)
+         SELECT doc_id, count(*) AS n_paras,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN len(para) ELSE 0 END) AS BIGINT)
+             AS kept_chars
+         FROM marked GROUP BY doc_id ORDER BY doc_id""",
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
          r AS (SELECT h, row_number() OVER (PARTITION BY h ORDER BY doc_id) rn FROM h)

@@ -473,6 +473,95 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ composite (the faiss IndexIVFPQ shape, Jegou et al. 2011
+    * §V): an IVF coarse quantizer restricts the scan to nprobe cells AND
+    * the in-cell scan reads 8-byte PQ codes of the RESIDUAL (v - cell
+    * centroid) instead of raw vectors — the standard billion-scale
+    * layout (residuals have ~1/k the variance of raw vectors, so the
+    * same 64-bit budget quantizes much finer).
+    *
+    * 100 TB shape: corpus written partitioned by cell with codes beside
+    * ids (8 B + id per vector); a query reads nprobe/k of THAT — the two
+    * reductions multiply (nprobe/k of the corpus x 64x smaller rows).
+    * Both codebooks are bounded driver-side samples (same regime as
+    * [[trainCodebook]]/[[trainPqCodebooks]]); the ADC table
+    * (queries x nprobe x M x 256 rows) is broadcast; scoring is an
+    * equi-join on (cell, j, code) + partial-final sum; the exact re-rank
+    * touches 64 full vectors per query. Exact-oracled:
+    * [[ivfPqOracleSelect]] interpolates BOTH codebooks and replays
+    * assignment, residual encoding, ADC, shortlist, and re-rank. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    import s.implicits._
+    // normalize first: ADC then ranks by L2 on the unit sphere, which is
+    // monotone in cosine (same argument as annPq)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
+      .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
+    val cents = trainCodebook(e)
+    trainedCodebooks.put("ann_ivfpq", cents)
+    val cellsDf = cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c")
+    // residual encode: r = v - centroid(cell)
+    val withCell = e.withColumn("cell", nearestCell(cents)(col("v")))
+    val res = withCell.join(broadcast(cellsDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
+    val cbs = trainPqCodebooks(res.select(col("vec_id"), col("r")))
+    trainedPq.put("ann_ivfpq", cbs)
+    val codeCols = (0 until PqM).map { j =>
+      struct(lit(j).as("j"),
+        call_function("vec_nearest_cell",
+          slice(col("r"), j * PqSub + 1, PqSub),
+          typedLit(cbs(j).flatten.toSeq)).as("code"))
+    }
+    val codes = res
+      .select(col("vec_id"), col("cell"), explode(array(codeCols: _*)).as("jc"))
+      .select(col("vec_id"), col("cell"), col("jc.j").as("j"),
+        col("jc.code").as("code"))
+    // query ADC: per probed cell, the lookup is against the QUERY residual
+    // in that cell — (query, cell, j, code) -> quantized subspace distance
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("j", "code", "cc")
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(probeCells(cents, IvfNProbe)(col("v"))).as("cell"))
+      .join(broadcast(cellsDf), "cell")
+      .select(col("query_id"), col("qv"), col("cell"),
+        expr("zip_with(qv, c, (x, y) -> x - y)").as("qr"))
+    val adc = q.crossJoin(cbRows)
+      .select(col("query_id"), col("cell"), col("j"), col("code"),
+        round(expr("aggregate(zip_with(slice(qr, j * 8 + 1, 8), cc," +
+          " (x, y) -> (x - y) * (x - y)), 0d, (acc, t) -> acc + t)"), 6)
+          .as("dsub"))
+    val scored = codes.join(broadcast(adc), Seq("cell", "j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dsub").as("d2"))
+    val wd = Window.partitionBy("query_id")
+      .orderBy(round(col("d2"), 6).asc, col("vec_id").asc)
+    val shortlist = scored
+      .withColumn("adc_rank", row_number().over(wd))
+      .filter(col("adc_rank") <= 64)
+      .select("query_id", "vec_id")
+    val qFull = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv2"))
+    val rerank = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("cos", dot(col("v"), col("qv2")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    rerank
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Sign-LSH bucketed near-duplicate PAIRS (cos >= 0.4) — the sublinear
     * 100 TB path for embedding dedup: candidates must share >= 7 of 8
     * projection signs (own bucket + 1-bit flips), so the corpus
@@ -730,6 +819,7 @@ object Similarity {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_bucketed" -> (annIvfBucketed _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "dedup_semantic" -> (semDedup _),
     "dedup_emb_lsh" -> (embLshPairs _),
     "emb_lang_centroids" -> (embLangCentroids _))
@@ -861,6 +951,94 @@ object Similarity {
        scored AS (
          SELECT a.query_id, c.vec_id, sum(a.dsub) AS d2
          FROM codes c JOIN adc a ON a.j = c.j AND a.code = c.code
+         WHERE c.vec_id <> a.query_id
+         GROUP BY 1, 2),
+       shortlist AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(d2, 6) ASC, vec_id ASC) AS adc_rank
+           FROM scored) WHERE adc_rank <= 64),
+       rerank AS (
+         SELECT s.query_id, s.vec_id AS neighbor_id,
+           list_dot_product(e.v, qe.v) AS cos
+         FROM shortlist s
+         JOIN emb e ON e.vec_id = s.vec_id
+         JOIN emb qe ON qe.vec_id = s.query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+         FROM rerank)
+       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** IVF-PQ oracle: BOTH codebooks ride along as VALUES literals; DuckDB
+    * re-derives normalization, cell assignment, residual encoding, the
+    * per-cell query-residual ADC table, the compressed shortlist, and the
+    * exact re-rank — the full two-quantizer pipeline, bit-for-bit. */
+  private def ivfPqOracleSelect(cents: Array[Array[Double]],
+                                cbs: Array[Array[Array[Double]]]): String = {
+    val cellVals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
+      .mkString(",\n")
+    val cbVals = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) =>
+        s"($j, $code, ${c.mkString("[", ",", "]")})"
+      }
+    }.mkString(",\n")
+    s"""WITH cells(cell, c) AS (VALUES $cellVals),
+       cb(j, code, cc) AS (VALUES $cbVals),
+       emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       emb AS (SELECT vec_id, list_transform(v0,
+           x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM emb0),
+       dist AS (
+         SELECT e.vec_id, e.v, cl.cell, cl.c,
+           list_sum(list_transform(generate_series(1, len(cl.c)),
+             i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
+         FROM emb e CROSS JOIN cells cl),
+       rk AS (
+         SELECT vec_id, v, cell, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+         FROM dist),
+       assigned AS (
+         SELECT vec_id, v, cell,
+           list_transform(generate_series(1, len(c)),
+             i -> v[i] - c[i]) AS r
+         FROM rk WHERE rk = 1),
+       sub AS (
+         SELECT vec_id, cell, js.j, r[js.j * 8 + 1 : js.j * 8 + 8] AS sv
+         FROM assigned, (SELECT unnest(range(8)) AS j) js),
+       cdist AS (
+         SELECT s.vec_id, s.cell, s.j, cb.code,
+           list_sum(list_transform(generate_series(1, 8),
+             i -> (s.sv[i] - cb.cc[i]) * (s.sv[i] - cb.cc[i]))) AS d2
+         FROM sub s JOIN cb ON cb.j = s.j),
+       codes AS (
+         SELECT vec_id, cell, j, code FROM (
+           SELECT vec_id, cell, j, code,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code)
+               AS rk
+           FROM cdist) WHERE rk = 1),
+       q AS (
+         SELECT a.vec_id AS query_id, a.v AS qv, r.cell,
+           list_transform(generate_series(1, len(r.c)),
+             i -> a.v[i] - r.c[i]) AS qr
+         FROM assigned a JOIN rk r ON r.vec_id = a.vec_id AND r.rk <= $IvfNProbe
+         WHERE a.vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
+       qsub AS (
+         SELECT query_id, cell, js.j, qr[js.j * 8 + 1 : js.j * 8 + 8] AS sv
+         FROM q, (SELECT unnest(range(8)) AS j) js),
+       adc AS (
+         SELECT s.query_id, s.cell, s.j, cb.code,
+           round(list_sum(list_transform(generate_series(1, 8),
+             i -> (s.sv[i] - cb.cc[i]) * (s.sv[i] - cb.cc[i]))), 6) AS dsub
+         FROM qsub s JOIN cb ON cb.j = s.j),
+       scored AS (
+         SELECT a.query_id, c.vec_id, sum(a.dsub) AS d2
+         FROM codes c
+         JOIN adc a ON a.cell = c.cell AND a.j = c.j AND a.code = c.code
          WHERE c.vec_id <> a.query_id
          GROUP BY 1, 2),
        shortlist AS (
@@ -1029,6 +1207,10 @@ object Similarity {
     }.toMap ++
     Option(trainedPq.get("ann_pq"))
       .map(c => "ann_pq" -> pqOracleSelect(c)).toMap ++
+    (for {
+      cents <- Option(trainedCodebooks.get("ann_ivfpq"))
+      cbs <- Option(trainedPq.get("ann_ivfpq"))
+    } yield "ann_ivfpq" -> ivfPqOracleSelect(cents, cbs)).toMap ++
     Option(trainedCodebooks.get("dedup_semantic"))
       .map(c => "dedup_semantic" -> semDedupOracle(c)).toMap
 }

@@ -217,6 +217,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall@5 $recall")
   }
 
+  test("ivfpq ann: recall@5 vs exact top-k; IVF pruning bounds candidates") {
+    val exact = graft.operators.Similarity.annTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfpq = graft.operators.Similarity.annIvfPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    ivfpq.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to 5), s"query $q ranks")
+    }
+    val got = ivfpq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // IVF pruning (nprobe 6 of 32 cells) caps attainable recall below
+    // plain PQ's on this near-random space; measured 0.64 at sf0.001 —
+    // IDENTICAL to the ivf-only query's 0.64, i.e. the residual-PQ stage
+    // loses nothing within the probed cells (8-bit codes + 64-deep exact
+    // re-rank), coarse pruning is the binding constraint
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & got(q)).size / 5.0).sum / exact.size
+    assert(recall >= 0.5, s"recall@5 $recall")
+  }
+
   test("semdedup: removals are true cosine pairs and keepers precede") {
     val removed = graft.operators.Similarity.semDedup(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
