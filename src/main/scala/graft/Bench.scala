@@ -169,8 +169,11 @@ object Bench {
       (for (mult <- Seq(10, 100)) yield {
         val dir = s"/tmp/graft_synth_${mult}x"
         graft.scale.SynthCorpus.generate(spark, mult, dir)
+        // ANN layouts are load phase (matches the sfDir warm-up builds)
+        graft.scale.PipelineScaleProbe.buildAnnLayouts(spark, dir)
         minPerQuery(timed(
-          graft.scale.PipelineScaleProbe.probeQueries.map { n =>
+          (graft.scale.PipelineScaleProbe.probeQueries ++
+            graft.scale.PipelineScaleProbe.annProbeQueries).map { n =>
             s"${n}_${mult}x" ->
               (() => { SparkEntry.queries(n)(spark, dir).count(); () })
           }))

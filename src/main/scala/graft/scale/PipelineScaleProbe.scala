@@ -21,6 +21,21 @@ object PipelineScaleProbe {
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_substring", "text_tfidf", "sketch_kmv_grouped")
 
+  /** ANN-family probe (r7): brute-force baseline vs the three pruned
+    * paths, plus the paragraph pass — run against the synthetic
+    * embeddings/documents at 10x/100x. The write-time layouts
+    * (LSH/IVF partition dirs) are built UNTIMED before the query
+    * timings, like the BerlinMOD load and the bench warm-up builds. */
+  val annProbeQueries: Seq[String] = Seq(
+    "ann_topk", "ann_lsh_bucketed", "ann_ivf_bucketed", "ann_ivfpq",
+    "dedup_paragraph")
+
+  /** Load-phase builds for [[annProbeQueries]] over `dir`. */
+  def buildAnnLayouts(spark: SparkSession, dir: String): Unit = {
+    graft.operators.Similarity.buildLshLayout(spark, dir)
+    graft.operators.Similarity.buildIvfLayout(spark, dir)
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toInt else 10
     val passes = if (args.length > 1) args(1).toInt else 2
@@ -39,8 +54,9 @@ object PipelineScaleProbe {
     val tG0 = System.nanoTime()
     SynthCorpus.generate(spark, mult, dir)
     val genSec = (System.nanoTime() - tG0) / 1e9
+    buildAnnLayouts(spark, dir)
     val times = (for (_ <- 1 to passes) yield {
-      probeQueries.map { n =>
+      (probeQueries ++ annProbeQueries).map { n =>
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(n)(spark, dir).count()
         spark.catalog.clearCache()

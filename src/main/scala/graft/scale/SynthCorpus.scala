@@ -129,10 +129,45 @@ object SynthCorpus {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
   }
 
+  /** Write `embeddings.parquet` (vec_id, 64-dim float vector, label)
+    * with `nVecs` rows — the ANN-family probe corpus. Vectors are a pure
+    * splitmix64 function of vec_id: 32 latent clusters (center 0.8 +
+    * per-dim noise 0.35, both uniform [-1,1]) so the IVF coarse
+    * quantizer has real structure to find, matching the driver table's
+    * labeled-cluster shape. Generation is one mapPartitions over
+    * spark.range — no data movement, no driver materialization. */
+  def writeEmbeddings(spark: SparkSession, nVecs: Long, outDir: String): Unit = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 2
+    val dim = 64
+    val nClusters = 32
+    spark.range(0L, nVecs, 1L, parts).mapPartitions { it =>
+      it.map { i =>
+        val g = fm(mix(i ^ 0x6C62272E07BB0142L), nClusters)
+        val v = new Array[Float](dim)
+        var s = mix(i ^ 0x27D4EB2F165667C5L)
+        var k = 0
+        while (k < dim) {
+          val cRaw = mix((g.toLong * dim + k) ^ 0x165667B19E3779F9L)
+          val c = (Math.floorMod(cRaw, 2001L) - 1000L) / 1000.0
+          s = mix(s)
+          val noise = (Math.floorMod(s, 2001L) - 1000L) / 1000.0
+          v(k) = (c * 0.8 + noise * 0.35).toFloat
+          k += 1
+        }
+        (i, v.toSeq, g)
+      }
+    }.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("int").as("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+  }
+
   /** Generate a full probe dir at `mult` x the sf0.1 base (5 000 docs /
-    * 600 000 lineitem rows). */
+    * 600 000 lineitem rows / 50 000 vectors). */
   def generate(spark: SparkSession, mult: Int, outDir: String): Unit = {
     writeDocuments(spark, 5000L * mult, outDir)
     writeLineitem(spark, 600000L * mult, outDir)
+    writeEmbeddings(spark, 50000L * mult, outDir)
   }
 }
