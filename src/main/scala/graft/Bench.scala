@@ -35,6 +35,7 @@ object Bench {
       // reference builds its R-tree outside per-query timings too)
       graft.operators.Similarity.buildLshLayout(spark, sfDir)
       graft.operators.Similarity.buildIvfLayout(spark, sfDir)
+      graft.operators.Similarity.buildIvfPqLayout(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // fixed order + cache isolation so one query's cached/cached-adjacent

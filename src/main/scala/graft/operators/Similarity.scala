@@ -562,6 +562,147 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Write-time IVF-PQ layout: PQ ENCODING IS INGEST WORK, NOT QUERY
+    * WORK — the scale probe measured the in-memory [[annIvfPq]] growing
+    * ~3x/decade almost entirely in the per-vector encode (M nearest-of-
+    * 256 kernel calls), which a production system pays once at write
+    * time. This materializes (vec_id, j, code) partitioned by coarse
+    * cell with both codebooks beside it; the query path then reads
+    * ~nprobe/k of 8-byte codes and never encodes the corpus. Same
+    * staleness rules as [[buildIvfLayout]]. */
+  def buildIvfPqLayout(s: SparkSession, d: String): java.io.File = {
+    reg(s)
+    import s.implicits._
+    val src = new java.io.File(d).getCanonicalFile
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    val layout = new java.io.File(
+      s"target/ann_ivfpq_${src.getName}_$fp").getAbsoluteFile
+    val srcFile = new java.io.File(src, "embeddings.parquet")
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
+    val marker = new java.io.File(layout, "_SUCCESS")
+    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+        .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
+        .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
+      val cents = trainCodebook(e)
+      val cellsDf = cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c")
+      val res = e.withColumn("cell", nearestCell(cents)(col("v")))
+        .join(broadcast(cellsDf), "cell")
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
+      val cbs = trainPqCodebooks(res.select(col("vec_id"), col("r")))
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_coarse")
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+      }.toSeq.toDF("j", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_pq")
+      val codeCols = (0 until PqM).map { j =>
+        struct(lit(j).as("j"),
+          call_function("vec_nearest_cell",
+            slice(col("r"), j * PqSub + 1, PqSub),
+            typedLit(cbs(j).flatten.toSeq)).as("code"))
+      }
+      res.select(col("vec_id"), col("cell"),
+          explode(array(codeCols: _*)).as("jc"))
+        .select(col("vec_id"), col("cell"), col("jc.j").as("j"),
+          col("jc.code").as("code"))
+        .write.partitionBy("cell").mode("overwrite").parquet(layout.toString)
+    }
+    layout
+  }
+
+  /** IVF-PQ search over the write-time layout — identical rows to
+    * [[annIvfPq]] (same deterministic codebooks), but the corpus is
+    * never re-encoded: the scan reads only the probed cells' code rows
+    * (partition pruning on the driver-computed probe-cell list), and the
+    * exact re-rank reads full vectors for 64 ids per query. */
+  def annIvfPqBucketed(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    import s.implicits._
+    val layout = buildIvfPqLayout(s, d)
+    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_coarse")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val cbs: Array[Array[Array[Double]]] = {
+      val rows = s.read.parquet(s"${layout}_pq")
+        .orderBy("j", "code").collect()
+      Array.tabulate(PqM)(j => rows.filter(_.getInt(0) == j)
+        .map(_.getSeq[Double](2).toArray))
+    }
+    trainedCodebooks.put("ann_ivfpq_bucketed", cents)
+    trainedPq.put("ann_ivfpq_bucketed", cbs)
+    // query vectors: a bounded collect (10 ids) so the probed-cell list
+    // becomes a LITERAL isin filter -> partition pruning at the scan
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
+      .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
+    val qVecs: Array[(Long, Array[Double])] =
+      e.filter(col("vec_id").isin(queryIds: _*)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def nearestCells(v: Array[Double], nprobe: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        var d2 = 0.0; var k = 0
+        while (k < v.length) { val t = v(k) - c(k); d2 += t * t; k += 1 }
+        (d2, i)
+      }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+    val probed: Map[Long, Seq[Int]] =
+      qVecs.map { case (id, v) => id -> nearestCells(v, IvfNProbe) }.toMap
+    val allCells = probed.values.flatten.toSeq.distinct.sorted
+    // ADC table built driver-side (queries x nprobe x M x 256 rows)
+    val adcRows = for {
+      (qid, qv) <- qVecs.toSeq
+      cell <- probed(qid)
+      j <- 0 until PqM
+      code <- 0 until PqK
+    } yield {
+      val cc = cents(cell)
+      val cb = cbs(j)(code)
+      var d2 = 0.0; var k = 0
+      while (k < PqSub) {
+        val t = (qv(j * PqSub + k) - cc(j * PqSub + k)) - cb(k)
+        d2 += t * t; k += 1
+      }
+      // HALF_UP to match Spark round() and DuckDB round() exactly
+      (qid, cell, j, code,
+        BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val adc = adcRows.toDF("query_id", "cell", "j", "code", "dsub")
+    val codes = s.read.parquet(layout.toString)
+      .filter(col("cell").isin(allCells: _*))
+    val scored = codes.join(broadcast(adc), Seq("cell", "j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dsub").as("d2"))
+    val wd = Window.partitionBy("query_id")
+      .orderBy(round(col("d2"), 6).asc, col("vec_id").asc)
+    val shortlist = scored
+      .withColumn("adc_rank", row_number().over(wd))
+      .filter(col("adc_rank") <= 64)
+      .select("query_id", "vec_id")
+    val qFull = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv2"))
+    val rerank = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("cos", dot(col("v"), col("qv2")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    rerank
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Sign-LSH bucketed near-duplicate PAIRS (cos >= 0.4) — the sublinear
     * 100 TB path for embedding dedup: candidates must share >= 7 of 8
     * projection signs (own bucket + 1-bit flips), so the corpus
@@ -820,6 +961,7 @@ object Similarity {
     "ann_ivf_bucketed" -> (annIvfBucketed _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_bucketed" -> (annIvfPqBucketed _),
     "dedup_semantic" -> (semDedup _),
     "dedup_emb_lsh" -> (embLshPairs _),
     "emb_lang_centroids" -> (embLangCentroids _))
@@ -1207,10 +1349,12 @@ object Similarity {
     }.toMap ++
     Option(trainedPq.get("ann_pq"))
       .map(c => "ann_pq" -> pqOracleSelect(c)).toMap ++
-    (for {
-      cents <- Option(trainedCodebooks.get("ann_ivfpq"))
-      cbs <- Option(trainedPq.get("ann_ivfpq"))
-    } yield "ann_ivfpq" -> ivfPqOracleSelect(cents, cbs)).toMap ++
+    Seq("ann_ivfpq", "ann_ivfpq_bucketed").flatMap { k =>
+      for {
+        cents <- Option(trainedCodebooks.get(k))
+        cbs <- Option(trainedPq.get(k))
+      } yield k -> ivfPqOracleSelect(cents, cbs)
+    }.toMap ++
     Option(trainedCodebooks.get("dedup_semantic"))
       .map(c => "dedup_semantic" -> semDedupOracle(c)).toMap
 }

@@ -309,6 +309,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       f.take(2000))
   }
 
+  test("write-time IVF-PQ layout prunes cells, matches in-memory ann_ivfpq") {
+    import graft.operators.Similarity
+    val a = Similarity.annIvfPq(spark, d).collect().map(_.toString).sorted
+    val b = Similarity.annIvfPqBucketed(spark, d).collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"${a.length} vs ${b.length}")
+    val f = formatted(Similarity.annIvfPqBucketed(spark, d))
+    // the code scan's probed-cell list is a driver-computed LITERAL, so
+    // pruning is static: the scan's PartitionFilters carry `cell IN (...)`
+    assert(f.contains("PartitionFilters: [cell") ||
+      f.contains("PartitionFilters: [isnotnull(cell"), f.take(2000))
+  }
+
   test("day-partitioned events layout prunes partitions for a time range") {
     // the classic time-series ingestion layout: events written
     // partitioned by day, so a time-range query touches only its day
