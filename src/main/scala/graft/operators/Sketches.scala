@@ -185,6 +185,90 @@ object Sketches {
       .orderBy("grp")
   }
 
+  /** Bounded min-K set as a CUSTOM PARTIAL+FINAL AGGREGATE — the state
+    * is an ascending-sorted array of <= K distinct hashes; `reduce` is
+    * O(1) once the buffer holds the K smallest (the common case: every
+    * later row with h >= max short-circuits), `merge` is a sorted-merge
+    * with dedup and cap. This is the aggregation form KMV is chosen for
+    * at 100 TB: each partition ships at most K longs per group to the
+    * final stage — no corpus distinct(), no rank window, no shuffle of
+    * data rows at all. */
+  private[operators] object KmvMinK
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], hBoxed: java.lang.Long): Array[Long] = {
+      val h = hBoxed.longValue()
+      val n = buf.length
+      if (n == K && h >= buf(n - 1)) buf
+      else {
+        val idx = java.util.Arrays.binarySearch(buf, h)
+        if (idx >= 0) buf // already present (KMV state is a set)
+        else {
+          val ins = -idx - 1
+          val outLen = math.min(K, n + 1)
+          val out = new Array[Long](outLen)
+          System.arraycopy(buf, 0, out, 0, math.min(ins, outLen))
+          if (ins < outLen) {
+            out(ins) = h
+            val tailLen = outLen - ins - 1
+            if (tailLen > 0) System.arraycopy(buf, ins, out, ins + 1, tailLen)
+          }
+          out
+        }
+      }
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val cap = math.min(K, a.length + b.length)
+      val out = new Array[Long](cap)
+      var i = 0; var j = 0; var k = 0
+      var last = 0L; var first = true
+      while (k < cap && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val t = a(i); i += 1; t
+          } else { val t = b(j); j += 1; t }
+        if (first || v != last) { out(k) = v; k += 1; last = v; first = false }
+      }
+      if (k == cap) out else java.util.Arrays.copyOf(out, k)
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Grouped KMV through [[KmvMinK]] — the one-pass mergeable-aggregate
+    * form of [[kmvGrouped]]: ONE scan, a partial+final ObjectHashAggregate
+    * (<= K longs per group per partition cross the wire), estimate from
+    * the k-th smallest. [[kmvGrouped]] keeps the exact-count audit
+    * machinery (distinct + window + realized-error reporting) that the
+    * 100x probe showed dominating its wall clock; this entry is the
+    * production shape, where n_min < K means the sketch saw every
+    * distinct value and the estimate IS exact. Same estimator constants,
+    * same md5-lower64 parity hash, exact DuckDB oracle (distinct +
+    * rank-window replay — the oracle may compute the same state any way
+    * it likes; only the k-th hash and count must match). */
+  def kmvAgg(s: SparkSession, d: String): DataFrame = {
+    val minK = org.apache.spark.sql.functions.udaf(KmvMinK,
+      org.apache.spark.sql.Encoders.LONG)
+    val hashed = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        md5(concat(col("l_partkey").cast("string"), lit("|"),
+          col("l_suppkey").cast("string"))).as("hx"))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+    hashed.groupBy("grp").agg(minK(col("h")).as("mink"))
+      .select(col("grp"),
+        element_at(col("mink"), size(col("mink"))).as("kth_hash"),
+        size(col("mink")).cast("long").as("n_min"))
+      .withColumn("kmv_estimate",
+        when(col("n_min") < K, col("n_min"))
+          .otherwise(round(lit((K - 1).toDouble) * lit(9.223372036854775808e18)
+            / col("kth_hash").cast("double")).cast("bigint")))
+      .orderBy("grp")
+  }
+
   /** HyperLogLog registers + estimate, ENGINE-IDENTICAL (Flajolet et al.
     * 2007). Spark's approx_count_distinct is HLL++ with a register layout
     * DuckDB can't replay, so — as with [[kmv]] — the sketch math is
@@ -436,6 +520,7 @@ object Sketches {
     "sketch_quantile_hist" -> (quantileHist _),
     "sketch_kmv" -> (kmv _),
     "sketch_kmv_grouped" -> (kmvGrouped _),
+    "sketch_kmv_agg" -> (kmvAgg _),
     "sketch_kmv_overlap" -> (kmvOverlap _),
     "sketch_hll" -> (hll _),
     "sketch_countmin" -> (countMin _),
@@ -558,6 +643,25 @@ object Sketches {
            round(100.0 * (kmv_estimate - exact_distinct) / exact_distinct, 2)
              AS rel_err_pct
          FROM est ORDER BY grp""",
+    "sketch_kmv_agg" ->
+      """WITH h AS (
+           SELECT DISTINCT l_returnflag AS grp,
+             CAST(md5_number_lower(
+               CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) AS h
+           FROM lineitem),
+         rk AS (
+           SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+           FROM h),
+         tail AS (
+           SELECT grp, max(h) AS kth_hash, count(*) AS n_min
+           FROM rk WHERE rk <= 256 GROUP BY 1)
+         SELECT grp, kth_hash, n_min,
+           CASE WHEN n_min < 256 THEN n_min
+             ELSE CAST(round(255.0 * 9223372036854775808.0
+               / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS kmv_estimate
+         FROM tail ORDER BY grp""",
     "sketch_bloom" ->
       """WITH keys AS (
            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000),

@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
 object PipelineScaleProbe {
   val probeQueries: Seq[String] = Seq(
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_clusters",
-    "dedup_substring", "text_tfidf", "sketch_kmv_grouped")
+    "dedup_substring", "text_tfidf", "sketch_kmv_grouped",
+    "sketch_kmv_agg")
 
   /** ANN-family probe (r7): brute-force baseline vs the three pruned
     * paths, plus the paragraph pass — run against the synthetic

@@ -237,6 +237,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall@5 $recall")
   }
 
+  test("kmv aggregate: matches the window-based kmvGrouped state exactly") {
+    import graft.operators.Sketches
+    val agg = Sketches.kmvAgg(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val win = Sketches.kmvGrouped(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(agg.keySet == win.keySet)
+    for ((g, (kth, nMin, est)) <- agg) {
+      // both forms hold the K smallest distinct hashes -> same k-th hash;
+      // estimates agree whenever the sketch is saturated (n_min = K)
+      assert(kth == win(g)._1, s"grp $g kth")
+      if (nMin == 256) assert(est == win(g)._2, s"grp $g est")
+    }
+    // the plan must be a partial+final object-hash aggregate — no
+    // distinct shuffle of data rows, no rank window
+    val plan = Sketches.kmvAgg(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("semdedup: removals are true cosine pairs and keepers precede") {
     val removed = graft.operators.Similarity.semDedup(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
