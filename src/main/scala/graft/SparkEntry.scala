@@ -44,6 +44,7 @@ object SparkEntry {
     "rel_q23_gapfill" -> Relational.q23Gapfill _,
     "rel_q24_cube" -> Relational.q24Cube _,
     "rel_q25_set_all" -> Relational.q25SetAll _,
+    "rel_q26_bucketed_join" -> Relational.q26BucketedJoin _,
     "events_funnel" -> Relational.q26Funnel _,
     "events_retention" -> Relational.q27Retention _,
     "berlinmod_e2e" -> ((s: SparkSession, _: String) =>
@@ -311,6 +312,11 @@ object SparkEntry {
            count(DISTINCT a.user_id) AS n_users
          FROM active a JOIN cohort c ON a.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_q26_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS num_items,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "rel_q25_set_all" ->
       """WITH hi AS (SELECT l_partkey, l_suppkey FROM lineitem
                      WHERE l_quantity >= 25),

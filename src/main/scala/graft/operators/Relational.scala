@@ -478,4 +478,55 @@ object Relational {
         WHERE c_mktsegment = 'BUILDING'
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
   }
+
+  /** Bucketed CO-LOCATED join — write-time bucketing, the zero-shuffle
+    * fact-to-fact join discipline at 100 TB: both sides materialized
+    * `bucketBy(8, key).sortBy(key)`, so the sort-merge join reads
+    * pre-bucketed, pre-sorted files with NO Exchange and NO Sort on
+    * either input (plan-asserted in PlanSpec: no
+    * `hashpartitioning(l_orderkey/o_orderkey)` exchange exists — the
+    * only shuffles left are the tiny post-join agg partials). The
+    * bucketed tables are a write-once load phase, like the ANN/TRTREE
+    * layouts; table names carry the source-dir fingerprint so two sf
+    * dirs never share a table. The merge hint pins SMJ so the
+    * demonstration doesn't silently degrade to a broadcast join at
+    * small sf (at 100 TB both sides are fact-sized and SMJ is the only
+    * option — exactly what bucketing exists for). */
+  def q26BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val fp = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      new java.io.File(d).getCanonicalPath))
+    val liT = s"graft_li_bkt_$fp"
+    val orT = s"graft_or_bkt_$fp"
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — drop the orphaned location before
+    // re-creating, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    def dropOrphan(table: String): Unit = {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val dir = new java.io.File(wh, table)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      if (dir.exists()) rm(dir)
+    }
+    if (!s.catalog.tableExists(liT)) {
+      dropOrphan(liT)
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+    }
+    if (!s.catalog.tableExists(orT)) {
+      dropOrphan(orT)
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(orT)
+    }
+    s.table(liT).hint("merge")
+      .join(s.table(orT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("num_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
 }

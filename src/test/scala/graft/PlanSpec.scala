@@ -41,6 +41,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("bucketed co-located join: SMJ with no exchange or sort on inputs") {
+    val df = Relational.q26BucketedJoin(spark, d)
+    val f = formatted(df)
+    assert(f.contains("SortMergeJoin"), f.take(1500))
+    // both scans must be bucketed reads
+    assert("Bucketed: true".r.findAllIn(f).size == 2, f.take(3000))
+    // bucketing's whole point: NO shuffle on the join keys (the only
+    // exchanges left belong to the post-join agg/sort)
+    assert(!f.contains("hashpartitioning(l_orderkey"), f.take(3000))
+    assert(!f.contains("hashpartitioning(o_orderkey"), f.take(3000))
+    // and the result matches the unbucketed plain join bit-for-bit
+    val plain = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("num_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toString)
+    assert(df.collect().map(_.toString).sameElements(plain))
+  }
+
   test("dimension joins broadcast the small side (no fact shuffle)") {
     val p = plan(Relational.q2JoinAgg(spark, d))
     assert(p.contains("BroadcastHashJoin"), p.take(500))
