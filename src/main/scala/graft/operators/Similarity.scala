@@ -566,18 +566,25 @@ object Similarity {
     * WORK — the scale probe measured the in-memory [[annIvfPq]] growing
     * ~3x/decade almost entirely in the per-vector encode (M nearest-of-
     * 256 kernel calls), which a production system pays once at write
-    * time. This materializes (vec_id, j, code) partitioned by coarse
-    * cell with both codebooks beside it; the query path then reads
-    * ~nprobe/k of 8-byte codes and never encodes the corpus. Same
-    * staleness rules as [[buildIvfLayout]]. */
+    * time. This materializes ONE row per vector — (vec_id, codes) with
+    * the M = 8 one-byte codes PACKED into a single BIGINT (code_j in
+    * bits [8j, 8j+8)) — partitioned by coarse cell with both codebooks
+    * beside it. That is the literal PQ storage promise: 8 bytes of code
+    * per vector, and the query path reads ~nprobe/k of THAT without
+    * re-encoding, exploding, or joining per-code rows (the r7 layout
+    * kept 8 (j, code) rows per vector, which forced a corpus-
+    * proportional join+groupBy at query time — 2.8 GB shuffle at 5M
+    * vectors). Same staleness rules as [[buildIvfLayout]]. */
   def buildIvfPqLayout(s: SparkSession, d: String): java.io.File = {
     reg(s)
     import s.implicits._
     val src = new java.io.File(d).getCanonicalFile
     val fp = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    // "2" = packed-codes schema; a stale r7 (vec_id, j, code) layout dir
+    // can linger without ever being read
     val layout = new java.io.File(
-      s"target/ann_ivfpq_${src.getName}_$fp").getAbsoluteFile
+      s"target/ann_ivfpq2_${src.getName}_$fp").getAbsoluteFile
     val srcFile = new java.io.File(src, "embeddings.parquet")
     def newestMtime(f: java.io.File): Long =
       if (f.isDirectory) (f.lastModified() +:
@@ -604,26 +611,85 @@ object Similarity {
         cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
       }.toSeq.toDF("j", "code", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"${layout}_pq")
-      val codeCols = (0 until PqM).map { j =>
-        struct(lit(j).as("j"),
-          call_function("vec_nearest_cell",
-            slice(col("r"), j * PqSub + 1, PqSub),
-            typedLit(cbs(j).flatten.toSeq)).as("code"))
-      }
-      res.select(col("vec_id"), col("cell"),
-          explode(array(codeCols: _*)).as("jc"))
-        .select(col("vec_id"), col("cell"), col("jc.j").as("j"),
-          col("jc.code").as("code"))
+      // pack the M codes into one long: code_j occupies bits [8j, 8j+8)
+      // (each vec_nearest_cell is a codegen'd kernel call; the sum of
+      // disjoint shifted bytes is the bitwise pack)
+      val packed = (0 until PqM).map { j =>
+        shiftleft(call_function("vec_nearest_cell",
+          slice(col("r"), j * PqSub + 1, PqSub),
+          typedLit(cbs(j).flatten.toSeq)).cast("bigint"), 8 * j)
+      }.reduce(_ + _)
+      res.select(col("vec_id"), col("cell"), packed.as("codes"))
         .write.partitionBy("cell").mode("overwrite").parquet(layout.toString)
     }
     layout
   }
 
+  /** Bounded per-query top-64 for the IVF-PQ shortlist: keeps the 64
+    * smallest (d2r, vec_id) pairs in lexicographic order — the same
+    * ordering and tie-break as the former
+    * `row_number() OVER (PARTITION BY query_id ORDER BY d2r, vec_id)`
+    * window — but as a MERGEABLE partial+final aggregate. Each partition
+    * contributes at most 64 pairs per query across the wire (~1 KB)
+    * where the window form shuffled every scored row (corpus-
+    * proportional). Output: vec_ids in rank order. */
+  private object TopK64 extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, Long), Array[(Double, Long)], Array[Long]] {
+    private val Cap = 64
+    def zero: Array[(Double, Long)] = Array.empty
+    def reduce(buf: Array[(Double, Long)],
+               x: (Double, Long)): Array[(Double, Long)] = {
+      val n = buf.length
+      val last = if (n > 0) buf(n - 1) else null
+      if (n == Cap &&
+          (last._1 < x._1 || (last._1 == x._1 && last._2 <= x._2))) buf
+      else {
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val m = buf(mid)
+          if (m._1 < x._1 || (m._1 == x._1 && m._2 < x._2)) lo = mid + 1
+          else hi = mid
+        }
+        val outN = math.min(n + 1, Cap)
+        val out = new Array[(Double, Long)](outN)
+        System.arraycopy(buf, 0, out, 0, lo)
+        out(lo) = x
+        System.arraycopy(buf, lo, out, lo + 1, outN - lo - 1)
+        out
+      }
+    }
+    def merge(a: Array[(Double, Long)],
+              b: Array[(Double, Long)]): Array[(Double, Long)] = {
+      val outN = math.min(a.length + b.length, Cap)
+      val out = new Array[(Double, Long)](outN)
+      var i = 0; var j = 0; var k = 0
+      while (k < outN) {
+        out(k) =
+          if (j >= b.length || (i < a.length && {
+            val x = a(i); val y = b(j)
+            x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)
+          })) { val t = a(i); i += 1; t }
+          else { val t = b(j); j += 1; t }
+        k += 1
+      }
+      out
+    }
+    def finish(buf: Array[(Double, Long)]): Array[Long] = buf.map(_._2)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** IVF-PQ search over the write-time layout — identical rows to
     * [[annIvfPq]] (same deterministic codebooks), but the corpus is
-    * never re-encoded: the scan reads only the probed cells' code rows
-    * (partition pruning on the driver-computed probe-cell list), and the
-    * exact re-rank reads full vectors for 64 ids per query. */
+    * never re-encoded OR shuffled: the scan reads only the probed cells'
+    * packed-code rows (partition pruning on the driver-computed
+    * probe-cell list), the ADC sum is a per-row projection against a
+    * broadcast per-(query, cell) lookup array, the shortlist is a
+    * 64-bounded partial+final aggregate ([[TopK64]]), and the exact
+    * re-rank reads full vectors for 64 ids per query. */
   def annIvfPqBucketed(s: SparkSession, d: String): DataFrame = {
     reg(s)
     import s.implicits._
@@ -656,37 +722,60 @@ object Similarity {
     val probed: Map[Long, Seq[Int]] =
       qVecs.map { case (id, v) => id -> nearestCells(v, IvfNProbe) }.toMap
     val allCells = probed.values.flatten.toSeq.distinct.sorted
-    // ADC table built driver-side (queries x nprobe x M x 256 rows)
-    val adcRows = for {
+    // per-(query, probed cell) ADC LOOKUP ARRAY (M x 256 = 2048 doubles),
+    // built driver-side and BROADCAST — the scored path is then a pure
+    // per-row projection over the packed codes: 8 element_at terms, no
+    // join on code rows, no groupBy, no corpus-proportional shuffle
+    // (the r7 shape shuffled 2.8 GB here at 5M vectors)
+    val lutRows: Seq[(Long, Int, Seq[Double])] = for {
       (qid, qv) <- qVecs.toSeq
       cell <- probed(qid)
-      j <- 0 until PqM
-      code <- 0 until PqK
     } yield {
       val cc = cents(cell)
-      val cb = cbs(j)(code)
-      var d2 = 0.0; var k = 0
-      while (k < PqSub) {
-        val t = (qv(j * PqSub + k) - cc(j * PqSub + k)) - cb(k)
-        d2 += t * t; k += 1
+      val lut = new Array[Double](PqM * PqK)
+      var j = 0
+      while (j < PqM) {
+        var code = 0
+        while (code < PqK) {
+          val cb = cbs(j)(code)
+          var d2 = 0.0; var k = 0
+          while (k < PqSub) {
+            val t = (qv(j * PqSub + k) - cc(j * PqSub + k)) - cb(k)
+            d2 += t * t; k += 1
+          }
+          // HALF_UP to match Spark round() and DuckDB round() exactly
+          lut(j * PqK + code) =
+            BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          code += 1
+        }
+        j += 1
       }
-      // HALF_UP to match Spark round() and DuckDB round() exactly
-      (qid, cell, j, code,
-        BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (qid, cell, lut.toSeq)
     }
-    val adc = adcRows.toDF("query_id", "cell", "j", "code", "dsub")
+    val luts = lutRows.toDF("query_id", "cell", "lut")
     val codes = s.read.parquet(layout.toString)
       .filter(col("cell").isin(allCells: _*))
-    val scored = codes.join(broadcast(adc), Seq("cell", "j", "code"))
+    // ADC sum as an 8-term projection: lut[j*256 + byte_j(codes)]
+    val adcSum = (0 until PqM).map { j =>
+      element_at(col("lut"),
+        shiftright(col("codes"), 8 * j).bitwiseAND(lit(255L)).cast("int")
+          + lit(j * PqK + 1))
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(luts), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("dsub").as("d2"))
-    val wd = Window.partitionBy("query_id")
-      .orderBy(round(col("d2"), 6).asc, col("vec_id").asc)
+      .select(col("query_id"), round(adcSum, 6).as("d2r"), col("vec_id"))
+    // per-query shortlist via a BOUNDED partial+final aggregate: each
+    // partition keeps at most 64 (d2r, vec_id) pairs per query, so the
+    // only exchange on the scored path carries <= partitions x queries
+    // x 64 tiny structs (~KBs) — same ordering/tie-break as the r7
+    // window (round(d2,6) asc, vec_id asc), so the shortlist SET is
+    // identical and the exact re-rank below is unchanged
+    val topk = udaf(TopK64,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val shortlist = scored
-      .withColumn("adc_rank", row_number().over(wd))
-      .filter(col("adc_rank") <= 64)
-      .select("query_id", "vec_id")
+      .groupBy("query_id")
+      .agg(topk(col("d2r"), col("vec_id")).as("ids"))
+      .select(col("query_id"), explode(col("ids")).as("vec_id"))
     val qFull = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv2"))
     val rerank = shortlist
