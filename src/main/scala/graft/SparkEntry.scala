@@ -69,7 +69,7 @@ object SparkEntry {
     * (reference CSV diffs) and the mob_q* oracles; this row pins their
     * COMPOSITION. Every value is deterministic: the generator is a
     * fixed-seed LCG and all query outputs are quantized. */
-  private val e2ePinned: Seq[(String, Long, Long)] = Seq(
+  private[graft] val e2ePinned: Seq[(String, Long, Long)] = Seq(
     ("q1", 20L, 1526868884854890483L),
     ("q2", 1L, 2552871565759537036L),
     ("q3", 0L, 0L),

@@ -22,6 +22,17 @@ object PipelineScaleProbe {
     "dedup_substring", "text_tfidf", "sketch_kmv_grouped",
     "sketch_kmv_agg")
 
+  /** Audit-machinery twins run at BASE scale only (the r7 verdict's
+    * bench-signal finding): `sketch_kmv_grouped` keeps the exact-count
+    * audit (distinct + window + realized-error) that costs 16 s / 693 MB
+    * shuffle at 100x while proving nothing its base-scale row doesn't —
+    * the production sibling `sketch_kmv_agg` carries the scale rows. */
+  val auditAtBase: Set[String] = Set("sketch_kmv_grouped")
+
+  /** The queries that get 10x/100x rows in the bench artifact. */
+  def scaleRowQueries: Seq[String] =
+    (probeQueries ++ annProbeQueries).filterNot(auditAtBase)
+
   /** ANN-family probe (r7): brute-force baseline vs the three pruned
     * paths, plus the paragraph pass — run against the synthetic
     * embeddings/documents at 10x/100x. The write-time layouts
@@ -62,7 +73,8 @@ object PipelineScaleProbe {
     val genSec = (System.nanoTime() - tG0) / 1e9
     buildAnnLayouts(spark, dir)
     val times = (for (_ <- 1 to passes) yield {
-      (probeQueries ++ annProbeQueries).map { n =>
+      (if (mult > 1) scaleRowQueries else probeQueries ++ annProbeQueries)
+        .map { n =>
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(n)(spark, dir).count()
         spark.catalog.clearCache()

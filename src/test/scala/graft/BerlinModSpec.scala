@@ -164,4 +164,23 @@ class BerlinModSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-vacuity: the diff must have compared real pairs, not {} == {}
     assert(baseline.values.exists(_.nonEmpty), "all diffed results empty")
   }
+
+  test("e2e checksums match SparkEntry.e2ePinned (re-pin discipline)") {
+    // The gate's berlinmod_e2e row compares against SELF-PINNED
+    // constants, so a deliberate generator/query change would otherwise
+    // surface only as a confusing driver-gate red. This spec recomputes
+    // the 17 (query, n_rows, checksum) triples from the generator and,
+    // on drift, fails with the exact replacement block to paste into
+    // SparkEntry.e2ePinned.
+    val got = BerlinMod.e2eReport(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val pinned = graft.SparkEntry.e2ePinned.sortBy(_._1)
+    assert(got.toSeq == pinned,
+      "berlinmod_e2e drifted from the pinned oracle — if the generator " +
+        "or a query changed INTENTIONALLY, re-pin SparkEntry.e2ePinned " +
+        "to:\n" + got.map { case (q, n, c) =>
+          s"""    ("$q", ${n}L, ${c}L),"""
+        }.mkString("\n"))
+  }
 }
