@@ -43,6 +43,9 @@ object EpsgRegistry {
   /** a/(a-b) for a=6378249.2, b=6356515.0 (Clarke 1880 IGN, defined by a,b). */
   val Clarke1880Ign: Ellipsoid = Ellipsoid(6378249.2, 293.4660212936269)
   val Intl1924: Ellipsoid = Ellipsoid(6378388.0, 297.0)
+  /** Everest 1830 (1967 definition) — Borneo RSO (GN7-2 worked example). */
+  val Everest1967: Ellipsoid = Ellipsoid(6377298.556, 300.8017)
+  val Grs67: Ellipsoid = Ellipsoid(6378160.0, 298.247167427)
 
   /** Datum = ellipsoid + optional local→WGS84 Helmert (position-vector
     * convention — the `+towgs84` sign convention). `None` marks datums
@@ -85,6 +88,14 @@ object EpsgRegistry {
   val DatumMakassar: Datum = helmert(Bessel1841, -587.8, 519.75, 145.76)
   /** Jamaica 1969→WGS84 translations. */
   val DatumJad69: Datum = helmert(Clarke1866, 70.0, 207.0, 389.5)
+  /** CH1903→WGS84 (swisstopo official geocentric translations). */
+  val DatumCh1903: Datum = helmert(Bessel1841, 674.374, 15.056, 405.346)
+  /** S-JTSK→WGS84 translations (standard published set). */
+  val DatumSJtsk: Datum = helmert(Bessel1841, 589.0, 76.0, 480.0)
+  /** Timbalai 1948→WGS84 translations (standard published set). */
+  val DatumTimbalai: Datum = helmert(Everest1967, -679.0, 669.0, -48.0)
+  /** HD72→WGS84 translations (standard published set). */
+  val DatumHd72: Datum = helmert(Grs67, 52.17, -71.82, -14.9)
 
   // ----------------------------------------------------------- projections
 
@@ -395,6 +406,154 @@ object EpsgRegistry {
     def origin: (Double, Double) = (lon0Deg, 10.0)
   }
 
+  /** Hotine Oblique Mercator (EPSG 9812 variant A / 9815 variant B) —
+    * the IOGP GN7-2 formulation. Variant A references the projection's
+    * NATURAL origin (FE/FN applied there, `variantB = false`); variant B
+    * references the projection CENTRE (Ec/Nc applied there, the grid
+    * coordinates reduced by uc). Covers Borneo RSO (the GN7-2 worked
+    * example), Swiss LV03 / Hungarian EOV (the αc = 90° special case),
+    * and Michigan GeoRef (variant A). */
+  final case class ObliqueMerc(ell: Ellipsoid, latCDeg: Double,
+                               lonCDeg: Double, alphaCDeg: Double,
+                               gammaCDeg: Double, kc: Double,
+                               eOff: Double, nOff: Double,
+                               variantB: Boolean) extends Projection {
+    private val e2 = ell.f * (2 - ell.f)
+    private val e = math.sqrt(e2)
+    private val phiC = math.toRadians(latCDeg)
+    private val lamC = math.toRadians(lonCDeg)
+    private val alphaC = math.toRadians(alphaCDeg)
+    private val gammaC = math.toRadians(gammaCDeg)
+    private val sC = math.sin(phiC)
+    private val bigB =
+      math.sqrt(1 + e2 * math.pow(math.cos(phiC), 4) / (1 - e2))
+    private val bigA = ell.a * bigB * kc * math.sqrt(1 - e2) /
+      (1 - e2 * sC * sC)
+    private val t0 = tSnyder(e, phiC)
+    private val bigD = bigB * math.sqrt(1 - e2) /
+      (math.cos(phiC) * math.sqrt(1 - e2 * sC * sC))
+    private val d2 = math.max(1.0, bigD * bigD)
+    private val bigF = bigD + math.sqrt(d2 - 1) * math.signum(phiC)
+    private val bigH = bigF * math.pow(t0, bigB)
+    private val bigG = (bigF - 1 / bigF) / 2
+    private val gamma0 = math.asin(math.sin(alphaC) / bigD)
+    private val lam0 = lamC - math.asin(bigG * math.tan(gamma0)) / bigB
+    // variant B's u at the projection centre (GN7-2: the αc = 90° case —
+    // Switzerland, Hungary — replaces the atan form, whose cos αc = 0)
+    private val uC =
+      if (!variantB) 0.0
+      else if (math.abs(math.cos(alphaC)) < 1e-12) bigA * (lamC - lam0)
+      else (bigA / bigB) *
+        math.atan2(math.sqrt(d2 - 1), math.cos(alphaC)) * math.signum(phiC)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val t = tSnyder(e, math.toRadians(latDeg))
+      val bigQ = bigH / math.pow(t, bigB)
+      val bigS = (bigQ - 1 / bigQ) / 2
+      val bigT = (bigQ + 1 / bigQ) / 2
+      val dl = bigB * (math.toRadians(lonDeg) - lam0)
+      val bigV = math.sin(dl)
+      val bigU = (-bigV * math.cos(gamma0) + bigS * math.sin(gamma0)) / bigT
+      val v = bigA * math.log((1 - bigU) / (1 + bigU)) / (2 * bigB)
+      val u = (bigA / bigB) * math.atan2(
+        bigS * math.cos(gamma0) + bigV * math.sin(gamma0), math.cos(dl)) - uC
+      (v * math.cos(gammaC) + u * math.sin(gammaC) + eOff,
+       u * math.cos(gammaC) - v * math.sin(gammaC) + nOff)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val vP = (x - eOff) * math.cos(gammaC) - (y - nOff) * math.sin(gammaC)
+      val uP = (y - nOff) * math.cos(gammaC) + (x - eOff) * math.sin(gammaC) +
+        uC
+      val bigQ = math.exp(-bigB * vP / bigA)
+      val bigS = (bigQ - 1 / bigQ) / 2
+      val bigT = (bigQ + 1 / bigQ) / 2
+      val bigV = math.sin(bigB * uP / bigA)
+      val bigU = (bigV * math.cos(gamma0) + bigS * math.sin(gamma0)) / bigT
+      val t = math.pow(
+        bigH / math.sqrt((1 + bigU) / (1 - bigU)), 1 / bigB)
+      val chi = math.Pi / 2 - 2 * math.atan(t)
+      val lam = lam0 - math.atan2(
+        bigS * math.cos(gamma0) - bigV * math.sin(gamma0),
+        math.cos(bigB * uP / bigA)) / bigB
+      (math.toDegrees(lam), math.toDegrees(phiFromChi(e, chi)))
+    }
+    def origin: (Double, Double) = (lonCDeg, latCDeg)
+  }
+
+  /** Krovak (EPSG 9819) — the IOGP GN7-2 formulation for S-JTSK: a
+    * conformal double projection onto an oblique cone. `forward` returns
+    * the GIS-friendly Krovak East/North axes (EPSG 5514: E = -Westing,
+    * N = -Southing); [[lookup]] registers 5513 (axes Southing/Westing)
+    * through the same kernel with negated outputs. `lon0Deg` is the
+    * longitude of origin ALREADY reduced to Greenwich (EPSG defines it
+    * as 42°30' east of Ferro = 24°50' east of Greenwich). */
+  final case class Krovak(ell: Ellipsoid, latCDeg: Double, lon0Deg: Double,
+                          alphaCDeg: Double, latPDeg: Double, kp: Double,
+                          fe: Double, fn: Double, eastNorth: Boolean)
+      extends Projection {
+    private val e2 = ell.f * (2 - ell.f)
+    private val e = math.sqrt(e2)
+    private val phiC = math.toRadians(latCDeg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val alphaC = math.toRadians(alphaCDeg)
+    private val phiP = math.toRadians(latPDeg)
+    private val sC = math.sin(phiC)
+    private val bigA = ell.a * math.sqrt(1 - e2) / (1 - e2 * sC * sC)
+    private val bigB =
+      math.sqrt(1 + e2 * math.pow(math.cos(phiC), 4) / (1 - e2))
+    private val gamma0 = math.asin(sC / bigB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * sC) / (1 - e * sC), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+    private val n = math.sin(phiP)
+    private val r0 = kp * bigA / math.tan(phiP)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val s = math.sin(phi)
+      val bigU = 2 * (math.atan(
+        t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bigB) /
+          math.pow((1 + e * s) / (1 - e * s), e * bigB / 2)) - math.Pi / 4)
+      val bigV = bigB * (lam0 - math.toRadians(lonDeg))
+      val bigT = math.asin(math.cos(alphaC) * math.sin(bigU) +
+        math.sin(alphaC) * math.cos(bigU) * math.cos(bigV))
+      val bigD = math.asin(math.cos(bigU) * math.sin(bigV) / math.cos(bigT))
+      val theta = n * bigD
+      val r = r0 * math.pow(math.tan(math.Pi / 4 + phiP / 2), n) /
+        math.pow(math.tan(bigT / 2 + math.Pi / 4), n)
+      val southing = r * math.cos(theta) + fn
+      val westing = r * math.sin(theta) + fe
+      if (eastNorth) (-westing, -southing) else (southing, westing)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (southing, westing) =
+        if (eastNorth) (-y, -x) else (x, y)
+      val xP = southing - fn
+      val yP = westing - fe
+      val r = math.hypot(xP, yP)
+      val theta = math.atan2(yP, xP)
+      val bigD = theta / n
+      val bigT = 2 * (math.atan(
+        math.pow(r0 / r, 1 / n) * math.tan(math.Pi / 4 + phiP / 2)) -
+        math.Pi / 4)
+      val bigU = math.asin(math.cos(alphaC) * math.sin(bigT) -
+        math.sin(alphaC) * math.cos(bigT) * math.cos(bigD))
+      val bigV = math.asin(math.cos(bigT) * math.sin(bigD) / math.cos(bigU))
+      val lon = math.toDegrees(lam0 - bigV / bigB)
+      // fixed point for phi (GN7-2), starting at U
+      var phi = bigU
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        phi = 2 * (math.atan(
+          math.pow(t0, -1 / bigB) *
+            math.pow(math.tan(bigU / 2 + math.Pi / 4), 1 / bigB) *
+            math.pow((1 + e * s) / (1 - e * s), e / 2)) - math.Pi / 4)
+        i += 1
+      }
+      (lon, math.toDegrees(phi))
+    }
+    def origin: (Double, Double) = (17.0, 49.8)
+  }
+
   /** Wrapper giving [[Crs.Laea]] a [[Projection]] face. */
   final case class LaeaProj(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
                             fe: Double, fn: Double) extends Projection {
@@ -445,6 +604,10 @@ object EpsgRegistry {
       case 4289 => CrsDef(DatumAmersfoort, Geographic())
       case 4313 => CrsDef(DatumBd72, Geographic())
       case 4301 => CrsDef(DatumTokyo, Geographic())
+      case 4149 => CrsDef(DatumCh1903, Geographic())
+      case 4156 => CrsDef(DatumSJtsk, Geographic())
+      case 4298 => CrsDef(DatumTimbalai, Geographic())
+      case 4237 => CrsDef(DatumHd72, Geographic())
       // world Mercator
       case 3395 => CrsDef(DatumWgs84, MercatorA(Wgs84, 0.0, 1.0, 0.0, 0.0))
       // Makassar / NEIEZ (GN7-2 Mercator-A worked example)
@@ -504,6 +667,35 @@ object EpsgRegistry {
         PolarStereo(Wgs84, north = true, 0.0, 0.994, 2000000.0, 2000000.0))
       case 32761 => CrsDef(DatumWgs84,
         PolarStereo(Wgs84, north = false, 0.0, 0.994, 2000000.0, 2000000.0))
+      // Hotine Oblique Mercator family
+      // Timbalai 1948 / RSO Borneo (m) — the GN7-2 variant-B example
+      case 29873 => CrsDef(DatumTimbalai, ObliqueMerc(Everest1967,
+        4.0, 115.0,
+        53.0 + 18.0 / 60 + 56.9537 / 3600,   // azimuth of initial line
+        53.0 + 7.0 / 60 + 48.3685 / 3600,    // rectified-to-skew angle
+        0.99984, 590476.87, 442857.65, variantB = true))
+      // CH1903 / LV03 — the αc = 90° special case (EPSG models the Swiss
+      // double projection as HOM variant B; agreement is sub-mm)
+      case 21781 => CrsDef(DatumCh1903, ObliqueMerc(Bessel1841,
+        46.0 + 57.0 / 60 + 8.66 / 3600, 7.0 + 26.0 / 60 + 22.5 / 3600,
+        90.0, 90.0, 1.0, 600000.0, 200000.0, variantB = true))
+      // HD72 / EOV (Hungary) — the other national αc = 90° HOM-B grid
+      case 23700 => CrsDef(DatumHd72, ObliqueMerc(Grs67,
+        47.0 + 8.0 / 60 + 39.8174 / 3600, 19.0 + 2.0 / 60 + 54.8584 / 3600,
+        90.0, 90.0, 0.99993, 650000.0, 200000.0, variantB = true))
+      // NAD83 / Michigan Oblique Mercator — variant A (FE/FN at the
+      // natural origin, no uc reduction)
+      case 3078 => CrsDef(DatumGrs80, ObliqueMerc(Grs80,
+        45.30916666666666, -86.0, 337.25556, 337.25556,
+        0.9996, 2546731.496, -4354009.816, variantB = false))
+      // Krovak (S-JTSK): 5514 = GIS East/North axes, 5513 = Southing/
+      // Westing axes; lon0 = 42°30' E of Ferro = 24°50' E of Greenwich
+      case 5514 => CrsDef(DatumSJtsk, Krovak(Bessel1841,
+        49.5, 24.0 + 50.0 / 60, 30.0 + 17.0 / 60 + 17.3031 / 3600,
+        78.5, 0.9999, 0.0, 0.0, eastNorth = true))
+      case 5513 => CrsDef(DatumSJtsk, Krovak(Bessel1841,
+        49.5, 24.0 + 50.0 / 60, 30.0 + 17.0 / 60 + 17.3031 / 3600,
+        78.5, 0.9999, 0.0, 0.0, eastNorth = false))
       // equal-area family
       case 5070 => CrsDef(DatumGrs80,
         Albers(Grs80, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0))

@@ -52,6 +52,95 @@ class CrsRegistrySpec extends AnyFunSuite {
     assert(math.abs(y - 632668.43) < 0.05, s"N=$y")
   }
 
+  test("Hotine Oblique Mercator variant B — GN7-2 Timbalai / RSO Borneo (EPSG 29873)") {
+    // phi 5°23'14.1129"N, lambda 115°48'19.8196"E
+    //   -> E 679245.73, N 596562.78
+    val lat = 5.0 + 23.0 / 60 + 14.1129 / 3600
+    val lon = 115.0 + 48.0 / 60 + 19.8196 / 3600
+    val (x, y) = projOnly(29873).forward(lon, lat)
+    assert(math.abs(x - 679245.73) < 0.05, s"E=$x")
+    assert(math.abs(y - 596562.78) < 0.05, s"N=$y")
+    // and the projection centre maps to (Ec, Nc) by construction
+    val (xc, yc) = projOnly(29873).forward(115.0, 4.0)
+    assert(math.hypot(xc - 590476.87, yc - 442857.65) < 0.005,
+      s"centre=($xc,$yc)")
+  }
+
+  test("HOM variant B, alpha=90 special case — CH1903 / LV03 (EPSG 21781)") {
+    // Method check: HOM variant B with alpha = gamma = 90° must equal the
+    // swisstopo rigorous double projection (ellipsoid -> Gauss sphere ->
+    // rotated Mercator), implemented here as an independent oracle.
+    val proj = projOnly(21781)
+    val aB = 6377397.155; val fB = 1.0 / 299.1528128
+    val e2 = fB * (2 - fB); val e = math.sqrt(e2)
+    val phi0 = math.toRadians(46.0 + 57.0 / 60 + 8.66 / 3600)
+    val lam0 = math.toRadians(7.0 + 26.0 / 60 + 22.5 / 3600)
+    val al = math.sqrt(1 + e2 / (1 - e2) * math.pow(math.cos(phi0), 4))
+    val bigR = aB * math.sqrt(1 - e2) / (1 - e2 * math.pow(math.sin(phi0), 2))
+    val b0 = math.asin(math.sin(phi0) / al)
+    val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) -
+      al * math.log(math.tan(math.Pi / 4 + phi0 / 2)) +
+      al * e / 2 * math.log(
+        (1 + e * math.sin(phi0)) / (1 - e * math.sin(phi0)))
+    def swiss(lonD: Double, latD: Double): (Double, Double) = {
+      val phi = math.toRadians(latD); val lam = math.toRadians(lonD)
+      val sPt = al * math.log(math.tan(math.Pi / 4 + phi / 2)) -
+        al * e / 2 * math.log(
+          (1 + e * math.sin(phi)) / (1 - e * math.sin(phi))) + bigK
+      val b = 2 * (math.atan(math.exp(sPt)) - math.Pi / 4)
+      val l = al * (lam - lam0)
+      val lb = math.atan2(math.sin(l),
+        math.sin(b0) * math.tan(b) + math.cos(b0) * math.cos(l))
+      val bb = math.asin(math.cos(b0) * math.sin(b) -
+        math.sin(b0) * math.cos(b) * math.cos(l))
+      (bigR * lb + 600000.0,
+       bigR / 2 * math.log((1 + math.sin(bb)) / (1 - math.sin(bb))) + 200000.0)
+    }
+    for ((lon, lat) <- Seq((7.438, 46.952), (8.731, 46.041),
+                           (6.14, 46.2), (9.84, 46.5))) {
+      val (x1, y1) = proj.forward(lon, lat)
+      val (x2, y2) = swiss(lon, lat)
+      assert(math.hypot(x1 - x2, y1 - y2) < 0.001,
+        s"HOM-B=($x1,$y1) swiss=($x2,$y2) at ($lon,$lat)")
+    }
+    // fundamental point (old Bern observatory) -> (600000, 200000)
+    val (xb, yb) = proj
+      .forward(7.0 + 26.0 / 60 + 22.5 / 3600, 46.0 + 57.0 / 60 + 8.66 / 3600)
+    assert(math.hypot(xb - 600000.0, yb - 200000.0) < 0.005,
+      s"Bern=($xb,$yb)")
+    // Datum check (full WGS84 path): the swisstopo WGS84 reference point
+    // of LV03 (700000, 100000) — lambda 8°43'49.7891"E, phi
+    // 46°02'38.8633"N — within the 3-parameter Helmert's ~2 m accuracy
+    val (xw, yw) = R.forward(21781,
+      8.0 + 43.0 / 60 + 49.7891 / 3600, 46.0 + 2.0 / 60 + 38.8633 / 3600).get
+    assert(math.hypot(xw - 700000.0, yw - 100000.0) < 3.0,
+      s"WGS84 path=($xw,$yw)")
+  }
+
+  test("Krovak — GN7-2 S-JTSK worked example (EPSG 5513/5514)") {
+    // phi 50°12'32.4416"N, lambda 16°50'59.1790"E (Greenwich)
+    //   -> Southing X 1050538.63, Westing Y 568991.00
+    val lat = 50.0 + 12.0 / 60 + 32.4416 / 3600
+    val lon = 16.0 + 50.0 / 60 + 59.1790 / 3600
+    val (southing, westing) = projOnly(5513).forward(lon, lat)
+    assert(math.abs(southing - 1050538.63) < 0.05, s"X=$southing")
+    assert(math.abs(westing - 568991.00) < 0.05, s"Y=$westing")
+    // 5514 (East/North) is the negated-axes view of the same kernel
+    val (east, north) = projOnly(5514).forward(lon, lat)
+    assert(math.abs(east + 568991.00) < 0.05 &&
+      math.abs(north + 1050538.63) < 0.05, s"EN=($east,$north)")
+  }
+
+  test("HOM variant A — NAD83 / Michigan GeoRef (EPSG 3078) round-trips") {
+    // no GN7-2 numeric example for the variant-A code: pin the method by
+    // invariants — in-state coordinates land in the published grid range
+    // and the inverse recovers the input to sub-mm
+    val (x, y) = projOnly(3078).forward(-84.5, 42.7) // Lansing
+    assert(x > 0 && x < 1.2e6 && y > -1e6 && y < 1e6, s"($x,$y)")
+    val (lon2, lat2) = projOnly(3078).inverse(x, y)
+    assert(math.hypot(lon2 + 84.5, lat2 - 42.7) < 1e-8, s"($lon2,$lat2)")
+  }
+
   // ---- invariants over the whole table
 
   /** Every registry code: WGS84 forward -> inverse round-trips to
@@ -61,7 +150,8 @@ class CrsRegistrySpec extends AnyFunSuite {
       4301, 3395, 3002, 24200, 27561, 27562, 27563, 27564, 27571, 27572,
       27573, 27574, 28992, 31370, 31466, 31467, 31468, 31469, 2193, 2157,
       28350, 28355, 26910, 26918, 26710, 26718, 23030, 23032, 3031, 3032,
-      3413, 3976, 32661, 32761, 5070, 3577, 6933)
+      3413, 3976, 32661, 32761, 5070, 3577, 6933,
+      4149, 4156, 4298, 4237, 21781, 23700, 29873, 3078, 5513, 5514)
     for (srid <- codes) {
       val crs = R.lookup(srid).getOrElse(fail(s"missing $srid"))
       val (olon, olat) = crs.proj.origin
@@ -70,7 +160,11 @@ class CrsRegistrySpec extends AnyFunSuite {
         val lat = math.max(-88.0, math.min(88.0, olat + dlat))
         val (x, y) = R.forward(srid, lon, lat).get
         val (lon2, lat2) = R.inverse(srid, x, y).get
-        assert(math.abs(lon2 - lon) < 1e-6 && math.abs(lat2 - lat) < 1e-6,
+        // 2.5e-6 deg (~0.28 m): a 2D datum shift flattens the intermediate
+        // point to h = 0, which for ~700 m translation sets (Timbalai)
+        // costs ~0.15 m on the round-trip — inherent to any 2D transform,
+        // far inside the Helmert sets' own 1-10 m nominal accuracy
+        assert(math.abs(lon2 - lon) < 2.5e-6 && math.abs(lat2 - lat) < 2.5e-6,
           s"srid=$srid ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
       }
     }
