@@ -511,5 +511,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.length == 2) // one ppm row, one wav row
     val frames = Multimodal.mediaFrames(spark, tmp.getPath).collect()
     assert(frames.length == 1 && frames(0).getLong(0) == 4) // n_media
+    val png = Multimodal.mediaPng(spark, tmp.getPath).collect()
+    assert(png.length == 1 && png(0).getLong(0) == 4 &&
+      png(0).getLong(3) == 4) // all CRCs verified
+  }
+
+  test("PNG codec cross-validates against the JVM's ImageIO both ways") {
+    // 1) our encoder -> ImageIO decoder: the spec-conformance check a
+    //    self-round-trip can't give (signature, chunk CRCs, zlib stream,
+    //    and all five filter types must satisfy a foreign reader)
+    val text = "The quick brown fox jumps over the lazy dog! 0123456789" * 3
+    val (_, payload) = Multimodal.encodePngPayload(7L, text)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO rejected our PNG")
+    val tb = text.getBytes("UTF-8")
+    val w = 8; val h = tb.length / 8
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = tb((y * w + x) % tb.length) & 0xFF
+      val got = img.getRaster.getSample(x, y, 0)
+      assert(got == expect, s"pixel ($x,$y): $got != $expect")
+    }
+    // 2) ImageIO encoder -> our decoder: a foreign writer's filter and
+    //    deflate choices must inflate/unfilter to the same pixels
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, tb((y * w + x) % tb.length) & 0xFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val feats = Multimodal.decodePng(7L, bos.toByteArray)
+    assert(feats.crc_ok == 1)
+    assert(feats.n_pixels == w.toLong * h)
+    val expMean =
+      (0 until w * h).map(i => tb(i % tb.length) & 0xFF).sum.toDouble / (w * h)
+    assert(math.abs(feats.mean_px - expMean) < 1e-12,
+      s"${feats.mean_px} != $expMean")
   }
 }
