@@ -42,14 +42,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
+    rankedTopK(scored, 5)
   }
 
   /** 8 deterministic pseudo-random hyperplanes (splitmix64 stream). */
@@ -94,14 +87,7 @@ object Similarity {
     val scored = e.join(broadcast(q), Seq("bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
+    rankedTopK(scored, 5)
   }
 
   /** The 100 TB path: the corpus is MATERIALIZED partitioned by LSH
@@ -156,14 +142,7 @@ object Similarity {
     val scored = e.join(broadcast(q), Seq("bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
+    rankedTopK(scored, 5)
   }
 
   /** Nearest-centroid assignment against the codebook: the flattened
@@ -261,15 +240,7 @@ object Similarity {
     val scored = withCell.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    val out = scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
-    out
+    rankedTopK(scored, 5)
   }
 
   /** Write-time IVF layout: the corpus materialized PARTITIONED BY its
@@ -328,14 +299,7 @@ object Similarity {
     val scored = e.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
+    rankedTopK(scored, 5)
   }
 
   /** Product quantization (Jegou et al. 2011): the 64-dim vector splits
@@ -453,24 +417,18 @@ object Similarity {
     // the dsub quantum so the cut is engine-stable), then EXACT re-rank
     // of the shortlist only — the standard PQ pipeline: full vectors are
     // read for 64 rows per query, not the corpus
-    val wd = Window.partitionBy("query_id")
-      .orderBy(round(col("d2"), 6).asc, col("vec_id").asc)
-    val shortlist = scored
-      .withColumn("adc_rank", row_number().over(wd))
-      .filter(col("adc_rank") <= 64)
-      .select("query_id", "vec_id")
-    val rerank = shortlist
-      .join(e, "vec_id")
+    val shortlist = shortlistTopK(
+      scored.select(col("query_id"), round(col("d2"), 6).as("d2r"),
+        col("vec_id")), 64)
+    // the shortlist is 64 ids/query — BROADCAST it so the rerank is a
+    // broadcast-hash-join over the corpus scan: without the hint the
+    // planner (blind to the aggregate's output size) picks a sort-merge
+    // join and shuffles every full vector (measured 2.6 GB at 5M
+    // vectors — the true source of the r7 "2.8 GB ADC shuffle")
+    val rerank = e.join(broadcast(shortlist), "vec_id")
       .join(broadcast(q.withColumnRenamed("qv", "qv2")), "query_id")
       .withColumn("cos", dot(col("v"), col("qv2")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    rerank
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
+    rankedTopK(rerank, 5)
   }
 
   /** IVF-PQ composite (the faiss IndexIVFPQ shape, Jegou et al. 2011
@@ -540,26 +498,20 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("dsub").as("d2"))
-    val wd = Window.partitionBy("query_id")
-      .orderBy(round(col("d2"), 6).asc, col("vec_id").asc)
-    val shortlist = scored
-      .withColumn("adc_rank", row_number().over(wd))
-      .filter(col("adc_rank") <= 64)
-      .select("query_id", "vec_id")
+    val shortlist = shortlistTopK(
+      scored.select(col("query_id"), round(col("d2"), 6).as("d2r"),
+        col("vec_id")), 64)
     val qFull = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv2"))
-    val rerank = shortlist
-      .join(e, "vec_id")
+    // the shortlist is 64 ids/query — BROADCAST it so the rerank is a
+    // broadcast-hash-join over the corpus scan: without the hint the
+    // planner (blind to the aggregate's output size) picks a sort-merge
+    // join and shuffles every full vector (measured 2.6 GB at 5M
+    // vectors — the true source of the r7 "2.8 GB ADC shuffle")
+    val rerank = e.join(broadcast(shortlist), "vec_id")
       .join(broadcast(qFull), "query_id")
       .withColumn("cos", dot(col("v"), col("qv2")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    rerank
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
+    rankedTopK(rerank, 5)
   }
 
   /** Write-time IVF-PQ layout: PQ ENCODING IS INGEST WORK, NOT QUERY
@@ -625,24 +577,27 @@ object Similarity {
     layout
   }
 
-  /** Bounded per-query top-64 for the IVF-PQ shortlist: keeps the 64
-    * smallest (d2r, vec_id) pairs in lexicographic order — the same
-    * ordering and tie-break as the former
-    * `row_number() OVER (PARTITION BY query_id ORDER BY d2r, vec_id)`
-    * window — but as a MERGEABLE partial+final aggregate. Each partition
-    * contributes at most 64 pairs per query across the wire (~1 KB)
-    * where the window form shuffled every scored row (corpus-
-    * proportional). Output: vec_ids in rank order. */
-  private object TopK64 extends org.apache.spark.sql.expressions.Aggregator[
-      (Double, Long), Array[(Double, Long)], Array[Long]] {
-    private val Cap = 64
-    def zero: Array[(Double, Long)] = Array.empty
-    def reduce(buf: Array[(Double, Long)],
-               x: (Double, Long)): Array[(Double, Long)] = {
+  /** Bounded per-group top-k as a MERGEABLE partial+final aggregate —
+    * the scale-correct form of
+    * `row_number() OVER (PARTITION BY g ORDER BY key, id) <= k`: the
+    * window shuffles EVERY scored row to its group's reducer
+    * (corpus-proportional in the ANN family), where this keeps at most
+    * k (key, id, payload) triples per group per partition, so the only
+    * exchange carries k-bounded partial states (~KBs). Ordering is
+    * (key asc, id asc) — callers negate the key for descending; the
+    * payload rides along for output (e.g. the unrounded cosine). */
+  private final class TopKOrdered(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long, Double), Array[(Double, Long, Double)],
+        Array[(Long, Double)]] {
+    def zero: Array[(Double, Long, Double)] = Array.empty
+    def reduce(buf: Array[(Double, Long, Double)],
+               x: (Double, Long, Double)): Array[(Double, Long, Double)] = {
       val n = buf.length
-      val last = if (n > 0) buf(n - 1) else null
-      if (n == Cap &&
-          (last._1 < x._1 || (last._1 == x._1 && last._2 <= x._2))) buf
+      if (n == cap && {
+        val last = buf(n - 1)
+        last._1 < x._1 || (last._1 == x._1 && last._2 <= x._2)
+      }) buf
       else {
         var lo = 0; var hi = n
         while (lo < hi) {
@@ -651,18 +606,18 @@ object Similarity {
           if (m._1 < x._1 || (m._1 == x._1 && m._2 < x._2)) lo = mid + 1
           else hi = mid
         }
-        val outN = math.min(n + 1, Cap)
-        val out = new Array[(Double, Long)](outN)
+        val outN = math.min(n + 1, cap)
+        val out = new Array[(Double, Long, Double)](outN)
         System.arraycopy(buf, 0, out, 0, lo)
         out(lo) = x
         System.arraycopy(buf, lo, out, lo + 1, outN - lo - 1)
         out
       }
     }
-    def merge(a: Array[(Double, Long)],
-              b: Array[(Double, Long)]): Array[(Double, Long)] = {
-      val outN = math.min(a.length + b.length, Cap)
-      val out = new Array[(Double, Long)](outN)
+    def merge(a: Array[(Double, Long, Double)],
+              b: Array[(Double, Long, Double)]): Array[(Double, Long, Double)] = {
+      val outN = math.min(a.length + b.length, cap)
+      val out = new Array[(Double, Long, Double)](outN)
       var i = 0; var j = 0; var k = 0
       while (k < outN) {
         out(k) =
@@ -675,11 +630,47 @@ object Similarity {
       }
       out
     }
-    def finish(buf: Array[(Double, Long)]): Array[Long] = buf.map(_._2)
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def finish(buf: Array[(Double, Long, Double)]): Array[(Long, Double)] =
+      buf.map(t => (t._2, t._3))
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[(Double, Long, Double)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[(Long, Double)]]()
+  }
+
+  /** The standard ANN result tail — per-query top-k by
+    * (round(cos, 6) desc, vec_id asc) emitting (query_id, rank,
+    * neighbor_id, round(cos, 5)) — via [[TopKOrdered]] instead of a
+    * row_number window. Row-identical to the window form (same ordering
+    * and tie-break); the per-partition partial keeps k rows per query,
+    * so at 50M vectors the exchange carries KBs, not the scored set. */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKOrdered(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long, Double)]())
+    scored
+      .groupBy("query_id")
+      .agg(agg(-round(col("cos"), 6), col("vec_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p._1").as("neighbor_id"), round(col("p._2"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ-family ADC shortlist — per-query k smallest by (d2r asc,
+    * vec_id asc) — same bounded-aggregate shape as [[rankedTopK]].
+    * Input columns: (query_id, d2r, vec_id); output (query_id, vec_id). */
+  private def shortlistTopK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKOrdered(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long, Double)]())
+    scored
+      .groupBy("query_id")
+      .agg(agg(col("d2r"), col("vec_id"), lit(0.0)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p._1").as("vec_id"))
   }
 
   /** IVF-PQ search over the write-time layout — identical rows to
@@ -688,7 +679,7 @@ object Similarity {
     * packed-code rows (partition pruning on the driver-computed
     * probe-cell list), the ADC sum is a per-row projection against a
     * broadcast per-(query, cell) lookup array, the shortlist is a
-    * 64-bounded partial+final aggregate ([[TopK64]]), and the exact
+    * 64-bounded partial+final aggregate ([[TopKOrdered]]), and the exact
     * re-rank reads full vectors for 64 ids per query. */
   def annIvfPqBucketed(s: SparkSession, d: String): DataFrame = {
     reg(s)
@@ -764,32 +755,24 @@ object Similarity {
     val scored = codes.join(broadcast(luts), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), round(adcSum, 6).as("d2r"), col("vec_id"))
-    // per-query shortlist via a BOUNDED partial+final aggregate: each
+    // per-query shortlist via the bounded partial+final aggregate: each
     // partition keeps at most 64 (d2r, vec_id) pairs per query, so the
     // only exchange on the scored path carries <= partitions x queries
     // x 64 tiny structs (~KBs) — same ordering/tie-break as the r7
     // window (round(d2,6) asc, vec_id asc), so the shortlist SET is
     // identical and the exact re-rank below is unchanged
-    val topk = udaf(TopK64,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
-    val shortlist = scored
-      .groupBy("query_id")
-      .agg(topk(col("d2r"), col("vec_id")).as("ids"))
-      .select(col("query_id"), explode(col("ids")).as("vec_id"))
+    val shortlist = shortlistTopK(scored, 64)
     val qFull = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv2"))
-    val rerank = shortlist
-      .join(e, "vec_id")
+    // the shortlist is 64 ids/query — BROADCAST it so the rerank is a
+    // broadcast-hash-join over the corpus scan: without the hint the
+    // planner (blind to the aggregate's output size) picks a sort-merge
+    // join and shuffles every full vector (measured 2.6 GB at 5M
+    // vectors — the true source of the r7 "2.8 GB ADC shuffle")
+    val rerank = e.join(broadcast(shortlist), "vec_id")
       .join(broadcast(qFull), "query_id")
       .withColumn("cos", dot(col("v"), col("qv2")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    rerank
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
+    rankedTopK(rerank, 5)
   }
 
   /** Sign-LSH bucketed near-duplicate PAIRS (cos >= 0.4) — the sublinear
@@ -1014,7 +997,8 @@ object Similarity {
     * shuffle equi-join on the bucket id — each bucket's candidates
     * co-locate, candidate volume is sum over buckets of
     * |bucket| x |probers|, never corpus^2, and the per-query top-3 is
-    * a bucket-local window. Each (query, neighbor) pair matches at
+    * the bounded [[TopKOrdered]] aggregate (the exchange carries <= 3
+    * rows per query — output-sized). Each (query, neighbor) pair matches at
     * most once (a vector lives in ONE bucket; the 9 probed ids are
     * distinct), so no dedup step is needed. Interpolated plane
     * literals make the bucketing engine-identical -> exact oracle. */
@@ -1029,14 +1013,7 @@ object Similarity {
     val scored = e.join(q, Seq("bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
+    rankedTopK(scored, 3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

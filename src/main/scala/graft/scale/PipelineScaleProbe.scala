@@ -53,9 +53,15 @@ object PipelineScaleProbe {
     graft.operators.Similarity.buildIvfPqLayout(spark, dir)
   }
 
+  /** `runMain graft.scale.PipelineScaleProbe <mult> [passes] [q1,q2,...]`
+    * — the optional query list restricts the probe (the 1000x
+    * third-decade run times the five operators whose shuffles grow to
+    * tens of GB, not the whole family). */
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toInt else 10
     val passes = if (args.length > 1) args(1).toInt else 2
+    val onlyQ: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     graft.util.HeapWarm.pretouch()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -71,9 +77,18 @@ object PipelineScaleProbe {
     val tG0 = System.nanoTime()
     SynthCorpus.generate(spark, mult, dir)
     val genSec = (System.nanoTime() - tG0) / 1e9
-    buildAnnLayouts(spark, dir)
+    val baseQs =
+      if (mult > 1) scaleRowQueries else probeQueries ++ annProbeQueries
+    val selQs = onlyQ.fold(baseQs)(sel => baseQs.filter(sel))
+    // load-phase layout builds, but only for the ANN paths being probed
+    if (selQs.contains("ann_lsh_bucketed"))
+      graft.operators.Similarity.buildLshLayout(spark, dir)
+    if (selQs.contains("ann_ivf_bucketed"))
+      graft.operators.Similarity.buildIvfLayout(spark, dir)
+    if (selQs.contains("ann_ivfpq_bucketed"))
+      graft.operators.Similarity.buildIvfPqLayout(spark, dir)
     val times = (for (_ <- 1 to passes) yield {
-      (if (mult > 1) scaleRowQueries else probeQueries ++ annProbeQueries)
+      selQs
         .map { n =>
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(n)(spark, dir).count()

@@ -349,6 +349,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the shortlist itself is a partial+final ObjectHashAggregate whose
     // partial state is <= 64 pairs per (partition, query)
     assert(f.contains("ObjectHashAggregate"), f.take(4000))
+    // rerank joins the broadcast 640-row shortlist against the corpus
+    // scan — a sort-merge join here would shuffle every full vector
+    // (2.6 GB at 5M vectors, the true source of r7's flagged shuffle)
+    assert(!f.contains("SortMergeJoin"), f.take(4000))
+    // and no row_number window anywhere: every per-query top-k in the
+    // path is the bounded partial+final aggregate
+    assert(!f.contains("Window"), f.take(4000))
   }
 
   test("ivfpq bucketed query path shuffles KBs, not corpus-proportional bytes") {
