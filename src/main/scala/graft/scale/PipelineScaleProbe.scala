@@ -71,6 +71,12 @@ object PipelineScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // zstd shuffle/spill compression: the third-decade (1000x) probe
+      // keeps ~50 GB of live shuffle on one box; zstd halves that vs
+      // lz4 for these repetitive token/hash payloads — and it is the
+      // codec a shuffle-heavy 100 TB deployment would run anyway (CPU
+      // is idle during shuffle I/O at this shape)
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = s"/tmp/graft_synth_${mult}x"
@@ -87,11 +93,18 @@ object PipelineScaleProbe {
       graft.operators.Similarity.buildIvfLayout(spark, dir)
     if (selQs.contains("ann_ivfpq_bucketed"))
       graft.operators.Similarity.buildIvfPqLayout(spark, dir)
+    // same per-query task-metric attribution as the bench: the probe's
+    // scale claims need spill/shuffle evidence, not just wall-clock
+    val metrics = new graft.util.BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     val times = (for (_ <- 1 to passes) yield {
       selQs
         .map { n =>
+        metrics.reset(n)
+        spark.sparkContext.setJobGroup(n, n, interruptOnCancel = false)
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+        spark.sparkContext.clearJobGroup()
         spark.catalog.clearCache()
         System.gc()
         (n, (System.nanoTime() - t0) / 1e9, rows)
@@ -99,11 +112,13 @@ object PipelineScaleProbe {
     }).flatten.groupBy(_._1).map { case (n, xs) =>
       (n, xs.map(_._2).min, xs.head._3)
     }
+    Thread.sleep(500) // let trailing listener events drain
     val qs = times.toSeq.sortBy(_._1).map { case (n, t, rows) =>
       s""""$n":{"sec":${math.rint(t * 1000) / 1000},"rows":$rows}"""
     }.mkString(",")
     println(s"""{"mult":$mult,"docs":${5000L * mult},""" +
-      s""""gen_sec":${math.rint(genSec * 10) / 10},$qs}""")
+      s""""gen_sec":${math.rint(genSec * 10) / 10},$qs,""" +
+      s""""task_metrics":${metrics.snapshotJson}}""")
     spark.stop()
   }
 }

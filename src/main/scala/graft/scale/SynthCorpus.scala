@@ -164,10 +164,17 @@ object SynthCorpus {
   }
 
   /** Generate a full probe dir at `mult` x the sf0.1 base (5 000 docs /
-    * 600 000 lineitem rows / 50 000 vectors). */
+    * 600 000 lineitem rows / 50 000 vectors). The corpus is a pure
+    * function of `mult`, so a dir whose three _SUCCESS markers exist is
+    * complete and bit-identical to a regeneration — skip it (the 1000x
+    * corpus is ~14 GB / minutes of write). */
   def generate(spark: SparkSession, mult: Int, outDir: String): Unit = {
-    writeDocuments(spark, 5000L * mult, outDir)
-    writeLineitem(spark, 600000L * mult, outDir)
-    writeEmbeddings(spark, 50000L * mult, outDir)
+    val done = Seq("documents", "lineitem", "embeddings").forall(t =>
+      new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists())
+    if (!done) {
+      writeDocuments(spark, 5000L * mult, outDir)
+      writeLineitem(spark, 600000L * mult, outDir)
+      writeEmbeddings(spark, 50000L * mult, outDir)
+    }
   }
 }
