@@ -99,6 +99,24 @@ object Dedup {
         .as("h"))
       .distinct()
 
+  /** (doc_id, h, rank, sz): each doc's shingles ranked rarest-first by
+    * (global df, h) — the prefix-filter ordering shared by
+    * [[jaccard]]/[[containment]]/[[incrementalDedup]]. Computed as ONE
+    * hash aggregate with an in-group `array_sort` instead of the former
+    * `row_number` + `count` windows: identical rows (same total order,
+    * same types), but no full-corpus external sort — each doc's group
+    * is tens of elements sorted in memory, where the window's
+    * 500M-row UnsafeExternalSorter was the dominant scratch consumer of
+    * the 1000x probe (it alone overflowed the box's 60 GB free disk). */
+  private def rankedShingles(sh: DataFrame, dfreq: DataFrame): DataFrame =
+    sh.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .select(col("doc_id"), size(col("dh")).cast("long").as("sz"),
+        posexplode(col("dh")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("p.h").as("h"),
+        (col("pos") + 1).as("rank"), col("sz"))
+
   /** Exact intersection size of two ascending-sorted Long arrays —
     * native codegen'd kernel ([[graft.functions.SortedLongIntersect]]):
     * stays in whole-stage codegen, reads the unsafe arrays directly. */
@@ -132,12 +150,8 @@ object Dedup {
     // can recompute the window+distinct per branch
     sh.count()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
-    val prefix = sh.join(dfreq, "h")
-      .withColumn("rank", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = rankedShingles(sh, dfreq)
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
-      .select("doc_id", "h", "rank", "sz")
     // candidate join with two exact prunes beyond the prefix overlap:
     //  - size compatibility: J >= minJ forces min(sz)/max(sz) >= minJ
     //  - positional bound (PPJoin): overlap <= min(remaining suffix
@@ -151,7 +165,19 @@ object Dedup {
           ceil(greatest(col("a.sz"), col("b.sz")) * minJ))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = sh.groupBy("doc_id")
+      // consumed twice below (verify probe + candidate-id prune): pin it
+      // so the prefix self-join runs once
+      .persist()
+    // verification only ever consults CANDIDATE docs' shingle arrays —
+    // semi-prune sh before the collect_list groupBy, so the array-
+    // building shuffle is candidate-sized, not corpus-sized (at the
+    // 1000x probe the full-corpus `sets` was the single largest
+    // shuffle). candIds is the near-dup doc set — broadcastable by
+    // construction (dup rates are single-digit percents of the corpus)
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sets = sh.join(broadcast(candIds), "doc_id")
+      .groupBy("doc_id")
       .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("shs").as("sha"),
@@ -216,11 +242,7 @@ object Dedup {
     val sh = shingleHashes(s, d).persist()
     sh.count()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
-    val ranked = sh.join(dfreq, "h")
-      .withColumn("rank", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "h", "rank", "sz")
+    val ranked = rankedShingles(sh, dfreq)
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minC) + 1)
     val cand = prefix.as("a")
@@ -231,7 +253,19 @@ object Dedup {
         col("a.sz") - col("a.rank") + 1 >= ceil(col("a.sz") * minC))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = sh.groupBy("doc_id")
+      // consumed twice below (verify probe + candidate-id prune): pin it
+      // so the prefix self-join runs once
+      .persist()
+    // verification only ever consults CANDIDATE docs' shingle arrays —
+    // semi-prune sh before the collect_list groupBy, so the array-
+    // building shuffle is candidate-sized, not corpus-sized (at the
+    // 1000x probe the full-corpus `sets` was the single largest
+    // shuffle). candIds is the near-dup doc set — broadcastable by
+    // construction (dup rates are single-digit percents of the corpus)
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sets = sh.join(broadcast(candIds), "doc_id")
+      .groupBy("doc_id")
       .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("shs").as("sha"),
@@ -266,12 +300,8 @@ object Dedup {
     val sh = shingleHashes(s, d).persist()
     sh.count()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
-    val prefix = sh.join(dfreq, "h")
-      .withColumn("rank", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = rankedShingles(sh, dfreq)
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
-      .select("doc_id", "h", "rank", "sz")
     val corpusPrefix = prefix.filter(col("doc_id") % 10 =!= 0)
     val newPrefix = prefix.filter(col("doc_id") % 10 === 0)
     val cand = corpusPrefix.as("a")
@@ -453,18 +483,28 @@ object Dedup {
     reg(s)
     val numHashes = 32
     val rowsPerBand = 4
-    val docSh = shingleHashes(s, d)
-      .groupBy("doc_id").agg(sort_array(collect_list("h")).as("shs"))
-      .persist()
-    docSh.count() // pin before the band/verify branches fan out
-    // ids-only through the band explode + self-join: the full shingle
-    // arrays do NOT ride the 8-way band shuffle — they re-join exactly
-    // once, onto the deduplicated candidate pairs, for verification.
-    // minhash_sig is a native codegen kernel (VectorExprs); the band key
-    // is xxhash64 over the signature slice — codegen'd, and stable across
+    val sh = shingleHashes(s, d).persist()
+    sh.count() // pin before the sig/verify branches fan out
+    // The 32-coordinate signature as a PARTIAL+FINAL min aggregate:
+    // sig_k(doc) = min over shingles of mix(h ^ seed_k), and min is
+    // mergeable — so the shuffle carries 32 longs per doc instead of the
+    // doc's full shingle array (the r8 1000x probe measured the
+    // array-building collect_list as the operator's dominant spill).
+    // The per-row values come from the SAME minhash_sig kernel applied
+    // to a 1-element array (sig of [h] IS [mix(h ^ seed_k)]_k), so the
+    // signatures — and therefore the band keys, the oracle replay, and
+    // the stream/batch agreement — are bit-identical to the array form;
+    // codegen subexpression elimination keeps it one kernel call per row.
+    val sigArr = call_function("minhash_sig", array(col("h")))
+    val mins = (0 until numHashes).map(k =>
+      min(element_at(sigArr, k + 1)).as(s"m$k"))
+    val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .withColumn("sig",
+        array((0 until numHashes).map(k => col(s"m$k")): _*))
+    // ids-only through the band explode + self-join; the band key is
+    // xxhash64 over the signature slice — codegen'd, and stable across
     // JVM versions where Seq.hashCode was only stable per JVM era.
-    val bands = docSh
-      .withColumn("sig", call_function("minhash_sig", col("shs")))
+    val bands = sigs
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"))
       .withColumn("bh",
@@ -481,6 +521,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+      .persist() // consumed twice: candidate-id prune + verify probe
+    // exact-verification arrays built for CANDIDATE docs only — the
+    // same semi-prune as [[jaccard]]: the full-corpus collect_list was
+    // the operator's largest shuffle and its dominant 1000x spill
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val docSh = sh.join(broadcast(candIds), "doc_id")
+      .groupBy("doc_id").agg(sort_array(collect_list("h")).as("shs"))
     cand
       .join(docSh.select(col("doc_id").as("id_a"), col("shs").as("sha")), "id_a")
       .join(docSh.select(col("doc_id").as("id_b"), col("shs").as("shb")), "id_b")
