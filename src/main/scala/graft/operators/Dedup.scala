@@ -150,8 +150,15 @@ object Dedup {
     // can recompute the window+distinct per branch
     sh.count()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    // localCheckpoint (the bigGraphLabels pattern): the prefix table is
+    // consumed twice by the self-join below, and checkpointing it DROPS
+    // the df-join/rank-agg lineage — their shuffle files (~25 GB live
+    // at the 1000x probe) become collectable mid-query instead of
+    // pinned until the action ends. Storage is the prefix rows only
+    // (~half the shingle table).
     val prefix = rankedShingles(sh, dfreq)
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
+      .localCheckpoint()
     // candidate join with two exact prunes beyond the prefix overlap:
     //  - size compatibility: J >= minJ forces min(sz)/max(sz) >= minJ
     //  - positional bound (PPJoin): overlap <= min(remaining suffix

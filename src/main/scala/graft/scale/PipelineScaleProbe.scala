@@ -64,9 +64,18 @@ object PipelineScaleProbe {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     graft.util.HeapWarm.pretouch()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partition count must TRACK the decade: at 1000x a 32-partition
+    // shuffle puts ~500 MB in each task's sorter against ~450 MB of
+    // execution memory, so every sort-merge sort and sort-fallback
+    // aggregate double-writes its input to disk as spill. 4x partitions
+    // puts per-task working sets back inside memory (sorts go
+    // in-memory, spill ~0) at the same total shuffle bytes — exactly
+    // how a real cluster absorbs a decade: more tasks, not bigger ones.
+    val shufParts =
+      if (mult >= 1000) (cpus.toInt * 4).toString else cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -77,6 +86,12 @@ object PipelineScaleProbe {
       // codec a shuffle-heavy 100 TB deployment would run anyway (CPU
       // is idle during shuffle I/O at this shape)
       .config("spark.io.compression.codec", "zstd")
+      // shuffle files are deleted only when their dependency is GC'd;
+      // with a 24g heap the JVM may not GC for the whole probe, so
+      // lineage released by localCheckpoint would otherwise stay on
+      // disk — force the ContextCleaner's periodic GC often enough to
+      // reclaim mid-query (the disk is the scarce resource here)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = s"/tmp/graft_synth_${mult}x"
