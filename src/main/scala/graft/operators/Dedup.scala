@@ -110,6 +110,15 @@ object Dedup {
     * the 1000x probe (it alone overflowed the box's 60 GB free disk). */
   private def rankedShingles(sh: DataFrame, dfreq: DataFrame): DataFrame =
     sh.join(dfreq, "h")
+      // co-locate each doc BEFORE aggregating: the join output is
+      // partitioned by h, so every partition holds a sliver of nearly
+      // EVERY doc — a partial collect_list over that scatter builds a
+      // per-partition state of ~all groups (measured blowing the 1000x
+      // probe's disk with "partial" output far larger than the input).
+      // One narrow-row repartition by doc_id makes the aggregate
+      // effectively single-phase: no exchange after it, per-partition
+      // state = that partition's own docs only
+      .repartition(col("doc_id"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
       .select(col("doc_id"), size(col("dh")).cast("long").as("sz"),
@@ -172,9 +181,13 @@ object Dedup {
           ceil(greatest(col("a.sz"), col("b.sz")) * minJ))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      // consumed twice below (verify probe + candidate-id prune): pin it
-      // so the prefix self-join runs once
-      .persist()
+      // consumed twice below (verify probe + candidate-id prune), and
+      // localCheckpoint rather than persist: the pair list is tiny, and
+      // BREAKING its lineage phases the query — once candidates
+      // materialize, the self-join/prefix shuffles (the ~30 GB middle
+      // of the 1000x run) are collectable before the verify phase
+      // starts, so peak scratch is max(phase), not sum(phases)
+      .localCheckpoint()
     // verification only ever consults CANDIDATE docs' shingle arrays —
     // semi-prune sh before the collect_list groupBy, so the array-
     // building shuffle is candidate-sized, not corpus-sized (at the
@@ -260,9 +273,13 @@ object Dedup {
         col("a.sz") - col("a.rank") + 1 >= ceil(col("a.sz") * minC))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      // consumed twice below (verify probe + candidate-id prune): pin it
-      // so the prefix self-join runs once
-      .persist()
+      // consumed twice below (verify probe + candidate-id prune), and
+      // localCheckpoint rather than persist: the pair list is tiny, and
+      // BREAKING its lineage phases the query — once candidates
+      // materialize, the self-join/prefix shuffles (the ~30 GB middle
+      // of the 1000x run) are collectable before the verify phase
+      // starts, so peak scratch is max(phase), not sum(phases)
+      .localCheckpoint()
     // verification only ever consults CANDIDATE docs' shingle arrays —
     // semi-prune sh before the collect_list groupBy, so the array-
     // building shuffle is candidate-sized, not corpus-sized (at the
@@ -505,7 +522,13 @@ object Dedup {
     val sigArr = call_function("minhash_sig", array(col("h")))
     val mins = (0 until numHashes).map(k =>
       min(element_at(sigArr, k + 1)).as(s"m$k"))
-    val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // repartition by doc_id first: sh is partitioned by h (the distinct),
+    // so a partial aggregate over it builds ~every doc's 33-column state
+    // in EVERY partition — wider than the input it summarizes (measured
+    // filling the 1000x probe's disk). Co-located, the aggregate is
+    // single-phase and its state is partition-local docs only.
+    val sigs = sh.repartition(col("doc_id"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .withColumn("sig",
         array((0 until numHashes).map(k => col(s"m$k")): _*))
     // ids-only through the band explode + self-join; the band key is
@@ -528,7 +551,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .persist() // consumed twice: candidate-id prune + verify probe
+      .localCheckpoint() // consumed twice; lineage break phases the query (see jaccard)
     // exact-verification arrays built for CANDIDATE docs only — the
     // same semi-prune as [[jaccard]]: the full-corpus collect_list was
     // the operator's largest shuffle and its dominant 1000x spill
