@@ -50,35 +50,51 @@ object EpsgRegistry {
   /** Datum = ellipsoid + optional local→WGS84 Helmert (position-vector
     * convention — the `+towgs84` sign convention). `None` marks datums
     * within ~1 m of WGS84 (ETRS89, NAD83, GDA94, NZGD2000, RGF93): no
-    * shift is applied, the ellipsoid still parameterizes the projection. */
-  final case class Datum(ell: Ellipsoid, toWgs84: Option[Crs.Helmert])
+    * shift is applied, the ellipsoid still parameterizes the projection.
+    * `gridFile` names the published NTv2 grid for the datum (the one
+    * PROJ would load): when that file has been shipped to the session
+    * (see [[GridStore]]) and covers the point, the grid-interpolated
+    * shift replaces the Helmert — the same resolution order PROJ uses,
+    * upgrading 1-10 m nominal accuracy to the grid's decimetre class
+    * with zero code change. */
+  final case class Datum(ell: Ellipsoid, toWgs84: Option[Crs.Helmert],
+                         gridFile: Option[String] = None)
 
   private def helmert(ell: Ellipsoid, tx: Double, ty: Double, tz: Double,
                       rx: Double = 0, ry: Double = 0, rz: Double = 0,
-                      s: Double = 0): Datum =
+                      s: Double = 0, grid: Option[String] = None): Datum =
     Datum(ell, Some(new Crs.Helmert(
       aSrc = ell.a, fSrc = ell.f, aDst = Wgs84.a, fDst = Wgs84.f,
       tx = tx, ty = ty, tz = tz, rxSec = rx, rySec = ry, rzSec = rz,
-      sPpm = s)))
+      sPpm = s)), grid)
 
   val DatumWgs84: Datum = Datum(Wgs84, None)
   val DatumGrs80: Datum = Datum(Grs80, None) // ETRS89 / NAD83 / GDA94 / NZGD2000
   /** OSGB36→WGS84 — inverse of the published OS tfm 1314 set already used
-    * by the 27700 special case. */
+    * by the 27700 special case. Grid: the OS-published OSTN15 NTv2
+    * distribution (ship it and transforms become cm-class). */
   val DatumOsgb36: Datum = helmert(Airy1830,
-    446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
-  /** DHDN (Potsdam)→WGS84, standard published set. */
+    446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894,
+    grid = Some("OSTN15_NTv2_OSGBtoETRS.gsb"))
+  /** DHDN (Potsdam)→WGS84, standard published set. Grid: BKG BETA2007. */
   val DatumDhdn: Datum = helmert(Bessel1841,
-    598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
-  /** Amersfoort→WGS84, standard published set. */
+    598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7,
+    grid = Some("BETA2007.gsb"))
+  /** Amersfoort→WGS84, standard published set. Grid: NSGI rdtrans2018. */
   val DatumAmersfoort: Datum = helmert(Bessel1841,
-    565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725)
-  /** NTF→WGS84 (geocentric translations, EPSG tfm 1193). */
-  val DatumNtf: Datum = helmert(Clarke1880Ign, -168.0, -60.0, 320.0)
+    565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725,
+    grid = Some("rdtrans2018.gsb"))
+  /** NTF→WGS84 (geocentric translations, EPSG tfm 1193). Grid: IGN
+    * ntf_r93 (NTF→RGF93, which is WGS84-coincident at this accuracy). */
+  val DatumNtf: Datum = helmert(Clarke1880Ign, -168.0, -60.0, 320.0,
+    grid = Some("ntf_r93.gsb"))
   /** ED50→WGS84 mean-European translations. */
   val DatumEd50: Datum = helmert(Intl1924, -87.0, -98.0, -121.0)
-  /** NAD27 (CONUS mean)→WGS84 translations. */
-  val DatumNad27: Datum = helmert(Clarke1866, -8.0, 160.0, 176.0)
+  /** NAD27 (CONUS mean)→WGS84 translations. Grid: the NRCan NTv2
+    * distribution (Canada; CONUS NADCON grids exist in NTv2 repacks
+    * under the same name convention). */
+  val DatumNad27: Datum = helmert(Clarke1866, -8.0, 160.0, 176.0,
+    grid = Some("ntv2_0.gsb"))
   /** Tokyo→WGS84 translations. */
   val DatumTokyo: Datum = helmert(Bessel1841, -146.414, 507.337, 680.507)
   /** Belgium Datum 72→WGS84, position-vector parameter set. */
@@ -707,14 +723,34 @@ object EpsgRegistry {
     Option(d)
   }
 
+  /** Local-datum → WGS84 geographic shift: NTv2 grid when the datum
+    * names one, it is present in the session ([[GridStore]]) and covers
+    * the point; else the published Helmert; else identity. */
+  private[core] def datumToWgs(d: Datum, lon: Double, lat: Double)
+      : (Double, Double) =
+    d.gridFile.flatMap(GridStore.find)
+      .flatMap(_.forwardShift(lon, lat))
+      .getOrElse(d.toWgs84 match {
+        case Some(h) => h.shift(lon, lat)
+        case None    => (lon, lat)
+      })
+
+  /** WGS84 → local-datum shift — grid inverse (fixed-point on the
+    * forward field) with the same fallback order as [[datumToWgs]]. */
+  private[core] def wgsToDatum(d: Datum, lon: Double, lat: Double)
+      : (Double, Double) =
+    d.gridFile.flatMap(GridStore.find)
+      .flatMap(_.inverseShift(lon, lat))
+      .getOrElse(d.toWgs84 match {
+        case Some(h) => h.inverseShift(lon, lat)
+        case None    => (lon, lat)
+      })
+
   /** WGS84 lon/lat → projected coords in `srid` (datum shift + project). */
   def forward(srid: Int, lonWgs: Double, latWgs: Double)
       : Option[(Double, Double)] =
     lookup(srid).map { crs =>
-      val (lon, lat) = crs.datum.toWgs84 match {
-        case Some(h) => h.inverseShift(lonWgs, latWgs)
-        case None    => (lonWgs, latWgs)
-      }
+      val (lon, lat) = wgsToDatum(crs.datum, lonWgs, latWgs)
       crs.proj.forward(lon, lat)
     }
 
@@ -722,9 +758,6 @@ object EpsgRegistry {
   def inverse(srid: Int, x: Double, y: Double): Option[(Double, Double)] =
     lookup(srid).map { crs =>
       val (lon, lat) = crs.proj.inverse(x, y)
-      crs.datum.toWgs84 match {
-        case Some(h) => h.shift(lon, lat)
-        case None    => (lon, lat)
-      }
+      datumToWgs(crs.datum, lon, lat)
     }
 }

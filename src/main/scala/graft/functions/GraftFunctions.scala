@@ -51,7 +51,8 @@ object GraftFunctions {
     "attime", "atvalues", "valueattimestamp", "atgeometry", "whentrue",
     // spatial
     "length", "speed", "trajectory", "edwithin", "adisjoint", "tdwithin",
-    "mindistance", "st_point", "st_transform", "st_geomfromtext",
+    "mindistance", "st_point", "st_transform", "st_x", "st_y",
+    "st_geomfromtext",
     "st_intersects", "st_contains", "st_distance", "st_collect",
     "set_elements",
     // the reference benchmark q5's _gs spellings (aliased in MobRuntime)

@@ -153,6 +153,7 @@ object MobRuntime {
       case "mindistance" => DoubleType
       case "st_point" => BinaryType
       case "st_transform" => BinaryType
+      case "st_x" | "st_y" => DoubleType
       case "st_geomfromtext" => BinaryType
       case "st_intersects" | "st_contains" => BooleanType
       case "st_distance" => DoubleType
@@ -1261,9 +1262,18 @@ object MobRuntime {
         case VSetS(vs) => vs.toSeq
         case _ => bad(name, args)
       }
+      case "st_x" => Wkb.read(a0.asInstanceOf[Array[Byte]])._2.head._1
+      case "st_y" => Wkb.read(a0.asInstanceOf[Array[Byte]])._2.head._2
       case "st_transform" =>
         val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
-        val conv = pts.map(p => Geo.lonLatToMercator(p._1, p._2))
+        // 1-arg legacy form: 4326 → web mercator; 3-arg form:
+        // (geom, srcSrid, dstSrid) through the full registry (and any
+        // shipped NTv2 grids) via the 4326 pivot
+        val conv =
+          if (args.length >= 3)
+            pts.map(p => Crs.transformBetween(
+              asLong(args(1)).toInt, asLong(args(2)).toInt, p._1, p._2))
+          else pts.map(p => Geo.lonLatToMercator(p._1, p._2))
         gt match {
           case Wkb.PointType => Wkb.writePoint(conv.head._1, conv.head._2)
           case Wkb.LineStringType => Wkb.writeLineString(conv)

@@ -187,6 +187,32 @@ object MobilityOps {
       .orderBy("user_id", "gts")
   }
 
+  /** NTv2 grid-shift transform, end-to-end through the production path:
+    * a spec-conformant `.gsb` written and shipped with `addFile`
+    * ([[graft.core.SynthNtv2]]), resolved per-executor via SparkFiles,
+    * bilinearly interpolated inside `transform()`'s datum step
+    * (EpsgRegistry.datumToWgs), points built with st_point and read back
+    * with st_x/st_y. The synthetic grid samples a bilinear field with
+    * binary-fraction coefficients, so the DuckDB oracle's closed form
+    * matches bit-for-bit (see SynthNtv2 scaladoc). 1 681 quarter-degree
+    * points; everything is a zero-shuffle projection over spark.range. */
+  def q9GridShift(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.core.SynthNtv2.install(s)
+    val pt = cf("st_transform",
+      cf("st_point", col("lon_in"), col("lat_in")),
+      lit(4275), lit(4326))
+    s.range(1681)
+      .select(
+        col("id"),
+        (lit(30.0) + col("id") % 41 * lit(0.25)).as("lon_in"),
+        (lit(-10.0) + expr("id div 41") * lit(0.25)).as("lat_in"))
+      .select(col("id"), col("lon_in"), col("lat_in"),
+        round(cf("st_x", pt), 7).as("lon_out"),
+        round(cf("st_y", pt), 7).as("lat_out"))
+      .orderBy("id")
+  }
+
   /** Oracle SQL (DuckDB) — all wrapped in a micros-truncation CTE so both
     * engines see identical timestamps (Spark reads the nanos parquet
     * truncated to micros). */
@@ -288,7 +314,21 @@ object MobilityOps {
                 round(ev.value, 2) AS last_value
          FROM probe p ASOF JOIN e ev
            ON p.user_id = ev.user_id AND p.gts >= ev.ts
-         ORDER BY p.user_id, p.gts""")
+         ORDER BY p.user_id, p.gts""",
+    // closed form of the synthetic grid's bilinear shift field — bilinear
+    // interpolation of a bilinear function is the function (SynthNtv2)
+    "geo_gridshift" ->
+      """WITH pts AS (
+           SELECT i AS id,
+             30 + (i % 41) * CAST(0.25 AS DOUBLE) AS lon_in,
+             -10 + (i // 41) * CAST(0.25 AS DOUBLE) AS lat_in
+           FROM range(0, 1681) t(i))
+         SELECT id, lon_in, lat_in,
+           round(lon_in - (-2 + (lon_in - 30) / 16 - (lat_in + 10) / 128
+             + (lon_in - 30) * (lat_in + 10) / 1024) / 3600, 7) AS lon_out,
+           round(lat_in + (1.5 + (lon_in - 30) / 32 + (lat_in + 10) / 64
+             + (lon_in - 30) * (lat_in + 10) / 512) / 3600, 7) AS lat_out
+         FROM pts ORDER BY id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mob_q1_timespan" -> (q1TimeSpan _),
@@ -298,5 +338,6 @@ object MobilityOps {
     "mob_q5_traj_length" -> (q5TrajLength _),
     "mob_q6_stbox_filter" -> (q6StboxFilter _),
     "mob_q7_when_true" -> (q7WhenTrue _),
-    "mob_q8_asof_join" -> (q8AsofJoin _))
+    "mob_q8_asof_join" -> (q8AsofJoin _),
+    "geo_gridshift" -> (q9GridShift _))
 }
