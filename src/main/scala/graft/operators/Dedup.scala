@@ -136,6 +136,20 @@ object Dedup {
   private def reg(s: SparkSession): Unit =
     graft.functions.GraftFunctions.register(s)
 
+  /** Phase checkpoint: materialize eagerly, break lineage (upstream
+    * shuffle files become collectable — max(phase) scratch, not
+    * sum(phases)) — and store the blocks DISK_ONLY. The default
+    * localCheckpoint level (MEMORY_AND_DISK deserialized) holds each
+    * partition as row OBJECTS in the storage region; at the 1000x probe
+    * (5M docs) the prefix/signature tables are 10+ GB of heap that way,
+    * and a 24g driver OOM'd mid-verify. These tables are read back
+    * exactly once or twice, sequentially — executor-local disk (the
+    * shuffle-dir class of storage a real cluster provisions anyway) is
+    * the right tier, and the heap stays owned by the hash aggregates. */
+  private def ckptDisk(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true,
+      storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   /** Near-duplicate pairs by exact shingle Jaccard >= 0.5, with exact
     * PREFIX FILTERING (Bayardo et al., WWW'07): order each doc's
     * shingles rarest-first by global document frequency; a pair with
@@ -167,7 +181,7 @@ object Dedup {
     // (~half the shingle table).
     val prefix = rankedShingles(sh, dfreq)
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
-      .localCheckpoint()
+      .transform(ckptDisk)
     // candidate join with two exact prunes beyond the prefix overlap:
     //  - size compatibility: J >= minJ forces min(sz)/max(sz) >= minJ
     //  - positional bound (PPJoin): overlap <= min(remaining suffix
@@ -187,7 +201,7 @@ object Dedup {
       // materialize, the self-join/prefix shuffles (the ~30 GB middle
       // of the 1000x run) are collectable before the verify phase
       // starts, so peak scratch is max(phase), not sum(phases)
-      .localCheckpoint()
+      .transform(ckptDisk)
     // verification only ever consults CANDIDATE docs' shingle arrays —
     // semi-prune sh before the collect_list groupBy, so the array-
     // building shuffle is candidate-sized, not corpus-sized (at the
@@ -279,7 +293,7 @@ object Dedup {
       // materialize, the self-join/prefix shuffles (the ~30 GB middle
       // of the 1000x run) are collectable before the verify phase
       // starts, so peak scratch is max(phase), not sum(phases)
-      .localCheckpoint()
+      .transform(ckptDisk)
     // verification only ever consults CANDIDATE docs' shingle arrays —
     // semi-prune sh before the collect_list groupBy, so the array-
     // building shuffle is candidate-sized, not corpus-sized (at the
@@ -452,7 +466,7 @@ object Dedup {
     symAll.as[(Long, Long)].coalesce(1)
       .mapPartitions(unionFind)
       .toDF("doc_id", "lbl")
-      .localCheckpoint()
+      .transform(ckptDisk)
   }
 
   /** The distributed path: min-label propagation, one join + one
@@ -466,7 +480,7 @@ object Dedup {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .repartition(parts, col("doc_id"))
       .withColumn("lbl", col("doc_id"))
-      .localCheckpoint()
+      .transform(ckptDisk)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -482,7 +496,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-        .localCheckpoint()
+        .transform(ckptDisk)
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
@@ -551,7 +565,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .localCheckpoint() // consumed twice; lineage break phases the query (see jaccard)
+      .transform(ckptDisk) // consumed twice; lineage break phases the query (see jaccard)
     // exact-verification arrays built for CANDIDATE docs only — the
     // same semi-prune as [[jaccard]]: the full-corpus collect_list was
     // the operator's largest shuffle and its dominant 1000x spill

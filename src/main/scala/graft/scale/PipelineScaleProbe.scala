@@ -86,6 +86,10 @@ object PipelineScaleProbe {
       // codec a shuffle-heavy 100 TB deployment would run anyway (CPU
       // is idle during shuffle I/O at this shape)
       .config("spark.io.compression.codec", "zstd")
+      // phase checkpoints store DISK_ONLY (Dedup.ckptDisk); compress
+      // those serialized blocks with the same codec — the prefix/
+      // signature tables are highly repetitive hash columns
+      .config("spark.rdd.compress", "true")
       // shuffle files are deleted only when their dependency is GC'd;
       // with a 24g heap the JVM may not GC for the whole probe, so
       // lineage released by localCheckpoint would otherwise stay on
@@ -112,17 +116,20 @@ object PipelineScaleProbe {
     // scale claims need spill/shuffle evidence, not just wall-clock
     val metrics = new graft.util.BenchMetricsListener
     spark.sparkContext.addSparkListener(metrics)
-    val times = (for (_ <- 1 to passes) yield {
+    val times = (for (p <- 1 to passes) yield {
       selQs
         .map { n =>
         metrics.reset(n)
         spark.sparkContext.setJobGroup(n, n, interruptOnCancel = false)
+        System.err.println(s"[probe] pass $p $n start")
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[probe] pass $p $n $sec%.1f s ($rows rows)")
         spark.sparkContext.clearJobGroup()
         spark.catalog.clearCache()
         System.gc()
-        (n, (System.nanoTime() - t0) / 1e9, rows)
+        (n, sec, rows)
       }
     }).flatten.groupBy(_._1).map { case (n, xs) =>
       (n, xs.map(_._2).min, xs.head._3)
