@@ -661,7 +661,11 @@ object Crs {
       case 2154 => Lambert93.forward(lon, lat)
       case 3035 => LaeaEurope.forward(lon, lat)
       case 27700 =>
-        val (lo, la) = Wgs84ToOsgb36.shift(lon, lat)
+        // through the grid-aware datum helper: shipping OSTN15 upgrades
+        // British National Grid to its survey accuracy; without it this
+        // is the published Helmert (the transposed-rotation inverse of
+        // Wgs84ToOsgb36 — sub-mm from the former negated-parameter form)
+        val (lo, la) = EpsgRegistry.wgsToDatum(EpsgRegistry.DatumOsgb36, lon, lat)
         osgb36Forward(lo, la)
       case etrs if etrs >= 25828 && etrs <= 25838 => etrsUtm(etrs, lon, lat)
       case utmZone if (utmZone >= 32601 && utmZone <= 32660) ||
@@ -688,7 +692,7 @@ object Crs {
         val (_, n0) = TmercAiry.forward(-2.0, 0.9996012717, -2.0, 49.0)
         val (lo, la) = TmercAiry.inverse(-2.0, 0.9996012717,
           x - 400000.0, y + n0 + 100000.0)
-        Wgs84ToOsgb36.inverseShift(lo, la)
+        EpsgRegistry.datumToWgs(EpsgRegistry.DatumOsgb36, lo, la)
       case etrs if etrs >= 25828 && etrs <= 25838 =>
         TmercGrs80.inverse((etrs - 25800) * 6 - 183, 0.9996, x - 500000.0, y)
       case utmZone if (utmZone >= 32601 && utmZone <= 32660) ||
