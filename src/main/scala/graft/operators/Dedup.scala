@@ -186,6 +186,22 @@ object Dedup {
     //  - size compatibility: J >= minJ forces min(sz)/max(sz) >= minJ
     //  - positional bound (PPJoin): overlap <= min(remaining suffix
     //    lengths past this shared shingle) + 1
+    // then an AGGREGATED exact bound per pair (PPJoin+ suffix filter).
+    // Both docs' shingles are sorted by the same (df, h) total order, so
+    // with o prefix-prefix matches whose max matched ranks are (mra,
+    // mrb): every common shingle below the largest match is itself a
+    // prefix-prefix match (else its rank in the other doc would precede
+    // a prefix position — contradiction), and every one above it sits
+    // past BOTH max ranks. Hence exactly:
+    //   inter <= o + min(sza - mra, szb - mrb)
+    // and J >= minJ needs inter >= (sza+szb) * minJ/(1+minJ). This kills
+    // the junk class that 1000x exposed: short common-vocabulary docs
+    // sharing ONE high-df shingle at the tail of both prefixes (o = 1,
+    // mra ~ prefix end) passed the per-row prunes and exploded the
+    // verify phase to tens of GB of array-carrying shuffle; with the
+    // pair-level bound the verify set is the near-dup set (o tracks the
+    // true overlap), so verify cost is output-bound, not collision-bound.
+    val eqJ = minJ / (1 + minJ)
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -193,8 +209,18 @@ object Dedup {
           ceil(greatest(col("a.sz"), col("b.sz")) * minJ) &&
         least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1 >=
           ceil(greatest(col("a.sz"), col("b.sz")) * minJ))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"),
+        col("a.rank").as("ra"), col("b.rank").as("rb"))
+      .groupBy("id_a", "id_b", "sza", "szb")
+      .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
+      // the 1e-9 slack keeps FP rounding of minJ/(1+minJ) from ever
+      // pushing ceil past the exact integer threshold (rejecting a true
+      // pair); admitting a borderline extra candidate is harmless
+      .filter(col("o") +
+        least(col("sza") - col("mra"), col("szb") - col("mrb")) >=
+        ceil((col("sza") + col("szb")) * eqJ - 1e-9))
+      .select("id_a", "id_b")
       // consumed twice below (verify probe + candidate-id prune), and
       // localCheckpoint rather than persist: the pair list is tiny, and
       // BREAKING its lineage phases the query — once candidates
