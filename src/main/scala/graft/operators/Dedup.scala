@@ -305,14 +305,26 @@ object Dedup {
     val ranked = rankedShingles(sh, dfreq)
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minC) + 1)
+    // per-pair aggregated suffix bound (the [[jaccard]] PPJoin+ proof
+    // holds one-sided too: matched elements have rank_a inside the
+    // prefix, so every common element below the largest match is itself
+    // matched, and the rest sit past both max matched ranks). Required
+    // overlap for containment >= minC is ceil(sza * minC).
     val cand = prefix.as("a")
       .join(ranked.as("b"), col("a.h") === col("b.h") &&
         (col("a.sz") < col("b.sz") ||
           (col("a.sz") === col("b.sz") &&
             col("a.doc_id") < col("b.doc_id"))) &&
         col("a.sz") - col("a.rank") + 1 >= ceil(col("a.sz") * minC))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"),
+        col("a.rank").as("ra"), col("b.rank").as("rb"))
+      .groupBy("id_a", "id_b", "sza", "szb")
+      .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
+      .filter(col("o") +
+        least(col("sza") - col("mra"), col("szb") - col("mrb")) >=
+        ceil(col("sza") * minC - 1e-9))
+      .select("id_a", "id_b")
       // consumed twice below (verify probe + candidate-id prune), and
       // localCheckpoint rather than persist: the pair list is tiny, and
       // BREAKING its lineage phases the query — once candidates
@@ -368,14 +380,23 @@ object Dedup {
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
     val corpusPrefix = prefix.filter(col("doc_id") % 10 =!= 0)
     val newPrefix = prefix.filter(col("doc_id") % 10 === 0)
+    // per-pair aggregated PPJoin+ suffix bound, same as [[jaccard]]
+    val eqJ = minJ / (1 + minJ)
     val cand = corpusPrefix.as("a")
       .join(newPrefix.as("b"), col("a.h") === col("b.h") &&
         least(col("a.sz"), col("b.sz")) >=
           ceil(greatest(col("a.sz"), col("b.sz")) * minJ) &&
         least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1 >=
           ceil(greatest(col("a.sz"), col("b.sz")) * minJ))
-      .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"))
-      .distinct()
+      .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"),
+        col("a.rank").as("ra"), col("b.rank").as("rb"))
+      .groupBy("corpus_id", "new_id", "sza", "szb")
+      .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
+      .filter(col("o") +
+        least(col("sza") - col("mra"), col("szb") - col("mrb")) >=
+        ceil((col("sza") + col("szb")) * eqJ - 1e-9))
+      .select("corpus_id", "new_id")
     val sets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
     cand
