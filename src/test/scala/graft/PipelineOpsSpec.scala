@@ -30,6 +30,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("jaccard equals Scala brute force on a constructed corpus, " +
+       "including exact-threshold and one-shared-prefix-shingle pairs") {
+    val sp = spark
+    import sp.implicits._
+    // deterministic corpus engineered at the candidate-pruning edges:
+    //  - docs 0/1: J = 0.5 EXACTLY (shingles {abc,bcd} vs {abc,bcd,cde,def})
+    //    — the ceil-boundary pair the PPJoin+ bound must not reject;
+    //  - docs 2/3: share exactly one rare shingle, J < 0.5 — the junk
+    //    class the aggregated bound prunes before verify;
+    //  - docs 4/5: exact duplicates (J = 1);
+    //  - a tail of common-vocabulary filler docs that generate high-df
+    //    shingles (the collision source the bound exists for).
+    val vocab = Array("pa", "pb", "pc", "pd")
+    def filler(i: Int): String =
+      (0 until 12).map(k => vocab((i * 7 + k * 3) % 4)).mkString(" ")
+    val docs = Seq(
+      0L -> "a b c d", 1L -> "a b c d e f",
+      2L -> "x1 x2 x3 q1 q2 q3 q4 q5", 3L -> "x1 x2 x3 r1 r2 r3 r4 r5",
+      4L -> "dup1 dup2 dup3 dup4 dup5", 5L -> "dup1 dup2 dup3 dup4 dup5") ++
+      (6L to 45L).map(i => i -> filler(i.toInt))
+    val dir = java.nio.file.Files.createTempDirectory("jacbf").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // Scala brute force over the same 3-gram shingle sets
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = docs.toMap.map { case (id, t) => id -> shingles(t) }
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a) | sets(b)).size if j >= 0.5
+    } yield (a, b) -> j).toMap
+    val got = Dedup.jaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === expect.keySet,
+      s"missing=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
+    expect.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-4, s"$k") }
+    assert(got((0L, 1L)) === 0.5) // the exact-threshold pair survived
+    assert(!got.contains((2L, 3L))) // the junk-class pair is sub-threshold
+  }
+
   test("dup clusters: pairs co-clustered, reps are min members, exact cover") {
     val pairs = Dedup.jaccard(spark, d).select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
