@@ -138,17 +138,31 @@ object Dedup {
 
   /** Phase checkpoint: materialize eagerly, break lineage (upstream
     * shuffle files become collectable — max(phase) scratch, not
-    * sum(phases)) — and store the blocks DISK_ONLY. The default
-    * localCheckpoint level (MEMORY_AND_DISK deserialized) holds each
-    * partition as row OBJECTS in the storage region; at the 1000x probe
-    * (5M docs) the prefix/signature tables are 10+ GB of heap that way,
-    * and a 24g driver OOM'd mid-verify. These tables are read back
-    * exactly once or twice, sequentially — executor-local disk (the
-    * shuffle-dir class of storage a real cluster provisions anyway) is
-    * the right tier, and the heap stays owned by the hash aggregates. */
+    * sum(phases)) — and store the blocks MEMORY_AND_DISK_SER. The
+    * default localCheckpoint level (MEMORY_AND_DISK deserialized) holds
+    * each partition as row OBJECTS in the storage region; at the 1000x
+    * probe (5M docs) the prefix/signature tables are 10+ GB of heap that
+    * way, and a 24g driver OOM'd mid-verify. DISK_ONLY fixed that but
+    * taxed the decade rows that DO fit (the 100x bench rows paid ~8 s of
+    * pure checkpoint I/O for data a few hundred MB serialized). SER is
+    * the tier that serves both: compact serialized blocks (~5-10x
+    * smaller than row objects) that stay memory-resident when they fit
+    * and spill through the unified memory manager when they don't — and
+    * execution can evict them past the protected storage fraction, so
+    * the hash aggregates still own the heap under pressure. */
   private def ckptDisk(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true,
-      storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Shingle-row count past which the CORPUS-SIZED phase tables get the
+    * lineage-release checkpoint: ~100M rows is where their upstream
+    * shuffle files grow into the tens of GB that crowd a single box's
+    * scratch (the 1000x probe's failure mode). The pair-list and label
+    * checkpoints stay unconditional — they are kilobyte-class and their
+    * lineage break is what phases the query. */
+  private val ckptShingleRows = 100000000L
+  private def ckptIfBig(nShingleRows: Long)(df: DataFrame): DataFrame =
+    if (nShingleRows > ckptShingleRows) ckptDisk(df) else df
 
   /** Near-duplicate pairs by exact shingle Jaccard >= 0.5, with exact
     * PREFIX FILTERING (Bayardo et al., WWW'07): order each doc's
@@ -171,17 +185,22 @@ object Dedup {
     // pin the cache before fan-out: three downstream branches (dfreq,
     // prefix, sets) otherwise race to materialize it concurrently and
     // can recompute the window+distinct per branch
-    sh.count()
+    val nSh = sh.count()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    // localCheckpoint (the bigGraphLabels pattern): the prefix table is
-    // consumed twice by the self-join below, and checkpointing it DROPS
-    // the df-join/rank-agg lineage — their shuffle files (~25 GB live
-    // at the 1000x probe) become collectable mid-query instead of
-    // pinned until the action ends. Storage is the prefix rows only
-    // (~half the shingle table).
+    // localCheckpoint (the bigGraphLabels pattern), SIZE-GATED: the
+    // prefix table is consumed twice by the self-join below, and
+    // checkpointing it DROPS the df-join/rank-agg lineage — their
+    // shuffle files (~25 GB live at the 1000x probe) become collectable
+    // mid-query instead of pinned until the action ends. That matters
+    // exactly when phase scratch threatens the box's disk/heap; below
+    // [[ckptShingleRows]] the eager materialization is pure overhead
+    // (measured ~8 s at the 100x bench row for zero scratch relief), so
+    // the barrier switches on the shingle count we just computed — the
+    // same "size the plan to the decade" choice a 100 TB deployment
+    // makes via its scratch-capacity config.
     val prefix = rankedShingles(sh, dfreq)
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
-      .transform(ckptDisk)
+      .transform(ckptIfBig(nSh))
     // candidate join with two exact prunes beyond the prefix overlap:
     //  - size compatibility: J >= minJ forces min(sz)/max(sz) >= minJ
     //  - positional bound (PPJoin): overlap <= min(remaining suffix

@@ -269,6 +269,94 @@ object Sketches {
       .orderBy("grp")
   }
 
+  /** Misra–Gries frequent-items summary as a mergeable PARTIAL+FINAL
+    * aggregate (Misra & Gries 1982; mergeability per Agarwal et al.,
+    * "Mergeable Summaries", PODS'12). State: <= 2*[[HhK]] (item, count)
+    * entries per partition. `reduce` increments a resident item or
+    * inserts at weight 1; past 2K entries it COMPACTS — subtract the
+    * (K+1)-th largest count m from every counter and drop the
+    * non-positives (<= K survive, since the (K+1)-th largest hits 0).
+    * `merge` sums the two maps and compacts the same way.
+    *
+    * Error bound, and why compaction order never matters: at any
+    * compaction there are >= K+1 counters with count >= m, so the
+    * weight removed is >= m*(K+1); total removable weight is at most
+    * the stream length n, hence sum(m) <= n/(K+1) over ALL compactions
+    * of any merge tree — and each item's count is underestimated by at
+    * most sum(m). So every item with true frequency > n/(K+1) SURVIVES
+    * in the final summary, regardless of partitioning or merge order.
+    *
+    * This is the 100 TB heavy-hitter shape: the full-token groupBy the
+    * oracle runs shuffles the whole corpus vocabulary; this summary
+    * ships <= 2K counters per partition — constant state per task —
+    * and the exact second pass touches only the <= 2K candidates. */
+  private[operators] val HhK = 1024
+  private[operators] object MisraGries
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Map[String, Long]] {
+    private def compact(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= HhK) m
+      else {
+        // (K+1)-th largest count; subtract it from everyone
+        val counts = m.valuesIterator.toArray
+        java.util.Arrays.sort(counts)
+        val sub = counts(counts.length - (HhK + 1))
+        m.collect { case (k, v) if v > sub => (k, v - sub) }
+      }
+    def zero: Map[String, Long] = Map.empty
+    def reduce(buf: Map[String, Long], tok: String): Map[String, Long] = {
+      val upd = buf.updated(tok, buf.getOrElse(tok, 0L) + 1L)
+      if (upd.size > 2 * HhK) compact(upd) else upd
+    }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val (small, big) = if (a.size < b.size) (a, b) else (b, a)
+      val summed = small.foldLeft(big) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+      compact(summed)
+    }
+    def finish(buf: Map[String, Long]): Map[String, Long] = compact(buf)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** EXACT heavy hitters (tokens with share > 1/[[HhPhiInv]] of the
+    * corpus) by the classic TWO-PASS scheme: pass 1 runs [[MisraGries]]
+    * as one partial+final aggregate — with K = [[HhK]] >= PhiInv the
+    * summary provably contains every token above the threshold (see
+    * MisraGries scaladoc) — and pass 2 counts ONLY the <= 2K surviving
+    * candidates exactly (broadcast semi-join; map-side combine ships
+    * <= |candidates| rows per partition) and applies the integer
+    * threshold cnt * PhiInv > n. The result is EXACT and deterministic
+    * — any MG summary is a superset of the true answer and the exact
+    * pass removes the extras — so the approximate machinery gets a full
+    * hash-match oracle (the plain GROUP BY ... HAVING the oracle runs).
+    *
+    * The candidate list is a driver-side collect BOUNDED at 2K entries
+    * by construction (the codebook/vocab pattern — never data-sized). */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(MisraGries,
+      org.apache.spark.sql.Encoders.STRING)
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val summary = toks.agg(mg(col("token")).as("mg")).head().getMap[String, Long](0)
+    import s.implicits._
+    val cand = summary.keys.toSeq.sorted.toDF("token")
+    // n without a second explode: sum of per-doc token counts
+    val n = Tables.documents(s, d)
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
+    toks.join(broadcast(cand), "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * HhPhiInv > col("n"))
+      .select(col("token"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+  private[operators] val HhPhiInv = 30L
+
   /** HyperLogLog registers + estimate, ENGINE-IDENTICAL (Flajolet et al.
     * 2007). Spark's approx_count_distinct is HLL++ with a register layout
     * DuckDB can't replay, so — as with [[kmv]] — the sketch math is
@@ -524,9 +612,20 @@ object Sketches {
     "sketch_kmv_overlap" -> (kmvOverlap _),
     "sketch_hll" -> (hll _),
     "sketch_countmin" -> (countMin _),
+    "sketch_heavy_hitters" -> (heavyHitters _),
     "sketch_bloom" -> (bloom _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         n AS (SELECT count(*) AS n FROM toks),
+         c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+         SELECT c.token, c.cnt,
+           round(c.cnt / CAST(n.n AS DOUBLE), 6) AS share
+         FROM c CROSS JOIN n
+         WHERE c.cnt * 30 > n.n
+         ORDER BY c.cnt DESC, c.token""",
     "sketch_quantile_hist" ->
       """WITH x AS (
            SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x

@@ -86,8 +86,8 @@ object PipelineScaleProbe {
       // codec a shuffle-heavy 100 TB deployment would run anyway (CPU
       // is idle during shuffle I/O at this shape)
       .config("spark.io.compression.codec", "zstd")
-      // phase checkpoints store DISK_ONLY (Dedup.ckptDisk); compress
-      // those serialized blocks with the same codec — the prefix/
+      // phase checkpoints store MEMORY_AND_DISK_SER (Dedup.ckptDisk);
+      // compress the serialized blocks with the same codec — the prefix/
       // signature tables are highly repetitive hash columns
       .config("spark.rdd.compress", "true")
       // shuffle files are deleted only when their dependency is GC'd;

@@ -590,4 +590,54 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(feats.mean_px - expMean) < 1e-12,
       s"${feats.mean_px} != $expMean")
   }
+
+  test("heavy hitters: equals exact groupBy-HAVING on the gate corpus") {
+    import graft.operators.Sketches
+    val got = Sketches.heavyHitters(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val expect = toks.groupBy("token").count()
+      .filter(col("count") * 30 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.toSeq
+    assert(got === expect)
+    assert(got.nonEmpty) // a trivial empty pass proves nothing
+  }
+
+  test("heavy hitters: MG compaction path on a 10k-word Zipf corpus " +
+       "still yields the exact answer") {
+    val sp = spark
+    import sp.implicits._
+    // vocab of 10 heavy words (2000 occurrences each) + 10 000 tail
+    // words (2 each): 10 010 distinct tokens >> the 2*HhK = 2048 buffer
+    // bound, so reduce-side compaction MUST fire; n = 40 000, threshold
+    // n/30 = 1333.3 -> exactly the 10 heavy words qualify. The MG
+    // guarantee (any item with freq > n/(K+1) ~ 39 survives the summary)
+    // is what makes the two-pass result exact despite the compactions.
+    val stream = scala.collection.mutable.ArrayBuffer[String]()
+    var ti = 0
+    for (i <- 0 until 20000) {
+      stream += s"h${i % 10}"
+      stream += s"w$ti"; ti = (ti + 1) % 10000
+    }
+    // deterministic shuffle so heavies and tail interleave irregularly
+    val arr = stream.toArray
+    var seed = 0x9E3779B97F4A7C15L
+    for (i <- arr.indices.reverse if i > 0) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val j = (((seed >>> 33) % (i + 1)) + (i + 1)) % (i + 1)
+      val t = arr(i); arr(i) = arr(j.toInt); arr(j.toInt) = t
+    }
+    val docs = arr.grouped(100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("hhzipf").toString
+    docs.toDF("doc_id", "text").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Sketches.heavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = (0 until 10).map(i => (s"h$i", 2000L)).toSet
+    assert(got === expect)
+  }
 }
