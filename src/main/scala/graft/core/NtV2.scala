@@ -49,6 +49,10 @@ object NtV2 {
                            lonShift: Array[Double]) {
     val nCols: Int = math.round((wLon - eLon) / lonInc).toInt + 1
     val nRows: Int = math.round((nLat - sLat) / latInc).toInt + 1
+    require(nRows >= 2 && nCols >= 2,
+      s"sub-grid $name: degenerate ${nRows}x$nCols extent (bilinear " +
+        "interpolation needs a 2x2 cell; a 1-row/1-column grid would " +
+        "index out of bounds)")
     require(latShift.length == nCols * nRows,
       s"sub-grid $name: ${latShift.length} nodes != $nRows x $nCols")
 
@@ -247,16 +251,6 @@ object NtV2 {
   }
 }
 
-/** Per-JVM resolver + cache for NTv2 grids by canonical file name.
-  * Resolution order (first hit wins, result cached):
-  *  1. bytes injected with [[put]] (tests);
-  *  2. `$GRAFT_GRID_DIR/<name>` — the PROJ_LIB analogue for
-  *     cluster images that bake grids into the executor filesystem;
-  *  3. `SparkFiles.get(<name>)` — grids shipped with
-  *     `SparkContext.addFile` / `spark-submit --files`, the idiomatic
-  *     way to distribute side-files to every executor.
-  * A miss is cached too (per-row lookups must not stat the filesystem);
-  * call [[invalidate]] after an `addFile` that happens mid-session. */
 /** Deterministic synthetic NTv2 grid for the `geo_gridshift` gate entry
   * and the NtV2 specs. Real grids cannot ship in a zero-egress build, so
   * the gate proves the MECHANISM end-to-end — write a spec-conformant
@@ -324,22 +318,62 @@ object SynthNtv2 {
   }
 }
 
+/** Per-JVM resolver + cache for NTv2 grids by canonical file name.
+  * Resolution order (first hit wins, result cached):
+  *  1. bytes injected with [[put]] (tests);
+  *  2. `$GRAFT_GRID_DIR/<name>` — the PROJ_LIB analogue for
+  *     cluster images that bake grids into the executor filesystem;
+  *  3. `SparkFiles.get(<name>)` — grids shipped with
+  *     `SparkContext.addFile` / `spark-submit --files`, the idiomatic
+  *     way to distribute side-files to every executor.
+  * Hits are cached for the life of the JVM. Misses are cached PER
+  * RESOLUTION TOKEN — the task attempt id on executors, a driver-side
+  * epoch (bumped by [[put]]/[[remove]]/[[invalidate]]) on the driver —
+  * so per-row lookups inside a task never stat the filesystem more than
+  * once, yet a grid shipped with `addFile` MID-SESSION is picked up by
+  * every JVM at its next task with no driver-side coordination (the r8
+  * design cached misses forever on executors, silently pinning
+  * Helmert-class results after a late install). */
 object GridStore {
-  private val cache = new ConcurrentHashMap[String, Option[NtV2.GridFile]]()
+  private val hits = new ConcurrentHashMap[String, NtV2.GridFile]()
+  private val misses = new ConcurrentHashMap[String, java.lang.Long]()
   private val injected = new ConcurrentHashMap[String, Array[Byte]]()
+  private val driverEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Miss-cache validity token: unique per task attempt on executors
+    * (attempt ids are nonnegative, mapped below -1 to never collide with
+    * driver epochs), the invalidation epoch on the driver. */
+  private def token: Long =
+    Option(org.apache.spark.TaskContext.get())
+      .map(tc => -1L - tc.taskAttemptId())
+      .getOrElse(driverEpoch.get())
 
   def put(name: String, bytes: Array[Byte]): Unit = {
     injected.put(name, bytes)
-    cache.remove(name)
+    hits.remove(name); misses.remove(name)
+    driverEpoch.incrementAndGet()
   }
   def remove(name: String): Unit = {
     injected.remove(name)
-    cache.remove(name)
+    hits.remove(name); misses.remove(name)
+    driverEpoch.incrementAndGet()
   }
-  def invalidate(name: String): Unit = cache.remove(name)
+  def invalidate(name: String): Unit = {
+    hits.remove(name); misses.remove(name)
+    driverEpoch.incrementAndGet()
+  }
 
-  def find(name: String): Option[NtV2.GridFile] =
-    cache.computeIfAbsent(name, n => resolve(n))
+  def find(name: String): Option[NtV2.GridFile] = {
+    val g = hits.get(name)
+    if (g != null) return Some(g)
+    val t = token
+    val m = misses.get(name)
+    if (m != null && m.longValue == t) return None
+    resolve(name) match {
+      case some @ Some(gf) => hits.put(name, gf); some
+      case None => misses.put(name, java.lang.Long.valueOf(t)); None
+    }
+  }
 
   private def resolve(name: String): Option[NtV2.GridFile] = {
     Option(injected.get(name)).map(NtV2.parse).orElse {

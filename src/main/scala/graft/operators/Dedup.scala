@@ -121,7 +121,11 @@ object Dedup {
       .repartition(col("doc_id"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
-      .select(col("doc_id"), size(col("dh")).cast("long").as("sz"),
+      // rank/sz as INT, not LONG: these two columns ride every
+      // candidate-pipeline exchange twice (both join sides) — 8 bytes
+      // saved per column per row on the operator's largest shuffles,
+      // and a per-doc shingle count can't approach 2^31
+      .select(col("doc_id"), size(col("dh")).as("sz"),
         posexplode(col("dh")).as(Seq("pos", "p")))
       .select(col("doc_id"), col("p.h").as("h"),
         (col("pos") + 1).as("rank"), col("sz"))
@@ -231,6 +235,16 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sza"), col("b.sz").as("szb"),
         col("a.rank").as("ra"), col("b.rank").as("rb"))
+      // co-locate each PAIR before the bound aggregate — the
+      // rankedShingles scatter-state lesson applied to the collision
+      // stream: the join output is partitioned by h, so a partial
+      // aggregate over it builds ~every colliding pair's state in EVERY
+      // partition (collision-set-sized hash maps that fall back to
+      // sort-based aggregation — the 15 GB disk / 170 GB memory spill
+      // class of the r8 1000x probe). Partitioned by (id_a, id_b) the
+      // aggregate is partition-local: state = that partition's own
+      // pairs, the exchange streams narrow 32-byte rows, nothing sorts
+      .repartition(col("id_a"), col("id_b"))
       .groupBy("id_a", "id_b", "sza", "szb")
       .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
       // the 1e-9 slack keeps FP rounding of minJ/(1+minJ) from ever
@@ -256,6 +270,12 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val sets = sh.join(broadcast(candIds), "doc_id")
+      // co-locate before aggregating (the rankedShingles pattern): sh is
+      // partitioned by (doc_id, h), so the partial collect_list would
+      // build and EXCHANGE per-partition array fragments for ~every
+      // candidate doc; repartitioned, the exchange carries narrow
+      // 16-byte rows and each array is built exactly once
+      .repartition(col("doc_id"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
     cand
@@ -338,6 +358,8 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sza"), col("b.sz").as("szb"),
         col("a.rank").as("ra"), col("b.rank").as("rb"))
+      // pair co-location before the bound aggregate — see [[jaccard]]
+      .repartition(col("id_a"), col("id_b"))
       .groupBy("id_a", "id_b", "sza", "szb")
       .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
       .filter(col("o") +
@@ -360,6 +382,12 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val sets = sh.join(broadcast(candIds), "doc_id")
+      // co-locate before aggregating (the rankedShingles pattern): sh is
+      // partitioned by (doc_id, h), so the partial collect_list would
+      // build and EXCHANGE per-partition array fragments for ~every
+      // candidate doc; repartitioned, the exchange carries narrow
+      // 16-byte rows and each array is built exactly once
+      .repartition(col("doc_id"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
     cand
@@ -410,13 +438,22 @@ object Dedup {
       .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"),
         col("a.sz").as("sza"), col("b.sz").as("szb"),
         col("a.rank").as("ra"), col("b.rank").as("rb"))
+      // pair co-location before the bound aggregate — see [[jaccard]]
+      .repartition(col("corpus_id"), col("new_id"))
       .groupBy("corpus_id", "new_id", "sza", "szb")
       .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
       .filter(col("o") +
         least(col("sza") - col("mra"), col("szb") - col("mrb")) >=
         ceil((col("sza") + col("szb")) * eqJ - 1e-9))
       .select("corpus_id", "new_id")
-    val sets = sh.groupBy("doc_id")
+      .transform(ckptDisk) // consumed twice below (verify + candidate-id prune)
+    // verification arrays for CANDIDATE docs only — the jaccard semi-
+    // prune (this operator previously built the FULL corpus's arrays)
+    val candIds = cand.select(col("corpus_id").as("doc_id"))
+      .union(cand.select(col("new_id").as("doc_id"))).distinct()
+    val sets = sh.join(broadcast(candIds), "doc_id")
+      .repartition(col("doc_id")) // co-locate before the array build (see jaccard)
+      .groupBy("doc_id")
       .agg(sort_array(collect_list("h")).as("shs"), count(lit(1)).as("sz"))
     cand
       .join(sets.select(col("doc_id").as("corpus_id"), col("shs").as("sha"),
@@ -630,6 +667,12 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // pair co-location before the dedup aggregate — the same
+      // scatter-state fix as [[jaccard]]'s bound aggregate: a partial
+      // distinct over (band, bh)-partitioned join output holds ~every
+      // candidate pair per partition (the operator's measured 2.2 GB
+      // 1000x spill); partitioned by pair, dedup state is local
+      .repartition(col("id_a"), col("id_b"))
       .distinct()
       .transform(ckptDisk) // consumed twice; lineage break phases the query (see jaccard)
     // exact-verification arrays built for CANDIDATE docs only — the
@@ -638,6 +681,7 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val docSh = sh.join(broadcast(candIds), "doc_id")
+      .repartition(col("doc_id")) // co-locate before the array build (see jaccard)
       .groupBy("doc_id").agg(sort_array(collect_list("h")).as("shs"))
     cand
       .join(docSh.select(col("doc_id").as("id_a"), col("shs").as("sha")), "id_a")

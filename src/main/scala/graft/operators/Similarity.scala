@@ -107,8 +107,16 @@ object Similarity {
     val src = new java.io.File(d).getCanonicalFile
     val fp = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    // `_f32` names the layout SCHEMA generation: vectors are stored as
+    // the source's own float32 (the r8 layout widened them to float64
+    // before writing — 2x the scan bytes for zero information, and the
+    // bucketed scan is the wall clock of this query at 100x). Scoring
+    // stays float64: the read path casts back, and since every stored
+    // value IS a float32 the cast reproduces the r8 doubles bit-for-bit
+    // — same cosines, same oracle. The schema tag in the path keeps a
+    // pre-upgrade on-disk layout from being misread.
     val layout = new java.io.File(
-      s"target/ann_bucketed_${src.getName}_$fp").getAbsoluteFile
+      s"target/ann_bucketed_f32_${src.getName}_$fp").getAbsoluteFile
     val srcFile = new java.io.File(src, "embeddings.parquet")
     def newestMtime(f: java.io.File): Long =
       if (f.isDirectory) (f.lastModified() +:
@@ -116,10 +124,15 @@ object Similarity {
       else f.lastModified()
     val marker = new java.io.File(layout, "_SUCCESS")
     if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("n", sqrt(dot(col("v"), col("v"))))
-        .withColumn("bkt", bucket(col("v")))
+      val dbl = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"),
+          col("embedding").as("v"))
+      // norm and bucket are FLOAT64 functions of the vector (the same
+      // values the in-memory path computes); only the vector itself is
+      // stored narrow
+      dbl.withColumn("n", sqrt(dot(col("vd"), col("vd"))))
+        .withColumn("bkt", bucket(col("vd")))
+        .drop("vd")
         .write.partitionBy("bkt").mode("overwrite").parquet(layout.toString)
     }
     layout
@@ -128,7 +141,12 @@ object Similarity {
   def annLshBucketed(s: SparkSession, d: String): DataFrame = {
     reg(s)
     val layout = buildLshLayout(s, d)
+    // scan reads the float32 layout (half the bytes of the r8 layout);
+    // the cast widens to float64 BEFORE any arithmetic, so scoring is
+    // bit-identical to the in-memory path (PlanSpec asserts the scan
+    // schema is float and the scored column double)
     val e = s.read.parquet(layout.toString)
+      .withColumn("v", col("v").cast("array<double>"))
     // query side reads the BASE table (single file, isin pushed to the
     // scan), not the 256-directory layout — scanning every partition to
     // find 10 ids would defeat the pruning the layout exists for
@@ -253,8 +271,10 @@ object Similarity {
     val src = new java.io.File(d).getCanonicalFile
     val fp = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    // `_f32` schema generation — see [[buildLshLayout]]: vectors stored
+    // as the source float32 (lossless), norms/cells computed in float64
     val layout = new java.io.File(
-      s"target/ann_ivf_${src.getName}_$fp").getAbsoluteFile
+      s"target/ann_ivf_f32_${src.getName}_$fp").getAbsoluteFile
     val srcFile = new java.io.File(src, "embeddings.parquet")
     def newestMtime(f: java.io.File): Long =
       if (f.isDirectory) (f.lastModified() +:
@@ -269,8 +289,12 @@ object Similarity {
       cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"${layout}_codebook")
-      e.withColumn("cell", nearestCell(cents)(col("v")))
-        .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"),
+          col("embedding").as("v"))
+        .withColumn("cell", nearestCell(cents)(col("vd")))
+        .withColumn("n", sqrt(dot(col("vd"), col("vd"))))
+        .drop("vd")
         .write.partitionBy("cell").mode("overwrite").parquet(layout.toString)
     }
     layout
@@ -286,7 +310,10 @@ object Similarity {
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
     trainedCodebooks.put("ann_ivf_bucketed", cents)
+    // float32 layout scan, widened before any arithmetic (bit-identical
+    // scoring — see [[buildLshLayout]])
     val e = s.read.parquet(layout.toString)
+      .withColumn("v", col("v").cast("array<double>"))
     // query side reads the BASE table (single file, isin pushed to the
     // scan), not the k cell directories
     val q = Tables.embeddings(s, d)

@@ -344,8 +344,12 @@ object Sketches {
     val summary = toks.agg(mg(col("token")).as("mg")).head().getMap[String, Long](0)
     import s.implicits._
     val cand = summary.keys.toSeq.sorted.toDF("token")
-    // n without a second explode: sum of per-doc token counts
+    // n without a second explode: sum of per-doc token counts. NULL text
+    // must be excluded — size(NULL) is -1, which would skew n relative to
+    // the explode-based token stream (explode drops NULL arrays) and to
+    // the oracle's NULL-excluding count.
     val n = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
     toks.join(broadcast(cand), "token")
       .groupBy("token").agg(count(lit(1)).as("cnt"))

@@ -221,6 +221,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (dynamic partition pruning from the broadcast probe side)
     assert(f.contains("dynamicpruning") || f.contains("PartitionFilters: [isnotnull(bkt"),
       f.take(2000))
+    // float32 layout contract: the scan reads the narrow vector column
+    // (half the bytes), and scoring widens to float64 BEFORE arithmetic
+    // — the row-equality assertion above proves the widening is lossless
+    assert(f.contains("v:array<float>"), f.take(3000))
+    assert(Similarity.annLshBucketed(spark, d).schema("cos").dataType ==
+      org.apache.spark.sql.types.DoubleType)
   }
 
   test("op_overlaps(boxcol, const) derives pushed range filters (R-tree analogue)") {
@@ -329,6 +335,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the corpus scan must be partition-filtered on the IVF cell
     assert(f.contains("dynamicpruning") || f.contains("PartitionFilters: [isnotnull(cell"),
       f.take(2000))
+    // float32 layout + float64 scoring (see the LSH-layout test)
+    assert(f.contains("v:array<float>"), f.take(3000))
+    assert(Similarity.annIvfBucketed(spark, d).schema("cos").dataType ==
+      org.apache.spark.sql.types.DoubleType)
   }
 
   test("write-time IVF-PQ layout prunes cells, matches in-memory ann_ivfpq") {
