@@ -244,6 +244,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${queriesJson(round = false)}$errPart,""" +
         s""""neardup_batches_ms":$nearDupBatches,""" +
+        s""""neardup_state":${graft.streaming.StreamGate.lastNearDupStateJson},""" +
         s""""task_metrics":${metrics.snapshotJson},"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(

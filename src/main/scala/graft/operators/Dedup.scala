@@ -572,8 +572,27 @@ object Dedup {
       .transform(ckptDisk)
   }
 
-  /** The distributed path: min-label propagation, one join + one
-    * aggregate per round (see [[dupClusters]] scaladoc). */
+  /** Rounds the last [[bigGraphLabels]] run took — observability for
+    * the hub/chain stress spec's bounded-rounds assertion. */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** The distributed path: min-label propagation WITH POINTER JUMPING.
+    * Each round is (a) one edge join + min aggregate — labels flow one
+    * hop along graph edges — and (b) one node-sized self-join applying
+    * path halving, lbl(v) <- min(lbl(v), lbl(lbl(v))). Propagation
+    * alone needs DIAMETER rounds (a planted 64-chain would exhaust the
+    * old 50-round cap and silently return non-converged labels); with
+    * halving the label forest's depth halves every round, so rounds are
+    * O(log diameter) — the same convergence class as the
+    * large-star/small-star contraction (Kiveris et al. 2014), kept in
+    * the min-label formulation so the output contract (doc_id -> min
+    * member of its component) is untouched. lbl values are always node
+    * ids (inits are, mins of node ids are), so lbl(lbl) resolves inside
+    * the label table itself — a node-sized join, never edge-sized, and
+    * the HUB pattern (one label touching ~1% of docs) costs one
+    * map-side-combined min aggregate, never a single giant task
+    * (PipelineOpsSpec plants both shapes). A residual `changed` at the
+    * cap now THROWS instead of returning wrong labels. */
   private[graft] def bigGraphLabels(
       s: SparkSession, symAll: DataFrame, nEdges: Long): DataFrame = {
     val parts = math.max(4, math.min(s.sparkContext.defaultParallelism,
@@ -594,17 +613,32 @@ object Dedup {
         .agg(min("lbl").as("nlbl"))
         .withColumnRenamed("dst", "doc_id")
       // the changed flag rides the same pass — no separate old-vs-new
-      // join, so each round is exactly one join + one aggregate
-      val next = labels.join(msgs, Seq("doc_id"), "left")
+      // join, so each round is one edge join + one aggregate ...
+      // checkpointed: the halving join consumes prop on BOTH sides —
+      // without materialization each side would replay the edge join
+      val prop = labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+        .transform(ckptDisk)
+      // ... plus the node-sized halving join (left: defensive — every
+      // lbl IS a doc_id row by the invariant above)
+      val parents = prop.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
+      val next = prop.join(parents, col("lbl") === col("p_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"),
+          (col("chg") ||
+            coalesce(col("p_lbl"), col("lbl")) < col("lbl")).as("chg"))
         .transform(ckptDisk)
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
     }
     sym.unpersist()
+    lastCcRounds = iter
+    require(changed == 0,
+      s"label propagation did not converge in $iter rounds " +
+        s"($changed labels still moving) — refusing to emit partial components")
     labels
   }
 

@@ -20,7 +20,11 @@ object PipelineScaleProbe {
   val probeQueries: Seq[String] = Seq(
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_substring", "text_tfidf", "sketch_kmv_grouped",
-    "sketch_kmv_agg")
+    "sketch_kmv_agg",
+    // codec family (r8 verdict #6): encode+decode is per-row map work
+    // over the documents scan — the curve must read flat-linear with
+    // ~zero shuffle (one final 1-row-per-partition agg exchange)
+    "media_png", "media_frames")
 
   /** Audit-machinery twins run at BASE scale only (the r7 verdict's
     * bench-signal finding): `sketch_kmv_grouped` keeps the exact-count

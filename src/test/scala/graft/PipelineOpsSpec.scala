@@ -125,6 +125,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("label propagation: planted hub (1% of nodes on one label) and a " +
+       "512-diameter chain converge in O(log d) rounds") {
+    // the two shapes a real crawl graph has that the synthetic corpus
+    // lacks (r8 verdict #5):
+    //  - a HUB: one boilerplate cluster touching ~1% of the graph —
+    //    20 000 leaves on one center. The min aggregate absorbs the
+    //    hub's fan-in map-side (one partial row per partition per dst),
+    //    so no single task ever sees the full fan-in;
+    //  - a 512-node CHAIN: diameter 511, where pure one-hop propagation
+    //    needs 511 rounds — past the 50-round cap, which now THROWS
+    //    rather than emitting partial components. The pointer-jumping
+    //    round (path halving) must converge it in O(log 511) ~ 9-ish
+    //    rounds instead.
+    val hubCenter = 5100000L
+    val hubEdges = (1L to 20000L).map(i => (hubCenter, 5000000L + i))
+    val chainEdges = (0L until 511L).map(i => (9000000L + i, 9000000L + i + 1))
+    val triEdges = (0L until 1000L).flatMap { c =>
+      val b = 7000000L + c * 3
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    }
+    val edges = hubEdges ++ chainEdges ++ triEdges
+    val sym = spark.createDataFrame(
+      edges.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+      .toDF("src", "dst").persist()
+    val labels = Dedup.bigGraphLabels(spark, sym, edges.size * 2L)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 20001 + 512 + 3000)
+    // hub: min member is leaf 5000001, center included
+    (Seq(hubCenter) ++ (1L to 20000L).map(5000000L + _)).foreach { n =>
+      assert(got(n) == 5000001L, s"hub node $n labeled ${got(n)}")
+    }
+    // chain: min is the 9000000 end, felt 511 hops away
+    (0L to 511L).foreach { i =>
+      assert(got(9000000L + i) == 9000000L, s"chain node $i")
+    }
+    // triangles: each labeled by its own base
+    (0L until 1000L).foreach { c =>
+      val b = 7000000L + c * 3
+      assert(got(b) == b && got(b + 1) == b && got(b + 2) == b)
+    }
+    // bounded rounds: log2(511) ~ 9 plus propagation slack — far under
+    // the cap the chain alone would have blown one-hop
+    assert(Dedup.lastCcRounds <= 20,
+      s"took ${Dedup.lastCcRounds} rounds")
+    sym.unpersist()
+  }
+
   test("relational simhash token hash equals md5 lower-64 (little-endian)") {
     val rng = new scala.util.Random(42)
     val toks = Seq("alpha", "beta", "gamma delta", "42", "été", "",
@@ -589,6 +636,69 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until w * h).map(i => tb(i % tb.length) & 0xFF).sum.toDouble / (w * h)
     assert(math.abs(feats.mean_px - expMean) < 1e-12,
       s"${feats.mean_px} != $expMean")
+  }
+
+  test("JPEG codec: constant blocks round-trip exactly; ImageIO " +
+       "cross-validation both ways") {
+    // (a) gate payload (constant 8x8 blocks under the all-8s quant
+    //     table) round-trips EXACTLY through our decoder — the lossy
+    //     codec's full-hash-oracle precondition
+    val text = "The quick brown fox jumps over the lazy dog! 0123456789" * 3
+    val tb = text.getBytes("UTF-8")
+    val (_, payload) = Multimodal.encodeJpegPayload(7L, text)
+    val nb = tb.length / 8
+    val feats = Multimodal.decodeJpeg(7L, payload)
+    assert(feats.n_pixels == 64L * nb && feats.ok == 1)
+    val expMean =
+      (0 until nb).map(b => tb(b % tb.length) & 0xFF).sum.toDouble / nb
+    assert(math.abs(feats.mean_px - expMean) < 1e-12,
+      s"${feats.mean_px} != $expMean")
+    // (b) our encoder -> ImageIO's (libjpeg-class) decoder: a foreign
+    //     reader must accept the markers/huffman/stuffing and, for
+    //     DC-only blocks, reproduce the exact constants
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO rejected our JPEG")
+    assert(img.getWidth == 8 && img.getHeight == 8 * nb)
+    for (b <- 0 until nb; i <- 0 until 64) {
+      val expect = tb(b % tb.length) & 0xFF
+      val got = img.getRaster.getSample(i % 8, b * 8 + i / 8, 0)
+      assert(got == expect, s"block $b px $i: $got != $expect")
+    }
+    // (c) a NON-constant image through our general encoder, read by
+    //     ImageIO: quantization loss is shared (same coefficients), so
+    //     the two IDCTs may differ only by the standard's +-1 rounding
+    val w = 16; val h = 16
+    val px = Array.tabulate(w * h)(i =>
+      ((tb(i % tb.length) & 0xFF) + (i * 7) % 64) % 256)
+    val general = Multimodal.encodeJpegGray(px, w, h)
+    val gImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(general))
+    assert(gImg != null)
+    val ours = Multimodal.decodeJpeg(1L, general)
+    var sumIio = 0L
+    for (y <- 0 until h; x <- 0 until w) sumIio += gImg.getRaster.getSample(x, y, 0)
+    // same coefficients, two IDCTs: means within 1 gray level
+    assert(math.abs(ours.mean_px - sumIio.toDouble / (w * h)) <= 1.0)
+    // (d) ImageIO's ENCODER (foreign writer: its own quant + huffman
+    //     tables) -> our decoder, against ImageIO's own decode of the
+    //     same bytes: both read identical coefficients, IDCTs agree
+    //     within the standard's +-1
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", bos)
+    val foreign = bos.toByteArray
+    val oursF = Multimodal.decodeJpeg(2L, foreign)
+    val iioF = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(foreign))
+    var sumF = 0L
+    for (y <- 0 until h; x <- 0 until w) sumF += iioF.getRaster.getSample(x, y, 0)
+    assert(oursF.n_pixels == w.toLong * h && oursF.ok == 1)
+    assert(math.abs(oursF.mean_px - sumF.toDouble / (w * h)) <= 1.0,
+      s"${oursF.mean_px} vs ${sumF.toDouble / (w * h)}")
   }
 
   test("heavy hitters: equals exact groupBy-HAVING on the gate corpus") {
