@@ -88,47 +88,79 @@ object Dedup {
     * transform — a pure map, where the old posexplode + lead-window
     * formulation shuffled and sorted EVERY token just to see its two
     * successors. Hashing (xxhash64) happens inside the lambda so the
-    * distinct shuffles 8-byte longs, not ~30-byte strings. */
-  private[graft] def shingleHashes(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    * distinct shuffles 8-byte longs, not ~30-byte strings.
+    *
+    * With `parts` > 0 the raw stream is repartitioned BY H at that
+    * count before the distinct: (a) no partial dedup runs over the
+    * scan partitions (shingles are ~90% unique, so those maps dedup
+    * little while spilling — the 2.2 GB class the 1000x probe pinned
+    * on this stage), and (b) the h-partitioning then feeds BOTH the
+    * df aggregate and the df join exchange-free (h ⊆ every downstream
+    * key set). */
+  private[graft] def shingleHashes(s: SparkSession, d: String,
+                                   parts: Int = 0): DataFrame = {
+    val raw = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(toks) - 3),
            i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""))
         .as("h"))
-      .distinct()
+    (if (parts > 0) raw.repartition(parts, col("h")) else raw).distinct()
+  }
+
+  /** Partition count for the corpus-sized dedup exchanges, tracking the
+    * decade (~40k docs per partition ~ tens of MB of shingle rows) with
+    * the session setting as the floor — a cluster absorbs a decade with
+    * MORE tasks, not bigger ones. Derived from the documents rowcount
+    * (parquet metadata — no scan). */
+  private[graft] def corpusParts(s: SparkSession, d: String): Int = {
+    val nDocs = Tables.documents(s, d).count()
+    math.max(s.sessionState.conf.numShufflePartitions,
+      (nDocs / 40000L).toInt)
+  }
+
+  /** Partition count for the candidate-PAIR exchange: the collision
+    * stream is the pipeline's largest intermediate (~100 rows per doc at
+    * the 1000x probe) and its bound aggregate builds TWO hash maps
+    * (partial + final, co-located) of partition-local pairs — ~4x the
+    * per-partition budget of the rank exchange, hence 4x the tasks. */
+  private def pairParts(s: SparkSession, d: String): Int = {
+    val nDocs = Tables.documents(s, d).count()
+    math.max(s.sessionState.conf.numShufflePartitions,
+      (nDocs / 10000L).toInt)
+  }
 
   /** (doc_id, h, rank, sz): each doc's shingles ranked rarest-first by
     * (global df, h) — the prefix-filter ordering shared by
-    * [[jaccard]]/[[containment]]/[[incrementalDedup]]. Computed as ONE
-    * hash aggregate with an in-group `array_sort` instead of the former
-    * `row_number` + `count` windows: identical rows (same total order,
-    * same types), but no full-corpus external sort — each doc's group
-    * is tens of elements sorted in memory, where the window's
-    * 500M-row UnsafeExternalSorter was the dominant scratch consumer of
-    * the 1000x probe (it alone overflowed the box's 60 GB free disk). */
-  private def rankedShingles(sh: DataFrame, dfreq: DataFrame): DataFrame =
+    * [[jaccard]]/[[containment]]/[[incrementalNearDup]]. Shape: one
+    * scale-tracking repartition by doc_id, an EXPLICIT in-partition
+    * Tungsten sort, and two streaming windows whose required
+    * partitioning/ordering the exchange+sort already satisfy — so
+    * row_number/count add no buffering beyond one doc's rows. This
+    * replaced two earlier formulations measured at the third decade:
+    * the r7 global window (one 500M-row external sort at session
+    * partition counts — overflowed the box), and the r8
+    * collect_list+array_sort aggregate (no spill, but 198 of
+    * dedup_jaccard's 377 s: ObjectHashAggregate falls back to
+    * sort-based past 128 groups and array_sort over struct elements
+    * compares interpreted, per element, per row). Pre-sorted partitions
+    * sized by [[corpusParts]] keep the same sort ~60 MB per task —
+    * in-memory, binary, codegen'd. */
+  private def rankedShingles(sh: DataFrame, dfreq: DataFrame,
+                             parts: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
     sh.join(dfreq, "h")
-      // co-locate each doc BEFORE aggregating: the join output is
-      // partitioned by h, so every partition holds a sliver of nearly
-      // EVERY doc — a partial collect_list over that scatter builds a
-      // per-partition state of ~all groups (measured blowing the 1000x
-      // probe's disk with "partial" output far larger than the input).
-      // One narrow-row repartition by doc_id makes the aggregate
-      // effectively single-phase: no exchange after it, per-partition
-      // state = that partition's own docs only
-      .repartition(col("doc_id"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .repartition(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id", "df", "h")
       // rank/sz as INT, not LONG: these two columns ride every
       // candidate-pipeline exchange twice (both join sides) — 8 bytes
       // saved per column per row on the operator's largest shuffles,
       // and a per-doc shingle count can't approach 2^31
-      .select(col("doc_id"), size(col("dh")).as("sz"),
-        posexplode(col("dh")).as(Seq("pos", "p")))
-      .select(col("doc_id"), col("p.h").as("h"),
-        (col("pos") + 1).as("rank"), col("sz"))
+      .select(col("doc_id"), col("h"),
+        row_number().over(byDoc.orderBy("df", "h")).as("rank"),
+        count(lit(1)).over(byDoc).cast("int").as("sz"))
+  }
 
   /** Exact intersection size of two ascending-sorted Long arrays —
     * native codegen'd kernel ([[graft.functions.SortedLongIntersect]]):
@@ -185,7 +217,16 @@ object Dedup {
     // primitive longs, not ~30-byte strings (collision odds across a
     // pair of ~100-element sets: ~2^-51 — immaterial, incl. vs the
     // string-based oracle)
-    val sh = shingleHashes(s, d).persist()
+    val cParts = corpusParts(s, d)
+    val pParts = pairParts(s, d)
+    val sh = shingleHashes(s, d, cParts)
+      // serialized cache blocks: the deserialized default holds ~10 GB
+      // of row objects for a 265M-row shingle table at the third
+      // decade, crowding the unified region and starving the pair
+      // exchange's shuffle sorter (measured as pure shuffle-writer
+      // spill in the phase probe); SER blocks are ~5x smaller and
+      // evictable past the protected fraction
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // pin the cache before fan-out: three downstream branches (dfreq,
     // prefix, sets) otherwise race to materialize it concurrently and
     // can recompute the window+distinct per branch
@@ -202,7 +243,7 @@ object Dedup {
     // the barrier switches on the shingle count we just computed — the
     // same "size the plan to the decade" choice a 100 TB deployment
     // makes via its scratch-capacity config.
-    val prefix = rankedShingles(sh, dfreq)
+    val prefix = rankedShingles(sh, dfreq, cParts)
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
       .transform(ckptIfBig(nSh))
     // candidate join with two exact prunes beyond the prefix overlap:
@@ -235,22 +276,33 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sza"), col("b.sz").as("szb"),
         col("a.rank").as("ra"), col("b.rank").as("rb"))
-      // co-locate each PAIR before the bound aggregate — the
-      // rankedShingles scatter-state lesson applied to the collision
-      // stream: the join output is partitioned by h, so a partial
-      // aggregate over it builds ~every colliding pair's state in EVERY
-      // partition (collision-set-sized hash maps that fall back to
-      // sort-based aggregation — the 15 GB disk / 170 GB memory spill
-      // class of the r8 1000x probe). Partitioned by (id_a, id_b) the
-      // aggregate is partition-local: state = that partition's own
-      // pairs, the exchange streams narrow 32-byte rows, nothing sorts
-      .repartition(col("id_a"), col("id_b"))
-      .groupBy("id_a", "id_b", "sza", "szb")
-      .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
+      // the per-pair bound as STREAMING WINDOWS over a pair-co-located,
+      // pre-sorted collision stream — the rankedShingles shape applied
+      // to the pipeline's largest intermediate (522M rows at 1000x).
+      // Phase-attributed profiling put the operator's whole 13-15 GB
+      // disk spill in the former groupBy: its partial and final hash
+      // maps (both co-located) each held that partition's distinct
+      // pairs and fell back to sort-based aggregation. Here the
+      // exchange (pair-count-scaled partitions) + one in-partition
+      // Tungsten sort satisfy every window below, so o/mra/mrb stream
+      // with a ~2-row group buffer and rn==1 collapses each pair
+      // without any distinct aggregate. The join itself is cheap
+      // (~20 s, zero spill measured without the aggregate).
+      .transform { collisions =>
+        val byPair = Window.partitionBy("id_a", "id_b")
+        collisions
+          .repartition(pParts, col("id_a"), col("id_b"))
+          .sortWithinPartitions("id_a", "id_b", "ra")
+          .select(col("id_a"), col("id_b"), col("sza"), col("szb"),
+            count(lit(1)).over(byPair).as("o"),
+            max("ra").over(byPair).as("mra"),
+            max("rb").over(byPair).as("mrb"),
+            row_number().over(byPair.orderBy("ra")).as("rn"))
+      }
       // the 1e-9 slack keeps FP rounding of minJ/(1+minJ) from ever
       // pushing ceil past the exact integer threshold (rejecting a true
       // pair); admitting a borderline extra candidate is harmless
-      .filter(col("o") +
+      .filter(col("rn") === 1 && col("o") +
         least(col("sza") - col("mra"), col("szb") - col("mrb")) >=
         ceil((col("sza") + col("szb")) * eqJ - 1e-9))
       .select("id_a", "id_b")
@@ -338,10 +390,18 @@ object Dedup {
   def containment(s: SparkSession, d: String): DataFrame = {
     reg(s)
     val minC = 0.7
-    val sh = shingleHashes(s, d).persist()
+    val cParts = corpusParts(s, d)
+    val sh = shingleHashes(s, d, cParts)
+      // serialized cache blocks: the deserialized default holds ~10 GB
+      // of row objects for a 265M-row shingle table at the third
+      // decade, crowding the unified region and starving the pair
+      // exchange's shuffle sorter (measured as pure shuffle-writer
+      // spill in the phase probe); SER blocks are ~5x smaller and
+      // evictable past the protected fraction
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     sh.count()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val ranked = rankedShingles(sh, dfreq)
+    val ranked = rankedShingles(sh, dfreq, cParts)
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minC) + 1)
     // per-pair aggregated suffix bound (the [[jaccard]] PPJoin+ proof
@@ -358,11 +418,20 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sza"), col("b.sz").as("szb"),
         col("a.rank").as("ra"), col("b.rank").as("rb"))
-      // pair co-location before the bound aggregate — see [[jaccard]]
-      .repartition(col("id_a"), col("id_b"))
-      .groupBy("id_a", "id_b", "sza", "szb")
-      .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
-      .filter(col("o") +
+      // streaming-window pair bound over the co-located pre-sorted
+      // collision stream — see [[jaccard]]
+      .transform { collisions =>
+        val byPair = Window.partitionBy("id_a", "id_b")
+        collisions
+          .repartition(pairParts(s, d), col("id_a"), col("id_b"))
+          .sortWithinPartitions("id_a", "id_b", "ra")
+          .select(col("id_a"), col("id_b"), col("sza"), col("szb"),
+            count(lit(1)).over(byPair).as("o"),
+            max("ra").over(byPair).as("mra"),
+            max("rb").over(byPair).as("mrb"),
+            row_number().over(byPair.orderBy("ra")).as("rn"))
+      }
+      .filter(col("rn") === 1 && col("o") +
         least(col("sza") - col("mra"), col("szb") - col("mrb")) >=
         ceil(col("sza") * minC - 1e-9))
       .select("id_a", "id_b")
@@ -420,10 +489,18 @@ object Dedup {
   def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
     reg(s)
     val minJ = 0.5
-    val sh = shingleHashes(s, d).persist()
+    val cParts = corpusParts(s, d)
+    val sh = shingleHashes(s, d, cParts)
+      // serialized cache blocks: the deserialized default holds ~10 GB
+      // of row objects for a 265M-row shingle table at the third
+      // decade, crowding the unified region and starving the pair
+      // exchange's shuffle sorter (measured as pure shuffle-writer
+      // spill in the phase probe); SER blocks are ~5x smaller and
+      // evictable past the protected fraction
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     sh.count()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = rankedShingles(sh, dfreq)
+    val prefix = rankedShingles(sh, dfreq, cParts)
       .filter(col("rank") <= col("sz") - ceil(col("sz") * minJ) + 1)
     val corpusPrefix = prefix.filter(col("doc_id") % 10 =!= 0)
     val newPrefix = prefix.filter(col("doc_id") % 10 === 0)
@@ -438,11 +515,20 @@ object Dedup {
       .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"),
         col("a.sz").as("sza"), col("b.sz").as("szb"),
         col("a.rank").as("ra"), col("b.rank").as("rb"))
-      // pair co-location before the bound aggregate — see [[jaccard]]
-      .repartition(col("corpus_id"), col("new_id"))
-      .groupBy("corpus_id", "new_id", "sza", "szb")
-      .agg(count(lit(1)).as("o"), max("ra").as("mra"), max("rb").as("mrb"))
-      .filter(col("o") +
+      // streaming-window pair bound over the co-located pre-sorted
+      // collision stream — see [[jaccard]]
+      .transform { collisions =>
+        val byPair = Window.partitionBy("corpus_id", "new_id")
+        collisions
+          .repartition(pairParts(s, d), col("corpus_id"), col("new_id"))
+          .sortWithinPartitions("corpus_id", "new_id", "ra")
+          .select(col("corpus_id"), col("new_id"), col("sza"), col("szb"),
+            count(lit(1)).over(byPair).as("o"),
+            max("ra").over(byPair).as("mra"),
+            max("rb").over(byPair).as("mrb"),
+            row_number().over(byPair.orderBy("ra")).as("rn"))
+      }
+      .filter(col("rn") === 1 && col("o") +
         least(col("sza") - col("mra"), col("szb") - col("mrb")) >=
         ceil((col("sza") + col("szb")) * eqJ - 1e-9))
       .select("corpus_id", "new_id")
@@ -658,7 +744,8 @@ object Dedup {
     reg(s)
     val numHashes = 32
     val rowsPerBand = 4
-    val sh = shingleHashes(s, d).persist()
+    val sh = shingleHashes(s, d, corpusParts(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // see jaccard
     sh.count() // pin before the sig/verify branches fan out
     // The 32-coordinate signature as a PARTIAL+FINAL min aggregate:
     // sig_k(doc) = min over shingles of mix(h ^ seed_k), and min is
@@ -701,12 +788,12 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      // pair co-location before the dedup aggregate — the same
-      // scatter-state fix as [[jaccard]]'s bound aggregate: a partial
-      // distinct over (band, bh)-partitioned join output holds ~every
-      // candidate pair per partition (the operator's measured 2.2 GB
-      // 1000x spill); partitioned by pair, dedup state is local
-      .repartition(col("id_a"), col("id_b"))
+      // pair co-location before the dedup aggregate at the pair-scaled
+      // partition count — the [[jaccard]] bound-aggregate fix: a
+      // partial distinct over (band, bh)-partitioned join output holds
+      // ~every candidate pair per partition; partitioned by pair, the
+      // dedup maps are partition-local and sized to task memory
+      .repartition(pairParts(s, d), col("id_a"), col("id_b"))
       .distinct()
       .transform(ckptDisk) // consumed twice; lineage break phases the query (see jaccard)
     // exact-verification arrays built for CANDIDATE docs only — the

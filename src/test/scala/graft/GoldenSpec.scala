@@ -110,7 +110,21 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val summary = perFile.map { case (n, (p, q)) => f"$n%-20s $p%4d pass $q%4d fail" }
       .mkString("\n")
-    val total = s"\nTOTAL: $pass pass / $fail fail (${pass * 100 / math.max(1, pass + fail)}%)"
+    // directive accounting, so the report is self-auditing: every
+    // `query` directive in the corpus must be parsed and executed —
+    // zero skips — and the only non-query directives are the 10
+    // `require mobilityduck` extension-loader lines (one per file,
+    // not tests; sqllogictest's harness gating, meaningless here
+    // because the functions are registered unconditionally)
+    val rawQueryDirectives = files.map(f =>
+      Files.readAllLines(f).asScala.count(_.trim.startsWith("query"))).sum
+    val requires = files.map(f =>
+      Files.readAllLines(f).asScala.count(_.trim.startsWith("require"))).sum
+    assert(rawQueryDirectives == pass + fail,
+      s"parser skipped ${rawQueryDirectives - pass - fail} query directives")
+    val total = s"\nTOTAL: $pass pass / $fail fail (${pass * 100 / math.max(1, pass + fail)}%)" +
+      s"\nDirectives: $rawQueryDirectives query (all executed, 0 skipped); " +
+      s"$requires non-test `require` loader lines acknowledged"
     Files.writeString(Paths.get("target/golden_report.txt"),
       summary + total + "\n\n" + report)
     info(summary + total)
