@@ -102,6 +102,64 @@ object TextAnalysis {
     * quantization absorbs). One term explode + two hash aggregates +
     * one broadcast-size df join — the scan-shaped plan that runs
     * unchanged over a 100 TB corpus. */
+  /** Bounded per-doc top-k of (score desc, term asc) as a MERGEABLE
+    * partial+final aggregate — the scale-correct form of
+    * `row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+    * <= k` (the [[graft.operators.Similarity]] TopKOrdered shape with a
+    * string payload): the window shuffled and externally SORTED every
+    * scored (doc, term) row — measured 3 GB spill / 1 GB peak task
+    * memory at the 1000x probe — where this keeps at most k pairs per
+    * doc per partition, so the exchange carries k-bounded states. */
+  private final class TopKTerms(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, String), Array[(Double, String)], Array[(String, Double)]] {
+    @inline private def before(x: (Double, String), y: (Double, String)) =
+      x._1 > y._1 || (x._1 == y._1 && x._2 <= y._2)
+    def zero: Array[(Double, String)] = Array.empty
+    def reduce(buf: Array[(Double, String)],
+               x: (Double, String)): Array[(Double, String)] = {
+      val n = buf.length
+      if (n == cap && before(buf(n - 1), x)) buf
+      else {
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (before(buf(mid), x)) lo = mid + 1 else hi = mid
+        }
+        val outN = math.min(n + 1, cap)
+        val out = new Array[(Double, String)](outN)
+        System.arraycopy(buf, 0, out, 0, math.min(lo, outN))
+        if (lo < outN) {
+          out(lo) = x
+          System.arraycopy(buf, lo, out, lo + 1, outN - lo - 1)
+        }
+        out
+      }
+    }
+    def merge(a: Array[(Double, String)],
+              b: Array[(Double, String)]): Array[(Double, String)] = {
+      val outN = math.min(a.length + b.length, cap)
+      val out = new Array[(Double, String)](outN)
+      var i = 0; var j = 0; var k = 0
+      while (k < outN) {
+        out(k) =
+          if (j >= b.length ||
+            (i < a.length && before(a(i), b(j)))) { val t = a(i); i += 1; t }
+          else { val t = b(j); j += 1; t }
+        k += 1
+      }
+      out
+    }
+    def finish(buf: Array[(Double, String)]): Array[(String, Double)] =
+      buf.map(t => (t._2, t._1))
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, String)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[(Double, String)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[(String, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[(String, Double)]]()
+  }
+
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count()
@@ -109,15 +167,17 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("term").asc)
+    val top3 = udaf(new TopKTerms(3),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, String)]())
     tf.join(dfreq, "term")
       .withColumn("idf", round(log(lit(nDocs.toDouble) / col("df")), 6))
       .withColumn("score", col("tf") * col("idf"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("doc_id"), col("rank"), col("term"),
-        round(col("score"), 4).as("tfidf"))
+      .groupBy("doc_id")
+      .agg(top3(col("score"), col("term")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("doc_id"), (col("pos") + 1).as("rank"),
+        col("p._1").as("term"), round(col("p._2"), 4).as("tfidf"))
       .orderBy("doc_id", "rank")
   }
 
