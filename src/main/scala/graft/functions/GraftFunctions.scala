@@ -90,6 +90,13 @@ object GraftFunctions {
       (e: Seq[Expression]) => VecNearestCell(e(0), e(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_probe_cells",
       (e: Seq[Expression]) => VecProbeCells(e(0), e(1), e(2)), "built-in")
+    // Unicode canonicalization (DuckDB-compatible names/semantics)
+    registry.createOrReplaceTempFunction("nfc_normalize",
+      (e: Seq[Expression]) => UnicodeNormalize(e(0), "NFC"), "built-in")
+    registry.createOrReplaceTempFunction("nfkc_normalize",
+      (e: Seq[Expression]) => UnicodeNormalize(e(0), "NFKC"), "built-in")
+    registry.createOrReplaceTempFunction("strip_accents",
+      (e: Seq[Expression]) => StripAccents(e(0)), "built-in")
     names.foreach { n =>
       // In Spark 4 even the Column API (functions.round etc.) resolves
       // through the session registry, so a name like `round`/`length`/

@@ -1043,7 +1043,73 @@ object Similarity {
     rankedTopK(scored, 3)
   }
 
+  /** Distances of every vector to each of the current centroids, as an
+    * expanded-square projection (||v||² − 2 v·c + ||c||²; the v·c term
+    * is one [[dot]] kernel per centroid against an array LITERAL, so
+    * the whole assignment is a zero-shuffle codegen'd map). Distances
+    * are clamped at 0 (float cancellation near a centroid) and
+    * QUANTIZED to 6 decimals before the argmin, so both engines rank
+    * identical doubles; ties break to the lowest cluster id
+    * (array_position returns the FIRST minimal slot). */
+  private def kmAssign(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val vv = dot(col("v"), col("v"))
+    val dists = array(cents.map { c =>
+      val cc = c.map(x => x * x).sum
+      round(greatest(lit(0.0), vv - lit(2.0) * dot(col("v"), typedLit(c.toSeq))
+        + lit(cc)), 6)
+    }: _*)
+    e.withColumn("dists", dists)
+      .withColumn("cluster",
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .withColumn("dist", element_at(col("dists"), col("cluster") + 1))
+  }
+
+  /** Distributed Lloyd's k-means over the full embeddings table — the
+    * clustering primitive semantic-dedup / IVF coarse quantizers are
+    * built on, here as a first-class entry with a fully INDEPENDENT
+    * oracle (DuckDB replays the same deterministic iterations from the
+    * same init — not a Spark-trained codebook inlined into the SQL).
+    *
+    * Scale shape: per iteration the corpus is SCANNED once — assignment
+    * is a broadcast-literal map ([[kmAssign]]), the centroid update is
+    * one partial+final avg per (cluster, dim) — and only the k×dim
+    * rounded means (k-bounded) return to the driver. No corpus-sized
+    * shuffle or state anywhere; at 100 TB each iteration is exactly one
+    * pass with a (k·dim)-row aggregate, the textbook Spark k-means.
+    * Determinism: init = the k lowest-vec_id vectors; empty clusters
+    * keep their previous centroid; means quantized to 6 decimals (same
+    * trick as tf-idf's idf — both engines then fold identical doubles
+    * next iteration). */
+  def embKmeans(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val k = 8
+    val iters = 3
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      assigned = kmAssign(e, cents)
+      if (it < iters) {
+        val means = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
+          .collect() // k x dim rows — k-bounded, never corpus-shaped
+        val next = cents.map(_.clone()) // empty clusters carry over
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
+      }
+    }
+    e.unpersist() // final assignment re-reads the scan lazily if needed
+    assigned
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> (embKmeans _),
     "ann_knn_graph" -> (annKnnGraph _),
     "emb_outliers" -> (embOutliers _),
     "emb_random_projection" -> (embRandomProjection _),
@@ -1334,7 +1400,46 @@ object Similarity {
        FROM sel WHERE pr = 1 ORDER BY vec_id"""
   }
 
+  /** One k-means iteration's CTE block: distances to the incoming
+    * centroid set `cPrev` (same expanded square + 6-dp quantization as
+    * [[kmAssign]]), argmin assignment, and — unless final — 6-dp mean
+    * centroids with empty clusters inheriting from `cPrev`. */
+  private def kmIterSql(i: Int, cPrev: String, last: Boolean): String = {
+    val base = s"""
+         d$i AS (SELECT e.vec_id, c.cid,
+             round(greatest(0.0, list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, c.c)
+               + list_dot_product(c.c, c.c)), 6) AS dist
+           FROM emb e CROSS JOIN $cPrev c),
+         a$i AS (SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM d$i)"""
+    if (last) base
+    else base + s""",
+         m$i AS (SELECT cid, pos, round(avg(x), 6) AS m FROM (
+             SELECT a.cid, generate_subscripts(e.v, 1) AS pos,
+               unnest(e.v) AS x
+             FROM emb e JOIN a$i a ON e.vec_id = a.vec_id AND a.rn = 1)
+           GROUP BY cid, pos),
+         c$i AS (SELECT p.cid, coalesce(n.c, p.c) AS c FROM $cPrev p
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c FROM m$i
+                      GROUP BY cid) n USING (cid))"""
+  }
+
+  private val kmeansOracle: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             v AS c
+           FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
+         ${kmIterSql(1, "c0", last = false)},
+         ${kmIterSql(2, "c1", last = false)},
+         ${kmIterSql(3, "c2", last = true)}
+         SELECT vec_id, cid AS cluster, dist FROM a3 WHERE rn = 1
+         ORDER BY vec_id"""
+
   def oracles: Map[String, String] = Map(
+    "emb_kmeans" -> kmeansOracle,
     // approximate LSH queries, EXACT oracles: DuckDB runs the identical
     // deterministic hash family (planes interpolated as literals)
     "ann_lsh" -> lshOracleSelect,

@@ -95,13 +95,6 @@ object TextAnalysis {
         sum(when(col("n_docs") > 1, col("n_docs") - 1).otherwise(0))
           .as("n_shadowed"))
 
-  /** Top-3 terms per document by tf-idf (idf = ln(N/df), natural log).
-    * idf is quantized to 6 decimals BEFORE the tf*idf product, so the
-    * ranking doubles are bit-identical across engines (the only
-    * cross-engine float risk would be the last ulp of ln, which the
-    * quantization absorbs). One term explode + two hash aggregates +
-    * one broadcast-size df join — the scan-shaped plan that runs
-    * unchanged over a 100 TB corpus. */
   /** Bounded per-doc top-k of (score desc, term asc) as a MERGEABLE
     * partial+final aggregate — the scale-correct form of
     * `row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
@@ -110,7 +103,7 @@ object TextAnalysis {
     * scored (doc, term) row — measured 3 GB spill / 1 GB peak task
     * memory at the 1000x probe — where this keeps at most k pairs per
     * doc per partition, so the exchange carries k-bounded states. */
-  private final class TopKTerms(cap: Int)
+  private[graft] final class TopKTerms(cap: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Double, String), Array[(Double, String)], Array[(String, Double)]] {
     @inline private def before(x: (Double, String), y: (Double, String)) =
@@ -160,6 +153,13 @@ object TextAnalysis {
         .ExpressionEncoder[Array[(String, Double)]]()
   }
 
+  /** Top-3 terms per document by tf-idf (idf = ln(N/df), natural log).
+    * idf is quantized to 6 decimals BEFORE the tf*idf product, so the
+    * ranking doubles are bit-identical across engines (the only
+    * cross-engine float risk would be the last ulp of ln, which the
+    * quantization absorbs). One term explode + two hash aggregates +
+    * one broadcast-size df join + a k-bounded [[TopKTerms]] top-k —
+    * the scan-shaped plan that runs unchanged over a 100 TB corpus. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count()
@@ -643,7 +643,37 @@ object TextAnalysis {
       .orderBy("lang", "pack_id")
   }
 
+  /** Unicode canonicalization over `documents` — the pass a multilingual
+    * pipeline runs before tokenizing/fingerprinting (two byte sequences
+    * that render identically must hash identically, or exact-dedup
+    * silently misses duplicates). The corpus is ASCII, so the entry
+    * deterministically "dirties" each text the same way on both engines
+    * (vowels → precomposed accents via translate, plus a trailing
+    * combining-acute pair), then runs the native codegen kernels
+    * ([[graft.functions.UnicodeNormalize]] / [[graft.functions.StripAccents]],
+    * DuckDB-compatible semantics): NFC composes the combining pair (char
+    * count drops by exactly 1) and strip_accents undoes the accenting.
+    * Pure per-row map — zero shuffle at any corpus size. */
+  def normalizeText(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // the trailing pair is " e" + U+0301 COMBINING ACUTE (decomposed
+    // on purpose, so NFC has real composition work: precomposed is U+00E9)
+    val dirty = concat(
+      translate(col("text"), "aeiou", "áéíöü"),
+      lit(" é"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        length(col("dirty")).as("dirty_chars"),
+        length(call_function("nfc_normalize", col("dirty"))).as("nfc_chars"),
+        call_function("strip_accents",
+          call_function("nfc_normalize", col("dirty"))).as("stripped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (normalizeText _),
     "text_bpe_token_counts" -> (bpeTokenCounts _),
     "text_bpe_pack" -> (bpePackSequences _),
     "text_ngram_novelty" -> (ngramNovelty _),
@@ -701,6 +731,14 @@ object TextAnalysis {
   /** `def`, not `val`: the BPE oracles interpolate the merges LEARNED
     * by the session's query runs (the codebook convention). */
   def oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH dirty AS (SELECT doc_id,
+           translate(text, 'aeiou', 'áéíöü') || ' e' || chr(769) AS dirty
+         FROM documents)
+         SELECT doc_id, length(dirty) AS dirty_chars,
+           length(nfc_normalize(dirty)) AS nfc_chars,
+           strip_accents(nfc_normalize(dirty)) AS stripped
+         FROM dirty ORDER BY doc_id""",
     "text_bpe_token_counts" -> bpeOracleSql(
       """SELECT lang, count(DISTINCT doc_id) AS n_docs,
            count(*) AS word_tokens,

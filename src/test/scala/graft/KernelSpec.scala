@@ -43,6 +43,39 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nfc_normalize / strip_accents kernels: composition, accent strip, " +
+       "java.text.Normalizer agreement (codegen path)") {
+    val sp = spark
+    import sp.implicits._
+    val comb = "\u0301" // COMBINING ACUTE
+    val cases = Seq(
+      (1L, "e" + comb),              // composes to precomposed U+00E9
+      (2L, "plain ascii text"),      // fixed point
+      (3L, "\u00e1\u00e9\u00ed\u00f6\u00fc"), // precomposed accents
+      (4L, "a" + comb + "b\u0308c"), // mixed combining (acute, diaeresis)
+      (5L, ""),                      // empty
+      (6L, "\u212B"))                // ANGSTROM SIGN: NFC -> U+00C5
+    val got = cases.toDF("i", "s")
+      .selectExpr("i", "nfc_normalize(s) AS nfc",
+        "strip_accents(nfc_normalize(s)) AS stripped",
+        "length(nfc_normalize(s)) AS n")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    import java.text.Normalizer
+    for ((i, s) <- cases) {
+      val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
+      val strip = Normalizer.normalize(nfc, Normalizer.Form.NFD)
+        .replaceAll("\\p{Mn}+", "")
+      assert(got(i)._1 == nfc, s"case $i nfc")
+      assert(got(i)._2 == strip, s"case $i strip")
+      assert(got(i)._3 == nfc.codePointCount(0, nfc.length), s"case $i len")
+    }
+    // the specific contracts the gate entry rests on
+    assert(got(1L)._1 == "\u00e9" && got(1L)._3 == 1)
+    assert(got(3L)._2 == "aeiou")
+    assert(got(6L)._1 == "\u00c5")
+  }
+
   test("vec_inter_sorted matches set intersection (codegen path)") {
     val sp = spark
     import sp.implicits._

@@ -230,6 +230,96 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("emb_kmeans equals a pure-Scala Lloyd replication (3 iterations, " +
+       "6-dp quantization, empty-cluster carry)") {
+    val vecs = Tables.embeddings(spark, d)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents = vecs.take(8).map(_._2)
+    var asg: Array[(Long, Int, Double)] = null
+    for (it <- 1 to 3) {
+      asg = vecs.map { case (id, v) =>
+        val ds = cents.map { c =>
+          var vv = 0.0; var vc = 0.0; var cc = 0.0; var i = 0
+          while (i < v.length) {
+            vv += v(i) * v(i); vc += v(i) * c(i); cc += c(i) * c(i); i += 1
+          }
+          r6(math.max(0.0, vv - 2.0 * vc + cc))
+        }
+        val best = ds.indexOf(ds.min)
+        (id, best, ds(best))
+      }
+      if (it < 3) {
+        val byId = vecs.toMap
+        val next = cents.map(_.clone())
+        asg.groupBy(_._2).foreach { case (cid, rows) =>
+          val members = rows.map(r => byId(r._1))
+          next(cid) = Array.tabulate(64)(p =>
+            r6(members.map(_(p)).sum / members.length))
+        }
+        cents = next
+      }
+    }
+    val got = graft.operators.Similarity.embKmeans(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == vecs.length)
+    assert(got.sortBy(_._1).sameElements(asg.sortBy(_._1)))
+    // a real clustering, not a degenerate one
+    assert(got.map(_._2).distinct.length >= 4)
+  }
+
+  test("TopKTerms aggregate equals the row_number window on tie-heavy " +
+       "data, at every partitioning") {
+    val sp = spark
+    import sp.implicits._
+    // deterministic tie-heavy corpus: 40 groups x 30 terms with scores
+    // drawn from only 4 distinct values, so top-3 cut lines routinely
+    // fall inside a tie run and the term-asc tie-break decides — the
+    // exact case where a buggy cap/merge would silently diverge from
+    // the window form the DuckDB oracle replays.
+    val rows = for {
+      g <- 0 until 40
+      t <- 0 until 30
+    } yield {
+      val h = ((g * 31 + t) * 2654435761L) >>> 16
+      (g.toLong, f"t${h % 7}%s_$t%02d", (h % 4).toDouble)
+    }
+    val topk = udaf(new TextAnalysis.TopKTerms(3),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, String)]())
+    // 1 partition (merge never fires) and 7 (merge fires repeatedly):
+    // same result, pinned against the window form.
+    Seq(1, 7).foreach { nPart =>
+      val df = rows.toDF("g", "term", "score").repartition(nPart)
+      val viaAgg = df.groupBy("g")
+        .agg(topk(col("score"), col("term")).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("g"), (col("pos") + 1).as("rank"),
+          col("p._1").as("term"), col("p._2").as("score"))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(col("score").desc, col("term").asc)
+      val viaWin = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("g", "rank", "term", "score")
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(viaAgg.sameElements(viaWin), s"nPart=$nPart")
+    }
+  }
+
+  test("tfidf plan: no Window operator (k-bounded aggregate instead)") {
+    val p = TextAnalysis.tfidf(spark, d).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "tfidf plan still carries a window")
+  }
+
   test("tfidf: 3 rows per doc, ranks 1..3, scores non-increasing") {
     val rows = TextAnalysis.tfidf(spark, d).collect()
     rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
