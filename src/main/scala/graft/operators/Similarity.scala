@@ -1110,6 +1110,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> (embKmeans _),
+    "emb_pagerank" -> (embPagerank _),
     "ann_knn_graph" -> (annKnnGraph _),
     "emb_outliers" -> (embOutliers _),
     "emb_random_projection" -> (embRandomProjection _),
@@ -1400,6 +1401,108 @@ object Similarity {
        FROM sel WHERE pr = 1 ORDER BY vec_id"""
   }
 
+  /** The k-NN-graph CTE block ([[annKnnGraph]]'s oracle body), shared
+    * with the PageRank oracle so both replay the identical edge set. */
+  private def knnGraphCtes: String =
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
+                 $sqlBucket AS bkt FROM emb),
+         q AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
+                 unnest($sqlProbes) AS bkt
+               FROM b),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
+           FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+           FROM scored)"""
+
+  /** One PageRank iteration's CTE in FIXED-POINT arithmetic: ranks are
+    * 1e-9-scaled BIGINTs, each edge contributes `ri // deg` (floor
+    * integer division), and the damped update is
+    * `(15*SCALE)//(100*n) + (85*inflow)//100` — every op exact and
+    * ASSOCIATIVE, so the result is independent of summation order and
+    * engine. Doubles can't give that here: contributions `r/2` of
+    * 9-dp-grid ranks land exactly on half-grid points, where both the
+    * rounding tie-break (Spark decimal-string vs DuckDB binary) and
+    * the IEEE summation order flip the last digit. Nodes with no
+    * in-edges take the teleport term via the left join's coalesce. */
+  private def prIterSql(i: Int): String =
+    s"""r$i AS (SELECT nd.node,
+           (15000000000 // (100 * nn.n))
+             + (85 * coalesce(f.inflow, 0)) // 100 AS ri
+         FROM nodes nd CROSS JOIN nn
+         LEFT JOIN (
+           SELECT e.dst AS node, sum(p.ri // d.deg) AS inflow
+           FROM edges e
+           JOIN r${i - 1} p ON e.src = p.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst) f ON f.node = nd.node)"""
+
+  private def pagerankOracle: String =
+    s"""WITH $knnGraphCtes,
+         edges AS (SELECT query_id AS src, neighbor_id AS dst
+                   FROM ranked WHERE rank <= 3),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nodes AS (SELECT vec_id AS node FROM emb),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, 1000000000 // nn.n AS ri
+                FROM nodes CROSS JOIN nn),
+         ${(1 to 5).map(prIterSql).mkString(",\n         ")}
+         SELECT node AS vec_id, CAST(ri AS DOUBLE) / 1e9 AS pr FROM r5
+         ORDER BY vec_id"""
+
+  /** PageRank over the [[annKnnGraph]] edge set — graph centrality in
+    * embedding space, the link-analysis quality signal a crawl-scale
+    * curation pipeline computes (and a second consumer of the k-NN
+    * graph, as SemDeDup is of k-means). Five damped iterations
+    * (d = 0.85, no dangling redistribution — dangling mass decays,
+    * which is fine for a per-node diagnostic and keeps both replays
+    * identical), in 1e-9 FIXED-POINT integer arithmetic (see
+    * [[prIterSql]]) so the replay is exact regardless of engine or
+    * summation order.
+    *
+    * Scale shape: the edge list is built once and CACHED (corpus × k
+    * rows); each iteration is one edge-sized join + one node-sized
+    * aggregate — the canonical Spark PageRank loop. At 100 TB you'd
+    * co-partition edges and ranks on src (one-time bucketing amortized
+    * over iterations) and checkpoint the rank lineage every few
+    * rounds; at gate scale the single linear lineage is optimal. */
+  def embPagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = annKnnGraph(s, d)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node"))
+    val n = nodes.count()
+    val scale = 1000000000L
+    var ranks = nodes.withColumn("ri", lit(scale / n))
+    for (_ <- 1 to 5) {
+      val inflow = edges.join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("ri div deg")).as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(15L * scale / (100L * n)) +
+            expr("(85 * coalesce(inflow, 0L)) div 100")).as("ri"))
+    }
+    // the cache stays marked: the loop is LAZY, so the edge subtree is
+    // referenced 6 times in one final plan — it materializes once at
+    // first access and the other references reuse it (unpersisting here
+    // would drop the mark before any action ran). Output converts the
+    // fixed-point rank once: long → double is exact below 2^53 and the
+    // single /1e9 is one IEEE op, identical everywhere.
+    ranks
+      .select(col("node").as("vec_id"),
+        (col("ri").cast("double") / lit(1e9)).as("pr"))
+      .orderBy("vec_id")
+  }
+
   /** One k-means iteration's CTE block: distances to the incoming
     * centroid set `cPrev` (same expanded square + 6-dp quantization as
     * [[kmAssign]]), argmin assignment, and — unless final — 6-dp mean
@@ -1461,24 +1564,10 @@ object Similarity {
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "ann_knn_graph" ->
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
-                 $sqlBucket AS bkt FROM emb),
-         q AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
-                 unnest($sqlProbes) AS bkt
-               FROM b),
-         scored AS (
-           SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
-           FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.query_id),
-         ranked AS (
-           SELECT query_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-           FROM scored)
+      s"""WITH $knnGraphCtes
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+    "emb_pagerank" -> pagerankOracle,
     "emb_outliers" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

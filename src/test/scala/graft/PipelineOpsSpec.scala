@@ -272,6 +272,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).distinct.length >= 4)
   }
 
+  test("emb_pagerank equals a pure-Scala replication over the same " +
+       "k-NN edges (5 damped iterations, 1e-9 fixed-point)") {
+    val edges = graft.operators.Similarity.annKnnGraph(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)) // (query_id, neighbor_id)
+    val nodes = Tables.embeddings(spark, d)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val n = nodes.length
+    val scale = 1000000000L
+    val deg = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.length }
+    var r = nodes.map(_ -> scale / n).toMap // 1e-9 fixed-point LONGs
+    for (_ <- 1 to 5) {
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (15L * scale / (100L * n)
+          + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val want = nodes.map(v => (v, r(v).toDouble / 1e9))
+    val got = graft.operators.Similarity.embPagerank(spark, d).collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    assert(got.length == n)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2, s"$g vs $w")
+    }
+    // ranks vary (a real graph signal, not the uniform vector)
+    assert(got.map(_._2).distinct.length > 10)
+  }
+
   test("TopKTerms aggregate equals the row_number window on tie-heavy " +
        "data, at every partitioning") {
     val sp = spark
