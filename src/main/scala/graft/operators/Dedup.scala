@@ -625,6 +625,27 @@ object Dedup {
     // (pairs, pairs-reversed) would evaluate the whole Jaccard pipeline
     // twice (each union branch materializes its own copy); the explode
     // emits the two directions from a single evaluation
+    val labels = componentLabels(s, pairs, smallThreshold)
+    labels.groupBy(col("lbl").as("cluster_rep"))
+      .agg(
+        count(lit(1)).as("csize"),
+        expr("""array_join(transform(sort_array(collect_list(doc_id)),
+                x -> CAST(x AS STRING)), ',')""").as("members"))
+      .orderBy("cluster_rep")
+  }
+
+  /** Connected-component labels (node, min member of its component)
+    * over an undirected edge list given as `(id_a, id_b)` pairs — the
+    * graph-size-adaptive core shared by [[dupClustersImpl]] and
+    * density clustering ([[Similarity.embDbscan]]): a one-task
+    * union-find below `smallThreshold` edges, min-label propagation
+    * with pointer jumping above it. Only nodes that appear in at least
+    * one edge are labeled — isolated nodes are the CALLER's concern
+    * (coalesce the left join). Output columns: `doc_id`, `lbl`;
+    * materialized, so the input pair plan is evaluated exactly once. */
+  private[graft] def componentLabels(
+      s: SparkSession, pairs: DataFrame,
+      smallThreshold: Long = 4000000L): DataFrame = {
     val symAll = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
@@ -639,12 +660,7 @@ object Dedup {
     // cached edge table can be dropped here — one cleanup point instead
     // of per-path, no leak across long-lived sessions
     symAll.unpersist()
-    labels.groupBy(col("lbl").as("cluster_rep"))
-      .agg(
-        count(lit(1)).as("csize"),
-        expr("""array_join(transform(sort_array(collect_list(doc_id)),
-                x -> CAST(x AS STRING)), ',')""").as("members"))
-      .orderBy("cluster_rep")
+    labels
   }
 
   /** The one-task path: edges coalesce into a single partition and a
@@ -938,7 +954,17 @@ object Dedup {
     * keeping every executor busy. The all-pairs compare is inherently
     * O(n^2) — the LSH-bucketed variant in Similarity is the sublinear
     * path when a threshold permits pruning. */
-  def embCosinePairs(s: SparkSession, d: String): DataFrame = {
+  def embCosinePairs(s: SparkSession, d: String): DataFrame =
+    embCosinePairsAt(s, d, 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos0"), 5).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  /** [[embCosinePairs]]'s block-nested exact pair join at an arbitrary
+    * cosine threshold, cosines UNROUNDED (`cos0`) — the shared exact
+    * eps-neighborhood generator (density clustering thresholds on the
+    * raw value, exactly as its oracle does). */
+  private[graft] def embCosinePairsAt(
+      s: SparkSession, d: String, minCos: Double): DataFrame = {
     import s.implicits._
     val numBlocks = 8
     val blocks = Tables.embeddings(s, d)
@@ -981,7 +1007,7 @@ object Dedup {
             var k = 0
             while (k < dim) { acc += a.flat(i * dim + k) * b.flat(j * dim + k); k += 1 }
             val cos = acc / (na(i) * nb(j))
-            if (cos >= 0.4) {
+            if (cos >= minCos) {
               val ia = a.ids(i); val ib = b.ids(j)
               out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
             }
@@ -992,8 +1018,6 @@ object Dedup {
         out
       }
       .toDF("id_a", "id_b", "cos0")
-      .select(col("id_a"), col("id_b"), round(col("cos0"), 5).as("cos"))
-      .orderBy("id_a", "id_b")
   }
 
   // ---- end-to-end corpus cleaning (the composed training-data pipeline) ----

@@ -1111,6 +1111,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> (embKmeans _),
     "emb_pagerank" -> (embPagerank _),
+    "emb_dbscan" -> (embDbscan _),
     "ann_knn_graph" -> (annKnnGraph _),
     "emb_outliers" -> (embOutliers _),
     "emb_random_projection" -> (embRandomProjection _),
@@ -1503,6 +1504,109 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** DBSCAN over embedding space (eps-ball = cosine >= 0.38,
+    * minPts = 3) — the density-clustering counterpart to [[embKmeans]]:
+    * finds arbitrarily-shaped dense regions and explicitly labels
+    * NOISE, which is what a curation pipeline wants for "template
+    * families + one-off junk" corpora where k-means would force every
+    * outlier into a centroid. Fully deterministic variant: border
+    * points join the MINIMUM cluster rep among their core neighbors
+    * (classic DBSCAN leaves that order-dependent), so the DuckDB
+    * oracle replays the exact assignment.
+    *
+    * Stages and scale shape: (1) eps-neighbor pairs via the exact
+    * block-nested cosine join ([[Dedup.embCosinePairsAt]]) — the
+    * O(n^2)-work audit generator; at 100 TB swap in the LSH-bucketed
+    * candidate generator ([[embLshPairsFrom]]), which prunes to
+    * near-threshold candidates and leaves every later stage untouched.
+    * (2) degree count -> core points (one aggregate). (3) connected
+    * components over CORE-CORE edges only (density connectivity never
+    * crosses a border point) via the graph-size-adaptive
+    * [[Dedup.componentLabels]] — union-find in one task for small
+    * graphs, pointer-jumping min-label at scale. (4) border points by
+    * one edge-sized join + min aggregate. Everything after the pair
+    * join is edge- or node-sized, never corpus^2. */
+  def embDbscan(s: SparkSession, d: String): DataFrame = {
+    val minPts = 3
+    val pairs = Dedup.embCosinePairsAt(s, d, 0.38)
+      .select("id_a", "id_b")
+      .persist()
+    pairs.count()
+    // both edge directions from the cached pair table (cheap to re-derive)
+    val sym = pairs
+      .select(explode(array(
+        struct(col("id_a").as("a"), col("id_b").as("b")),
+        struct(col("id_b").as("a"), col("id_a").as("b")))).as("e"))
+      .select("e.a", "e.b")
+    val core = sym.groupBy(col("a").as("vec_id"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") + 1 >= minPts) // the point itself counts
+      .select("vec_id")
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("vec_id", "id_a"), "id_a")
+      .join(core.withColumnRenamed("vec_id", "id_b"), "id_b")
+      .select("id_a", "id_b")
+    // isolated cores (all-border neighborhoods) have no core-core edge
+    // and never reach componentLabels — they seed their own cluster
+    val coreLab = core
+      .join(Dedup.componentLabels(s, coreEdges)
+          .withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("cluster"))
+    val border = sym
+      .join(coreLab.select(col("vec_id").as("b"), col("cluster").as("ncl")), "b")
+      .join(core.withColumnRenamed("vec_id", "a"), Seq("a"), "left_anti")
+      .groupBy(col("a").as("vec_id"))
+      .agg(min("ncl").as("cluster"))
+    val assigned = coreLab.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+    val out = Tables.embeddings(s, d).select("vec_id")
+      .join(assigned, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        coalesce(col("role"), lit("noise")).as("role"))
+      .orderBy("vec_id")
+    pairs.unpersist()
+    out
+  }
+
+  private def dbscanOracle: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.38),
+       sym AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+       core AS (SELECT a AS vec_id FROM sym GROUP BY a
+                HAVING count(*) + 1 >= 3),
+       ce AS (SELECT s.a, s.b FROM sym s
+              JOIN core ca ON s.a = ca.vec_id
+              JOIN core cb ON s.b = cb.vec_id),
+       reach(a, b) AS (
+         SELECT a, b FROM ce
+         UNION
+         SELECT r.a, ce.b FROM reach r JOIN ce ON r.b = ce.a),
+       corelab AS (
+         SELECT c.vec_id,
+           least(c.vec_id, coalesce(min(r.b), c.vec_id)) AS cluster
+         FROM core c LEFT JOIN reach r ON r.a = c.vec_id
+         GROUP BY c.vec_id),
+       border AS (
+         SELECT s.a AS vec_id, min(l.cluster) AS cluster
+         FROM sym s JOIN corelab l ON s.b = l.vec_id
+         WHERE s.a NOT IN (SELECT vec_id FROM core)
+         GROUP BY s.a)
+       SELECT n.vec_id,
+         coalesce(cl.cluster, bo.cluster, -1) AS cluster,
+         CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+              WHEN bo.vec_id IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS role
+       FROM e n
+       LEFT JOIN corelab cl ON n.vec_id = cl.vec_id
+       LEFT JOIN border bo ON n.vec_id = bo.vec_id
+       ORDER BY n.vec_id"""
+
   /** One k-means iteration's CTE block: distances to the incoming
     * centroid set `cPrev` (same expanded square + 6-dp quantization as
     * [[kmAssign]]), argmin assignment, and — unless final — 6-dp mean
@@ -1568,6 +1672,7 @@ object Similarity {
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
     "emb_pagerank" -> pagerankOracle,
+    "emb_dbscan" -> dbscanOracle,
     "emb_outliers" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -301,6 +301,62 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).distinct.length > 10)
   }
 
+  test("emb_dbscan equals a pure-Scala DBSCAN replication (eps=0.38 " +
+       "cosine, minPts=3, min-rep border assignment)") {
+    val vecs = Tables.embeddings(spark, d)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < a.length) {
+        dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val ids = vecs.map(_._1)
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+      .withDefaultValue(Nil)
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length)
+      if (cos(vecs(i)._2, vecs(j)._2) >= 0.38) {
+        adj(ids(i)) = ids(j) :: adj(ids(i))
+        adj(ids(j)) = ids(i) :: adj(ids(j))
+      }
+    val core = ids.filter(v => adj(v).length + 1 >= 3).toSet
+    // CC over core-core edges, min label
+    val rep = scala.collection.mutable.Map[Long, Long]()
+    core.toSeq.sorted.foreach { v =>
+      if (!rep.contains(v)) {
+        var comp = Set(v); var frontier = List(v)
+        while (frontier.nonEmpty) {
+          val nxt = frontier.flatMap(adj).filter(core)
+            .filterNot(comp).distinct
+          comp ++= nxt; frontier = nxt
+        }
+        val m = comp.min
+        comp.foreach(c => rep(c) = m)
+      }
+    }
+    val want = ids.map { v =>
+      if (core(v)) (v, rep(v), "core")
+      else {
+        val coreN = adj(v).filter(core)
+        if (coreN.nonEmpty) (v, coreN.map(rep).min, "border")
+        else (v, -1L, "noise")
+      }
+    }
+    val got = graft.operators.Similarity.embDbscan(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    // a meaningful mix of all three roles and >1 cluster
+    val roles = got.groupBy(_._3).map { case (k, v) => k -> v.length }
+    assert(roles.getOrElse("core", 0) > 5 && roles.getOrElse("border", 0) > 5
+      && roles.getOrElse("noise", 0) > 5, roles.toString)
+    assert(got.filter(_._3 == "core").map(_._2).distinct.length > 1)
+  }
+
   test("TopKTerms aggregate equals the row_number window on tie-heavy " +
        "data, at every partitioning") {
     val sp = spark
