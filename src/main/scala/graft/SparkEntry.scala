@@ -56,6 +56,7 @@ object SparkEntry {
     TextAnalysis.queries ++ Multimodal.queries ++
     Quality.queries ++ Sketches.queries ++
     graft.sources.RoundTrip.queries ++
+    graft.sources.TarShards.queries ++
     graft.streaming.StreamGate.queries
 
   /** SELF-PINNED oracle for `berlinmod_e2e`: the (query, n_rows,
@@ -354,6 +355,7 @@ object SparkEntry {
     TextAnalysis.oracles ++ Multimodal.oracles ++
     Quality.oracles ++ Sketches.oracles ++
     graft.sources.RoundTrip.oracles ++
+    graft.sources.TarShards.oracles ++
     // the streaming gate entries provably equal their batch operators
     // (see StreamGate scaladoc) -- same oracle texts
     Dedup.oracles.get("dedup_minhash_lsh")

@@ -24,14 +24,23 @@ object PipelineScaleProbe {
     // codec family (r8 verdict #6): encode+decode is per-row map work
     // over the documents scan — the curve must read flat-linear with
     // ~zero shuffle (one final 1-row-per-partition agg exchange)
-    "media_png", "media_frames")
+    "media_png", "media_frames",
+    // r9 wave-2 operators: kmeans is per-iteration one scan + a k x dim
+    // aggregate, normalize a zero-shuffle kernel pass, pagerank a
+    // cached-edge-list iteration over the knn graph — each claims a
+    // linear decade, so each gets measured ones
+    "emb_kmeans", "text_normalize", "emb_pagerank")
 
   /** Audit-machinery twins run at BASE scale only (the r7 verdict's
     * bench-signal finding): `sketch_kmv_grouped` keeps the exact-count
     * audit (distinct + window + realized-error) that costs 16 s / 693 MB
     * shuffle at 100x while proving nothing its base-scale row doesn't —
     * the production sibling `sketch_kmv_agg` carries the scale rows. */
-  val auditAtBase: Set[String] = Set("sketch_kmv_grouped")
+  val auditAtBase: Set[String] = Set("sketch_kmv_grouped",
+    // exact O(n^2) eps-pair generator by design (the audit path; the
+    // production candidate generator is the LSH-bucketed join, whose
+    // decades dedup_emb_lsh/ann_lsh_bucketed already carry)
+    "emb_dbscan")
 
   /** The queries that get 10x/100x rows in the bench artifact. */
   def scaleRowQueries: Seq[String] =
