@@ -672,7 +672,93 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window token chunking — the sample-preparation step that
+    * turns variable-length documents into fixed-size training windows
+    * (size 64 tokens, stride 48, i.e. 16-token overlap so no boundary
+    * context is lost). One chunk row per window: token count and a
+    * 63-bit content fingerprint of the joined window (any token lost to
+    * an off-by-one in the slice arithmetic flips it). Pure per-row
+    * expand — `sequence` + explode over the scan, zero shuffle at any
+    * corpus size (a 100 TB run emits chunks map-side straight into the
+    * writer; there is no aggregate here, the gate's ORDER BY is
+    * presentation only). */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val size64 = 64
+    val stride = 48
+    val toks = split(col("text"), " ")
+    // n <= 64 -> 1 window; else 1 + ceil((n - 64) / 48) windows, integer
+    // arithmetic only so both engines agree exactly
+    val nChunks = when(size(toks) <= size64, lit(1L))
+      .otherwise(lit(1L) + floor(
+        (size(toks) - size64 + stride - 1).cast("double") / stride)
+        .cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(size64)).as("w"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("w")).cast("long").as("chunk_tokens"),
+        md5(concat(
+          col("doc_id").cast("string"), lit("|"),
+          col("chunk_id").cast("string"), lit("|"),
+          array_join(col("w"), " "))).as("hx"))
+      .select(
+        col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        graft.util.Md5Lower64.of("hx").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Bigram collocation mining via pointwise mutual information — the
+    * phrase-discovery pass (multi-word expressions, boilerplate
+    * detection) over the corpus token stream. PMI(x,y) =
+    * log2(p(xy) / (p(x) p(y))) with counts from one tokenize pass;
+    * candidates need >= 3 occurrences, top 40 by (pmi desc, bigram asc).
+    * Shuffle is vocabulary-shaped (unigram + bigram hash aggregates);
+    * the two unigram lookups are broadcast joins (a real corpus's
+    * vocabulary is Heaps-law sublinear, and a 100 TB run would feed the
+    * same joins from the same aggregates); the top-k is TakeOrdered.
+    * Both engines evaluate the identical log2 expression shape and
+    * round to 6 dp before ranking. */
+  def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("toks"))
+    toks.cache()
+    val uni = toks
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // corpus totals: 1-row aggregates (k-bounded driver fetches)
+    val n = toks.select(sum(size(col("toks")))).first().getLong(0)
+    val bi = toks
+      .select(posexplode(col("toks")).as(Seq("i", "w1")), col("toks"))
+      .filter(col("i") < size(col("toks")) - 1)
+      // posexplode's i is 0-based, element_at 1-based: i+2 is the
+      // successor token — the bigram pairing stays one map-side pass
+      .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    val nBi = bi.select(sum("cxy")).first().getLong(0)
+    bi.filter(col("cxy") >= 3)
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "cx")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "cy")), "w2")
+      .select(
+        col("w1"), col("w2"), col("cxy"),
+        round(log2((col("cxy").cast("double") / nBi) /
+          ((col("cx").cast("double") / n) * (col("cy").cast("double") / n))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(40)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> (chunkDocs _),
+    "text_pmi" -> (pmiCollocations _),
     "text_normalize" -> (normalizeText _),
     "text_bpe_token_counts" -> (bpeTokenCounts _),
     "text_bpe_pack" -> (bpePackSequences _),
@@ -731,6 +817,49 @@ object TextAnalysis {
   /** `def`, not `val`: the BPE oracles interpolate the merges LEARNED
     * by the session's query runs (the codebook convention). */
   def oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks
+           FROM t)
+         SELECT doc_id, g.i AS chunk_id,
+           CAST(len(toks[g.i * 48 + 1 : g.i * 48 + 64]) AS BIGINT)
+             AS chunk_tokens,
+           CAST(md5_number_lower(
+             CAST(doc_id AS VARCHAR) || '|' || CAST(g.i AS VARCHAR) || '|'
+             || array_to_string(toks[g.i * 48 + 1 : g.i * 48 + 64], ' '))
+             & 9223372036854775807 AS BIGINT) AS chunk_hash
+         FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1))
+           AS i) g
+         ORDER BY doc_id, chunk_id""",
+    "text_pmi" ->
+      """WITH t AS (
+           SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n FROM t),
+         uni AS (
+           SELECT u.w, count(*) AS c
+           FROM t, unnest(toks) AS u(w) GROUP BY u.w),
+         biall AS (
+           SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+             AS i) g),
+         btot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM biall),
+         bi AS (
+           SELECT w1, w2, count(*) AS cxy FROM biall GROUP BY w1, w2)
+         SELECT bi.w1, bi.w2, bi.cxy,
+           round(log2((CAST(bi.cxy AS DOUBLE) / btot.b) /
+             ((CAST(ux.c AS DOUBLE) / tot.n)
+              * (CAST(uy.c AS DOUBLE) / tot.n))), 6) AS pmi
+         FROM bi, btot, tot
+         JOIN uni ux ON ux.w = bi.w1
+         JOIN uni uy ON uy.w = bi.w2
+         WHERE bi.cxy >= 3
+         ORDER BY pmi DESC, bi.w1, bi.w2
+         LIMIT 40""",
     "text_normalize" ->
       """WITH dirty AS (SELECT doc_id,
            translate(text, 'aeiou', 'áéíöü') || ' e' || chr(769) AS dirty

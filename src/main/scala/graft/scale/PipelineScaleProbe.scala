@@ -29,7 +29,16 @@ object PipelineScaleProbe {
     // aggregate, normalize a zero-shuffle kernel pass, pagerank a
     // cached-edge-list iteration over the knn graph — each claims a
     // linear decade, so each gets measured ones
-    "emb_kmeans", "text_normalize", "emb_pagerank")
+    "emb_kmeans", "text_normalize", "emb_pagerank",
+    // chunking is a pure scan+generate expand (no aggregate at all) —
+    // its decade rows prove the flat-linear claim; text_pmi stays at
+    // base: its vocabulary-shaped aggregate class is the same shuffle
+    // family text_tfidf already carries through 1000x
+    "text_chunk",
+    // the sources family's only decade rows: tar shard write+read is
+    // shard-parallel in both directions (the timed row includes the
+    // sink's single hash exchange + the full parse-back)
+    "sources_tar")
 
   /** Audit-machinery twins run at BASE scale only (the r7 verdict's
     * bench-signal finding): `sketch_kmv_grouped` keeps the exact-count

@@ -249,7 +249,7 @@ object TarShards {
 
   // ---- gate entry -------------------------------------------------------
 
-  /** Round-trip certification: documents → 8 tar shards → parse back →
+  /** Round-trip certification: documents → tar shards → parse back →
     * one row of content + layout evidence. `checksum` is the masked
     * XOR-fold of md5("doc_id|text") over the PARSED .txt members (any
     * lost sample, reordered byte, or mangled UTF-8 flips it);
@@ -260,11 +260,16 @@ object TarShards {
     * the content. `meta_ok` counts .json members whose n_chars field
     * round-trips, certifying the metadata member the same way. */
   def tarRoundTrip(s: SparkSession, d: String): DataFrame = {
-    val nShards = 8
+    val docs = Tables.documents(s, d)
+    // shard count tracks the corpus (~64k samples per shard, floor 8):
+    // shards are the unit of parallelism, so a decade of data means 10x
+    // the shards, not 10x the shard size — the oracle replays the same
+    // arithmetic from count(*)
+    val nDocs = docs.count()
+    val nShards = math.max(8L, (nDocs + 65535) / 65536).toInt
     val fp = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
       new File(d).getCanonicalPath))
     val out = s"target/tar_shards_$fp"
-    val docs = Tables.documents(s, d)
     val paths = writeShards(docs, out, nShards)
     val tarBytes = paths.map(p => new File(p).length()).sum
     val members = readShards(s, paths)
@@ -310,8 +315,12 @@ object TarShards {
                     '","n_chars":' || CAST(n_chars AS VARCHAR) || '}')
                AS json_len,
              n_chars
+           FROM documents),
+         ns AS (
+           SELECT CAST(greatest(8, (count(*) + 65535) // 65536)
+             AS INTEGER) AS n
            FROM documents)
-         SELECT 8 AS n_shards,
+         SELECT ns.n AS n_shards,
            (SELECT count(*) FROM documents) AS n_docs,
            (SELECT CAST(bit_xor(md5_number_lower(
               CAST(doc_id AS VARCHAR) || '|' || text))
@@ -319,8 +328,9 @@ object TarShards {
            CAST(sum(txt_len) AS BIGINT) AS payload_bytes,
            CAST(sum(512 + CAST(ceil(txt_len / 512.0) AS BIGINT) * 512
              + 512 + CAST(ceil(json_len / 512.0) AS BIGINT) * 512)
-             + 8 * 1024 AS BIGINT) AS tar_bytes,
+             + ns.n * 1024 AS BIGINT) AS tar_bytes,
            count(*) AS meta_ok,
            CAST(sum(n_chars) AS BIGINT) AS meta_chars
-         FROM m""")
+         FROM m, ns
+         GROUP BY ns.n""")
 }

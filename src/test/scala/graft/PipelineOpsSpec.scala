@@ -925,4 +925,67 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = (0 until 10).map(i => (s"h$i", 2000L)).toSet
     assert(got === expect)
   }
+
+  test("text_chunk: windows replayed in pure Scala; full token coverage") {
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = TextAnalysis.chunkDocs(spark, d).collect()
+    // pure-Scala replication of the window arithmetic
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val nChunks = if (n <= 64) 1 else 1 + (n - 64 + 47) / 48
+      (0 until nChunks).map { i =>
+        val w = toks.slice(i * 48, math.min(i * 48 + 64, n))
+        ((id, i.toLong), w.length.toLong)
+      }
+    }
+    assert(rows.length == expected.size)
+    for (r <- rows) {
+      val key = (r.getLong(0), r.getLong(1))
+      assert(expected.contains(key), s"unexpected chunk $key")
+      assert(r.getLong(2) == expected(key), s"length mismatch at $key")
+    }
+    // coverage: per doc, sum(chunk_tokens) = n + 16 * (n_chunks - 1)
+    // (each window past the first re-reads exactly the 16-token overlap)
+    val perDoc = rows.groupBy(_.getLong(0)).map { case (id, rs) =>
+      (id, rs.map(_.getLong(2)).sum, rs.length)
+    }
+    for ((id, total, nc) <- perDoc) {
+      val n = docs(id).split(" ", -1).length.toLong
+      assert(total == n + 16L * (nc - 1), s"coverage broken for doc $id")
+    }
+  }
+
+  test("text_pmi: equals a pure-Scala PMI computation, ranked top-40") {
+    val texts = Tables.documents(spark, d)
+      .select("text").collect().map(_.getString(0))
+    val tokRe = "[a-z0-9]+".r
+    val docsT = texts.map(t => tokRe.findAllIn(t.toLowerCase).toArray)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    var n = 0L; var b = 0L
+    for (toks <- docsT) {
+      n += toks.length
+      for (i <- 0 until toks.length - 1) {
+        b += 1
+        bi((toks(i), toks(i + 1))) = bi.getOrElse((toks(i), toks(i + 1)), 0L) + 1
+      }
+      for (w <- toks) uni(w) = uni.getOrElse(w, 0L) + 1
+    }
+    val scored = bi.toSeq.filter(_._2 >= 3).map { case ((w1, w2), cxy) =>
+      val pmi = math.log((cxy.toDouble / b) /
+        ((uni(w1).toDouble / n) * (uni(w2).toDouble / n))) / math.log(2.0)
+      (w1, w2, cxy,
+        BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }.take(40)
+    val got = TextAnalysis.pmiCollocations(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 40)
+    for (((gw1, gw2, gc, gp), (ew1, ew2, ec, ep)) <- got.zip(scored)) {
+      assert((gw1, gw2, gc) == ((ew1, ew2, ec)), s"rank mismatch: $gw1 $gw2")
+      assert(math.abs(gp - ep) < 1e-6, s"pmi mismatch for ($gw1,$gw2)")
+    }
+  }
 }

@@ -532,4 +532,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f = formatted(Similarity.annIvf(spark, d))
     assert(!f.contains("SortMergeJoin"), f.take(2000))
   }
+
+  test("text_chunk plan: scan + generate only, no hash exchange") {
+    // the window expand must stay map-side; the only exchange allowed
+    // is the presentation ORDER BY's range partitioning
+    val p = plan(graft.operators.TextAnalysis.chunkDocs(spark, d))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(p.contains("Generate explode"), p.take(1500))
+  }
+
+  test("text_pmi plan: unigram lookups broadcast, no sort-merge join") {
+    val p = plan(graft.operators.TextAnalysis.pmiCollocations(spark, d))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
