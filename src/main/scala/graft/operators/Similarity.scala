@@ -1108,7 +1108,105 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Greedy k-center (farthest-point) coreset selection over the
+    * embeddings — the data-SELECTION primitive (pick a maximally
+    * diverse k-subset as a coverage coreset / eval probe set /
+    * annotation batch), complementing [[embKmeans]] (partition
+    * everything) and [[embDbscan]] (density families). Gonzalez's
+    * 2-approximation: start from the lowest vec_id, then k−1 times pick
+    * the point FARTHEST from the selected set; the reported `radius`
+    * (the picked point's min-distance at selection, i.e. the coverage
+    * radius before it joined) is non-increasing by construction — a
+    * spec asserts that invariant.
+    *
+    * Scale shape: each round is ONE scan of the cached table — the
+    * min-distance is an `array_min` over per-center expanded-square
+    * kernels against array LITERALS (zero shuffle), and the argmax is a
+    * 1-row TakeOrdered; only the picked row returns to the driver.
+    * Round r evaluates r kernels, k²/2 total — but all r share the
+    * round's single deserialize pass over the cached vectors, which is
+    * the actual cost at the gate k = 16 (measured at 100x = 5M vectors:
+    * 29 s warm, 512 B shuffle, zero spill — linear in n for fixed k).
+    * MATERIALIZING the running min instead (persist (vec_id, v, md) per
+    * round, `least`-fold one new kernel) pays a full cache re-write per
+    * round for the k²/2 → k kernel saving; tried and rejected here —
+    * the double-generation churn OOMs an 8g heap at 100x while saving
+    * only flops the shared scan already amortizes. It becomes the right
+    * trade when k is large enough that kernel flops dominate the scan
+    * (k ≳ a few hundred at this dim).
+    * Determinism: distances quantized to 6 decimals before the argmax
+    * (the [[kmAssign]] trick), ties break to the lowest vec_id; centers
+    * are DATA POINTS (full-precision literals), so unlike k-means no
+    * computed values feed later rounds and the DuckDB oracle replays
+    * every round bit-exactly from the same least-chained arithmetic
+    * (min of independently rounded kernels = the rounded set's min). */
+  def embKcenter(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val k = 16
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val vv = dot(col("v"), col("v"))
+    def distTo(c: Array[Double]): Column = {
+      val cc = c.map(x => x * x).sum
+      round(sqrt(greatest(lit(0.0),
+        vv - lit(2.0) * dot(col("v"), typedLit(c.toSeq)) + lit(cc))), 6)
+    }
+    val first = e.orderBy("vec_id").limit(1).collect()(0)
+    var sel = Vector(first.getSeq[Double](1).toArray)
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (0, first.getLong(0), None))
+    for (r <- 1 until k) {
+      val picked = e
+        .withColumn("md", array_min(array(sel.map(distTo): _*)))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .select("vec_id", "v", "md").collect()(0) // 1 row — k-bounded
+      sel :+= picked.getSeq[Double](1).toArray
+      picks += ((r, picked.getLong(0), Some(picked.getDouble(2))))
+    }
+    e.unpersist()
+    import s.implicits._
+    picks.toSeq.toDF("sel_rank", "vec_id", "radius")
+  }
+
+  /** Unrolled DuckDB replay of [[embKcenter]]: p0 = lowest vec_id, then
+    * m_r carries the least-chained 6dp min-distance (same values as the
+    * Spark side's array_min over independently rounded kernels — min of
+    * the same rounded set), p_r the (md DESC, vec_id ASC) argmax. Each
+    * m_r MUST be MATERIALIZED: it is referenced twice (by m_{r+1} and by
+    * p_r, which m_{r+1} also joins), so DuckDB's default CTE inlining
+    * would expand the depth-16 chain into 2^15 scans of the base table
+    * ("too many open files" observed live at k=16). */
+  private val kcenterOracle: String = {
+    val k = 16
+    def distSql(centerCte: String): String =
+      s"""round(sqrt(greatest(0.0, list_dot_product(e.v, e.v)
+         - 2.0 * list_dot_product(e.v, $centerCte.v)
+         + list_dot_product($centerCte.v, $centerCte.v))), 6)"""
+    val iters = (1 until k).map { r =>
+      val md =
+        if (r == 1) distSql("p0")
+        else s"least(e.md, ${distSql(s"p${r - 1}")})"
+      s"""m$r AS MATERIALIZED (SELECT e.vec_id, e.v, $md AS md
+            FROM ${if (r == 1) "emb" else s"m${r - 1}"} e
+            CROSS JOIN p${r - 1}),
+          p$r AS (SELECT vec_id, v, md FROM m$r
+            ORDER BY md DESC, vec_id ASC LIMIT 1)"""
+    }.mkString(",\n")
+    val out = (1 until k)
+      .map(r => s"SELECT $r AS sel_rank, vec_id, md AS radius FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        p0 AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 1),
+        $iters
+        SELECT 0 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM p0
+        UNION ALL $out
+        ORDER BY sel_rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kcenter" -> (embKcenter _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pagerank" -> (embPagerank _),
     "emb_dbscan" -> (embDbscan _),
@@ -1646,6 +1744,7 @@ object Similarity {
          ORDER BY vec_id"""
 
   def oracles: Map[String, String] = Map(
+    "emb_kcenter" -> kcenterOracle,
     "emb_kmeans" -> kmeansOracle,
     // approximate LSH queries, EXACT oracles: DuckDB runs the identical
     // deterministic hash family (planes interpolated as literals)

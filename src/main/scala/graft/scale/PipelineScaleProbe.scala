@@ -30,6 +30,11 @@ object PipelineScaleProbe {
     // cached-edge-list iteration over the knn graph — each claims a
     // linear decade, so each gets measured ones
     "emb_kmeans", "text_normalize", "emb_pagerank",
+    // k-center coreset: fixed k=16 → total work O(k^2 · n), linear in n
+    // for the fixed gate k; each of the 16 rounds is one scan of the
+    // cached vectors with literal-center kernels (zero shuffle, 1-row
+    // TakeOrdered back to the driver)
+    "emb_kcenter",
     // chunking is a pure scan+generate expand (no aggregate at all) —
     // its decade rows prove the flat-linear claim; text_pmi stays at
     // base: its vocabulary-shaped aggregate class is the same shuffle
@@ -49,7 +54,14 @@ object PipelineScaleProbe {
     // exact O(n^2) eps-pair generator by design (the audit path; the
     // production candidate generator is the LSH-bucketed join, whose
     // decades dedup_emb_lsh/ann_lsh_bucketed already carry)
-    "emb_dbscan")
+    "emb_dbscan",
+    // 16 driver-synchronized rounds make kcenter's wall scan-count-
+    // shaped: its 100x row (29 s warm, 512 B shuffle, zero spill —
+    // linear, probe-measured r9) would be the artifact's single largest
+    // scale row while proving only what the archived probe run proves
+    // (the r7 verdict's bench-signal rule: keep the artifact's decades
+    // for rows whose cost profile can change, not fixed-scan loops)
+    "emb_kcenter")
 
   /** The queries that get 10x/100x rows in the bench artifact. */
   def scaleRowQueries: Seq[String] =

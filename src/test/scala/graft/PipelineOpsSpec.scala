@@ -357,6 +357,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._3 == "core").map(_._2).distinct.length > 1)
   }
 
+  test("emb_kcenter equals a pure-Scala Gonzalez replication (k=16, " +
+       "6-dp quantized distances, lowest-id ties) with non-increasing " +
+       "coverage radius") {
+    val vecs = Tables.embeddings(spark, d)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var vv = 0.0; var vc = 0.0; var cc = 0.0; var i = 0
+      while (i < a.length) {
+        vv += a(i) * a(i); vc += a(i) * b(i); cc += b(i) * b(i); i += 1
+      }
+      r6(math.sqrt(math.max(0.0, vv - 2.0 * vc + cc)))
+    }
+    var centers = Vector(vecs.head._2)
+    val want = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (0, vecs.head._1, None))
+    for (r <- 1 until 16) {
+      // min over INDEPENDENTLY rounded per-center kernels (the Spark
+      // side's array_min over round-6 columns), argmax with lowest-id tie
+      val (id, md) = vecs.map { case (vid, v) =>
+        (vid, centers.map(c => dist(v, c)).min)
+      }.maxBy { case (vid, m) => (m, -vid) }
+      centers :+= vecs.find(_._1 == id).get._2
+      want += ((r, id, Some(md)))
+    }
+    val got = graft.operators.Similarity.embKcenter(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.length == 16)
+    got.sortBy(_._1).zip(want).foreach { case (g, w) =>
+      assert(g == w, s"$g vs $w")
+    }
+    // Gonzalez invariant: the coverage radius never grows as centers
+    // are added, and the selected set is 16 distinct points
+    val radii = got.sortBy(_._1).flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, radii)
+    assert(got.map(_._2).distinct.length == 16)
+    assert(radii.last > 0.0) // no duplicate-point degenerate pick
+  }
+
   test("TopKTerms aggregate equals the row_number window on tie-heavy " +
        "data, at every partitioning") {
     val sp = spark
