@@ -553,6 +553,56 @@ object Dedup {
       .orderBy("corpus_id", "new_id")
   }
 
+  /** Corpus snapshot diff (CDC): classify every document as added /
+    * removed / modified between two corpus versions by CONTENT HASH —
+    * the bookkeeping that drives incremental reprocessing (only
+    * added+modified docs re-enter the dedup/filter/tokenize pipeline,
+    * removed ids retire downstream artifacts). Snapshot A is the
+    * documents table; snapshot B is derived deterministically on BOTH
+    * engines (delete doc_id % 23 == 5; append " [rev2]" where % 17 == 3,
+    * delete-wins on overlap; mirror % 41 == 7 docs as new ids above
+    * max(doc_id)), so the DuckDB oracle replays the whole diff.
+    *
+    * Scale shape: each side is hashed AT THE SCAN (md5 + length project
+    * text away before any exchange), so the full-outer join on doc_id —
+    * the one unavoidable shuffle, co-partitioned both sides — carries
+    * (id, lang, len, 32-B hash) rows, never document bodies. Unchanged
+    * docs (the overwhelming mass of a real snapshot pair) are filtered
+    * immediately after the join; output is change-shaped. At 100 TB
+    * both snapshots would be bucketed by doc_id, making the join
+    * exchange-free; md5 here is oracle parity, production would use
+    * xxhash64 (8 B vs 32 B keys). The 1-row max(doc_id) aggregate
+    * enters via broadcast — no driver round-trip. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val docs = Tables.documents(s, d)
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val a = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("len"), md5(col("text")).as("h"))
+    val bKept = docs.filter(col("doc_id") % 23 =!= 5)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("t"))
+    val bAdded = docs.filter(col("doc_id") % 41 === 7)
+      .crossJoin(broadcast(maxId))
+      .select((col("max_id") + col("doc_id") + 1).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" (mirror)")).as("t"))
+    val b = bKept.unionByName(bAdded)
+      .select(col("doc_id"), col("lang"),
+        length(col("t")).cast("long").as("len"), md5(col("t")).as("h"))
+    a.as("a").join(b.as("b"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("b.h").isNull, lit("removed"))
+          .when(col("a.h").isNull, lit("added"))
+          .when(col("a.h") =!= col("b.h"), lit("modified"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"),
+        coalesce(col("a.lang"), col("b.lang")).as("lang"),
+        col("a.len").as("chars_old"), col("b.len").as("chars_new"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over the Jaccard near-dup graph (J >= 0.5):
     * one row per duplicate CLUSTER — representative (min doc_id in the
     * component), size, and the sorted member list. The canonical corpus-
@@ -1194,7 +1244,8 @@ object Dedup {
     "dedup_clusters" -> (dupClusters _),
     "dedup_simhash_rel" -> (simhashRel _),
     "dedup_ensemble" -> (ensemblePairs _),
-    "dedup_incremental" -> (incrementalNearDup _))
+    "dedup_incremental" -> (incrementalNearDup _),
+    "corpus_diff" -> (corpusDiff _))
 
   /** Static entries plus the dynamic simhash-kernel oracle (available
     * once [[simhash]] has run and stashed its token-hash table — Verify
@@ -1252,6 +1303,29 @@ object Dedup {
     }.toMap
 
   private val staticOracles: Map[String, String] = Map(
+    "corpus_diff" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         a AS (SELECT doc_id, lang, length(text) AS len, md5(text) AS h
+               FROM documents),
+         bk AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 17 = 3 THEN text || ' [rev2]'
+                       ELSE text END AS t
+                FROM documents WHERE doc_id % 23 <> 5),
+         ba AS (SELECT mx.max_id + doc_id + 1 AS doc_id, lang,
+                  text || ' (mirror)' AS t
+                FROM documents CROSS JOIN mx WHERE doc_id % 41 = 7),
+         b AS (SELECT doc_id, lang, length(t) AS len, md5(t) AS h FROM bk
+               UNION ALL
+               SELECT doc_id, lang, length(t) AS len, md5(t) AS h FROM ba)
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN b.h IS NULL THEN 'removed'
+                WHEN a.h IS NULL THEN 'added'
+                ELSE 'modified' END AS status,
+           coalesce(a.lang, b.lang) AS lang,
+           a.len AS chars_old, b.len AS chars_new
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         WHERE a.h IS NULL OR b.h IS NULL OR a.h <> b.h
+         ORDER BY doc_id""",
     "dedup_jaccard_curve" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -401,6 +401,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(radii.last > 0.0) // no duplicate-point degenerate pick
   }
 
+  test("corpus_diff equals a pure-Scala snapshot-CDC replication " +
+       "(delete-wins, hash-compared, mirror ids above max)") {
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val maxId = docs.map(_._1).max
+    val a = docs.map { case (id, lang, t) => id -> (lang, t) }.toMap
+    val b = scala.collection.mutable.Map[Long, (String, String)]()
+    docs.foreach { case (id, lang, t) =>
+      if (id % 23 != 5)
+        b(id) = (lang, if (id % 17 == 3) t + " [rev2]" else t)
+      if (id % 41 == 7) b(maxId + id + 1) = (lang, t + " (mirror)")
+    }
+    val want = (a.keySet ++ b.keySet).toSeq.sorted.flatMap { id =>
+      (a.get(id), b.get(id)) match {
+        case (Some((lang, t)), None) =>
+          Some((id, "removed", lang, Some(t.length.toLong), None))
+        case (None, Some((lang, t))) =>
+          Some((id, "added", lang, None, Some(t.length.toLong)))
+        case (Some((lang, ta)), Some((_, tb))) if ta != tb =>
+          Some((id, "modified", lang,
+            Some(ta.length.toLong), Some(tb.length.toLong)))
+        case _ => None
+      }
+    }
+    val got = Dedup.corpusDiff(spark, d).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    // all three change classes are exercised
+    assert(got.map(_._2).distinct.sorted.sameElements(
+      Seq("added", "modified", "removed")))
+  }
+
   test("TopKTerms aggregate equals the row_number window on tie-heavy " +
        "data, at every partitioning") {
     val sp = spark

@@ -116,6 +116,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n${p.take(1200)}")
   }
 
+  test("corpus_diff joins on content hashes — no exchange carries " +
+       "document text, join is full-outer SMJ, no ScalaUDF") {
+    // AQE off for the structure check: sparkPlan is pre-EnsureRequirements
+    // (no exchanges yet) and AdaptiveSparkPlanExec hides its children
+    // from traversal until execution finalizes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (df, exec) =
+      try {
+        val q = graft.operators.Dedup.corpusDiff(spark, d)
+        (q, q.queryExecution.executedPlan) // force while AQE is off
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val p = plan(df)
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("ScalaUDF"), "plan contains a ScalaUDF")
+    def walk(n: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      n +: n.children.flatMap(walk)
+    val exchanges = walk(exec).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    // text is hashed at the scan: every shuffle row is (id, lang, len, h)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"exchange carries raw text: ${e.output.map(_.name)}")
+      assert(!e.output.exists(_.name == "t"),
+        s"exchange carries derived text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("bucketed tables join with ZERO exchange (co-located shuffle-free join)") {
     // the 100 TB fact-fact join technique: both tables written bucketed
     // on the join key -> SortMergeJoin consumes the bucket layout
