@@ -603,6 +603,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/validation/test split: assign every document a
+    * split by a deterministic rep-keyed hash, where near-dup CLUSTERS
+    * (connected components of the J >= 0.5 Jaccard graph) move as a
+    * UNIT — all members inherit the component representative's
+    * assignment. The split every training pipeline actually needs:
+    * hashing raw doc_ids leaks near-duplicate eval rows into train
+    * (memorization reads as generalization); keying the hash on the
+    * cluster rep makes straddling impossible by construction, and a
+    * spec asserts zero near-dup pairs cross splits. 90/5/5 via bucket =
+    * portable-md5(rep) % 100 (same [[graft.util.Md5Lower64]] ↔
+    * `md5_number_lower` twin as text_sample_weighted, so the DuckDB
+    * oracle replays the whole split including the closure).
+    *
+    * Scale shape: the dup-graph labels come from [[componentLabels]]
+    * (graph-size-adaptive CC; the near-dup graph is orders of magnitude
+    * smaller than the corpus) and join back onto the id-projected
+    * corpus on doc_id — one co-partitioned equi-join (a crawl corpus
+    * can be 30-50% dups, so the label side is NOT assumed broadcastable;
+    * at 100 TB both sides arrive bucketed by doc_id from the dedup
+    * pipeline and the join goes exchange-free). Hash + bucket + split
+    * are per-row kernels; nothing but (doc_id, rep) ever shuffles. */
+  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val pairs = jaccard(s, d).select(col("id_a"), col("id_b"))
+    val labels = componentLabels(s, pairs) // (doc_id, lbl), graph docs only
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("hx", md5(col("rep").cast("string")))
+      .withColumn("bucket", (graft.util.Md5Lower64.of("hx") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("validation"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over the Jaccard near-dup graph (J >= 0.5):
     * one row per duplicate CLUSTER — representative (min doc_id in the
     * component), size, and the sorted member list. The canonical corpus-
@@ -1245,7 +1283,8 @@ object Dedup {
     "dedup_simhash_rel" -> (simhashRel _),
     "dedup_ensemble" -> (ensemblePairs _),
     "dedup_incremental" -> (incrementalNearDup _),
-    "corpus_diff" -> (corpusDiff _))
+    "corpus_diff" -> (corpusDiff _),
+    "split_leakage_safe" -> (splitLeakageSafe _))
 
   /** Static entries plus the dynamic simhash-kernel oracle (available
     * once [[simhash]] has run and stashed its token-hash table — Verify
@@ -1301,6 +1340,41 @@ object Dedup {
            SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
            FROM scored WHERE dist <= 8 ORDER BY id_a, id_b"""
     }.toMap
+
+  /** Shared oracle CTE block: 3-gram shingles → exact Jaccard pairs at
+    * J >= 0.5 → transitive closure (recursive CTE; UNION dedups, so it
+    * terminates) → `lab(doc_id, rep)`, the min-label component map.
+    * Interpolated after `WITH RECURSIVE` by the dedup_clusters and
+    * split_leakage_safe oracles so both replay ONE definition. */
+  private val jaccClosureCtes: String =
+    """toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
+                AND len(string_split(sh, ' ')) = 3),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz za ON za.doc_id = id_a
+           JOIN sz zb ON zb.doc_id = id_b
+           WHERE i / (za.sz + zb.sz - i) >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         lab AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+                 FROM reach GROUP BY a)"""
 
   private val staticOracles: Map[String, String] = Map(
     "corpus_diff" ->
@@ -1592,37 +1666,26 @@ object Dedup {
       // same pair CTE as dedup_jaccard, then transitive closure via a
       // recursive CTE (UNION dedups, so it terminates) and min-label per
       // component — the SQL statement of connected components
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-                  generate_subscripts(string_split(text, ' '), 1) AS pos
-           FROM documents),
-         sh3 AS (
-           SELECT doc_id,
-             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
-           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL
-                AND len(string_split(sh, ' ')) = 3),
-         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT id_a, id_b FROM inter
-           JOIN sz za ON za.doc_id = id_a
-           JOIN sz zb ON zb.doc_id = id_b
-           WHERE i / (za.sz + zb.sz - i) >= 0.5),
-         e AS (SELECT id_a AS a, id_b AS b FROM pairs
-               UNION ALL SELECT id_b, id_a FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM e
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-         lab AS (SELECT a AS doc_id, least(a, min(b)) AS rep
-                 FROM reach GROUP BY a)
+      s"""WITH RECURSIVE $jaccClosureCtes
          SELECT rep AS cluster_rep, count(*) AS csize,
            string_agg(doc_id, ',' ORDER BY doc_id) AS members
          FROM lab GROUP BY rep ORDER BY cluster_rep""",
+    "split_leakage_safe" ->
+      // same closure CTEs; rep-keyed portable hash assigns the split
+      s"""WITH RECURSIVE $jaccClosureCtes,
+         wrep AS (
+           SELECT d.doc_id, coalesce(lab.rep, d.doc_id) AS rep
+           FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+         bk AS (
+           SELECT doc_id, rep,
+             CAST(CAST(md5_number_lower(CAST(rep AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) % 100 AS INTEGER) AS bucket
+           FROM wrep)
+         SELECT doc_id, rep, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'validation'
+                ELSE 'test' END AS split
+         FROM bk ORDER BY doc_id""",
     "dedup_simhash_rel" ->
       // exact mirror of simhashRel: md5_number_lower is the same 64-bit
       // value Spark assembles from the md5 hex (last 8 bytes, LE)

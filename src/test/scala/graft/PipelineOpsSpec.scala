@@ -438,6 +438,54 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("added", "modified", "removed")))
   }
 
+  test("split_leakage_safe: zero near-dup pairs straddle splits; rep and " +
+       "bucket replay in pure Scala (union-find + portable md5-lower-64)") {
+    val rows = Dedup.splitLeakageSafe(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3))))
+    val split = rows.toMap
+    assert(rows.length == 500 && split.size == 500)
+    // 1. the leakage invariant: every near-dup pair lands in ONE split
+    val prs = Dedup.jaccard(spark, d).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prs.nonEmpty)
+    prs.foreach { case (a, b) =>
+      assert(split(a)._3 == split(b)._3,
+        s"pair ($a,$b) straddles: ${split(a)} vs ${split(b)}")
+    }
+    // 2. rep = min member of the pair-graph component (union-find)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    prs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // 3. bucket = lower-64-LE md5 of rep, masked to 63 bits, % 100
+    def h63(x: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      var v = 0L
+      for (i <- 0 until 8) v |= (dig(8 + i) & 0xffL) << (8 * i)
+      v & Long.MaxValue
+    }
+    rows.foreach { case (id, (rep, bucket, sp)) =>
+      val wantRep = if (parent.contains(id) || prs.exists(p =>
+        p._1 == id || p._2 == id)) find(id) else id
+      assert(rep == wantRep, s"doc $id rep $rep != $wantRep")
+      assert(bucket == (h63(rep) % 100).toInt, s"doc $id bucket")
+      val wantSp = if (bucket < 90) "train"
+        else if (bucket < 95) "validation" else "test"
+      assert(sp == wantSp)
+    }
+    // 4. sane proportions: train is the 90% mass, eval splits exist
+    val byS = rows.groupBy(_._2._3).map { case (k, v) => k -> v.length }
+    assert(byS("train") > 400, byS.toString)
+    assert(byS.getOrElse("validation", 0) > 0 && byS.getOrElse("test", 0) > 0,
+      byS.toString)
+  }
+
   test("TopKTerms aggregate equals the row_number window on tie-heavy " +
        "data, at every partitioning") {
     val sp = spark
