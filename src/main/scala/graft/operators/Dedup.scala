@@ -641,6 +641,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-document selection per near-dup cluster: instead of
+    * keep-first (min doc_id), keep the BEST member of every duplicate
+    * cluster — prefer docs passing the Gopher quality verdict, then
+    * longer docs, tie to the lowest doc_id. What production dedup
+    * actually ships: the retained copy should be the highest-quality
+    * one, not whichever crawled first. One row per cluster:
+    * representative, size, the kept doc and its signals.
+    *
+    * Scale shape: cluster labels from the graph-size-adaptive
+    * [[componentLabels]] join the per-doc quality signals (pure scan,
+    * [[Quality.qualityFilters]]) on doc_id; the per-cluster argmax is a
+    * single mergeable partial+final `max(struct(...))` — Spark's struct
+    * ordering is lexicographic, so (keep, n_words, −doc_id) encodes the
+    * whole preference with NO window and no per-cluster row shuffle
+    * beyond the label aggregate. Integer-only comparisons — exact
+    * oracle parity by construction. */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val pairs = jaccard(s, d).select(col("id_a"), col("id_b"))
+    val labels = componentLabels(s, pairs) // (doc_id, lbl), graph docs only
+    val sig = graft.operators.Quality.qualityFilters(s, d)
+      .select(col("doc_id"), col("n_words"), col("keep"))
+    labels.join(sig, "doc_id")
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("csize"),
+        max(struct(col("keep").cast("int").as("k"),
+          col("n_words").as("w"), (-col("doc_id")).as("negId"))).as("best"))
+      .select(col("cluster_rep"), col("csize"),
+        (-col("best.negId")).as("keep_id"),
+        col("best.w").cast("long").as("keep_n_words"),
+        (col("best.k") === 1).as("keep_passes"))
+      .orderBy("cluster_rep")
+  }
+
   /** Connected components over the Jaccard near-dup graph (J >= 0.5):
     * one row per duplicate CLUSTER — representative (min doc_id in the
     * component), size, and the sorted member list. The canonical corpus-
@@ -1284,7 +1318,8 @@ object Dedup {
     "dedup_ensemble" -> (ensemblePairs _),
     "dedup_incremental" -> (incrementalNearDup _),
     "corpus_diff" -> (corpusDiff _),
-    "split_leakage_safe" -> (splitLeakageSafe _))
+    "split_leakage_safe" -> (splitLeakageSafe _),
+    "dedup_keep_best" -> (keepBest _))
 
   /** Static entries plus the dynamic simhash-kernel oracle (available
     * once [[simhash]] has run and stashed its token-hash table — Verify
@@ -1670,6 +1705,36 @@ object Dedup {
          SELECT rep AS cluster_rep, count(*) AS csize,
            string_agg(doc_id, ',' ORDER BY doc_id) AS members
          FROM lab GROUP BY rep ORDER BY cluster_rep""",
+    "dedup_keep_best" ->
+      // same closure CTEs; quality verdict replayed as in
+      // text_quality_filters, per-cluster argmax via row_number
+      s"""WITH RECURSIVE $jaccClosureCtes,
+         tq AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sig AS (
+           SELECT doc_id, len(toks) AS n_words,
+             round(CAST(list_sum(list_transform(toks, x -> length(x)))
+               AS DOUBLE) / len(toks), 4) AS mean_wlen,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','of','in','on','to','is'], x)))
+               AS stop_hits
+           FROM tq),
+         kq AS (
+           SELECT doc_id, n_words,
+             (n_words >= 20 AND n_words <= 200 AND mean_wlen >= 3.0
+              AND mean_wlen <= 8.0 AND stop_hits >= 1) AS keep
+           FROM sig),
+         m AS (
+           SELECT lab.rep AS cluster_rep, kq.doc_id, kq.n_words, kq.keep,
+             row_number() OVER (PARTITION BY lab.rep
+               ORDER BY kq.keep DESC, kq.n_words DESC, kq.doc_id ASC) AS rk
+           FROM lab JOIN kq ON kq.doc_id = lab.doc_id),
+         cs AS (SELECT cluster_rep, count(*) AS csize FROM m GROUP BY 1)
+         SELECT m.cluster_rep, cs.csize, m.doc_id AS keep_id,
+           CAST(m.n_words AS BIGINT) AS keep_n_words,
+           m.keep AS keep_passes
+         FROM m JOIN cs ON cs.cluster_rep = m.cluster_rep
+         WHERE m.rk = 1 ORDER BY m.cluster_rep""",
     "split_leakage_safe" ->
       // same closure CTEs; rep-keyed portable hash assigns the split
       s"""WITH RECURSIVE $jaccClosureCtes,

@@ -421,11 +421,86 @@ object StreamGate {
       .orderBy("day", "user_id")
   }
 
+  /** `stream_join_sink` gate entry: the watermarked stream-stream
+    * INTERVAL join ([[StreamJoin.intervalJoin]]) run as a real
+    * two-file-source stream end-to-end — every event joined to the
+    * same user's PURCHASE probes within [probe − 10 min, probe], match
+    * rows sunk per-batch, the sunk table re-read and aggregated per
+    * user. The streaming enrichment shape a 100 TB ingest runs
+    * continuously (attach recent context to each conversion event);
+    * state is watermark-bounded on BOTH sides (the join condition
+    * bounds event time from both directions, so each side evicts at
+    * watermark + interval — constant in stream length), and the join
+    * parallelizes by the user_id equi-key.
+    *
+    * Determinism: an APPEND-mode inner stream-stream join emits each
+    * qualifying pair exactly once regardless of batch splits or
+    * arrival order, and the per-user aggregate sums exact integer
+    * CENTS (`round(value·100)` — no FP summation-order exposure), so
+    * the sunk table equals a batch replay and the DuckDB oracle
+    * recomputes the whole join from the raw parquet. Sentinels use
+    * DISTINCT user ids (−1 events / −2 probes) so the rows that push
+    * both watermarks past the data can never join each other. */
+  def streamJoinSink(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_join_").toString
+    val evDir = s"$tmp/ev"; val prDir = s"$tmp/pr"
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("value"), col("event_type"))
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val sentinelTs = maxTs + 3L * 86400L * 1000000L
+    ev.select(col("user_id"), col("ts"), col("value"))
+      .unionByName(s.range(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(sentinelTs)).as("ts"), lit(0.0).as("value")))
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(evDir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+      .unionByName(s.range(1).select(lit(-2L).as("user_id"),
+        timestamp_micros(lit(sentinelTs)).as("pts")))
+      .repartitionByRange(4, col("pts"))
+      .write.mode("overwrite").parquet(prDir)
+    val evStream = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(evDir)
+    val prStream = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("pts", TimestampType))))
+      .parquet(prDir)
+    val joined = StreamJoin.intervalJoin(evStream, prStream)
+    withStateProvider(s) {
+      StreamSink.parquetSink(joined, out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("pts", TimestampType),
+        StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$out/batch=*")
+      // no defensive re-merge here: join rows carry no within-batch
+      // finalization, and [[StreamSink.writeBatch]]'s batchId-keyed
+      // overwrite already makes replays duplicate-free — a distinct()
+      // would wrongly collapse genuinely identical match rows
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"), sum("cents").as("sum_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("stream_neardup_sink" -> (streamNearDupSink _),
         "stream_sessions_sink" -> (streamSessionsSink _),
         "stream_hll_sink" -> (streamHllSink _),
-        "stream_countmin_sink" -> (streamCountMinSink _))
+        "stream_countmin_sink" -> (streamCountMinSink _),
+        "stream_join_sink" -> (streamJoinSink _))
 
   /** DuckDB replay of the per-day register pipeline ([[streamHllSink]])
     * straight from the raw events parquet — arrival-order-invariant
@@ -489,6 +564,25 @@ object StreamGate {
          SELECT day, v_empty, exact_distinct, hll_estimate,
            round(100.0 * (hll_estimate - exact_distinct) / exact_distinct, 2)
              AS rel_err_pct
-         FROM fin ORDER BY day""")
+         FROM fin ORDER BY day""",
+      "stream_join_sink" ->
+      // the batch statement of the streamed interval join: APPEND-mode
+      // inner join emits each qualifying pair exactly once, integer
+      // cents make the per-user sums arrival-order-invariant
+      """WITH p AS (
+           SELECT user_id, ts AS pts FROM events
+           WHERE event_type = 'purchase'),
+         e AS (
+           SELECT user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         j AS (
+           SELECT e.user_id, e.cents
+           FROM e JOIN p ON e.user_id = p.user_id
+             AND e.ts >= p.pts - INTERVAL 10 MINUTE
+             AND e.ts <= p.pts)
+         SELECT user_id, count(*) AS n_matches,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM j GROUP BY user_id ORDER BY user_id""")
   }
 }

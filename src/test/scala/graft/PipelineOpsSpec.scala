@@ -486,6 +486,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       byS.toString)
   }
 
+  test("dedup_keep_best picks per cluster the quality-lexicographic " +
+       "best member (keep > n_words > lowest id) and covers every cluster") {
+    val clusters = Dedup.dupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong))
+    val sig = graft.operators.Quality.qualityFilters(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getInt(1)))).toMap
+    val want = clusters.map { case (rep, members) =>
+      val best = members.minBy { id =>
+        val (k, w) = sig(id); (if (k) 0 else 1, -w, id)
+      }
+      (rep, members.length.toLong, best, sig(best)._2.toLong, sig(best)._1)
+    }.sortBy(_._1)
+    val got = Dedup.keepBest(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.length == clusters.length, "one row per cluster")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    // the selection is doing real work: at least one cluster keeps a
+    // member that is NOT the min-id representative
+    assert(got.exists(r => r._3 != r._1), "keep-best degenerated to keep-first")
+  }
+
   test("TopKTerms aggregate equals the row_number window on tie-heavy " +
        "data, at every partitioning") {
     val sp = spark

@@ -225,6 +225,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream ${streamed.length} vs batch ${batch.length}")
   }
 
+  test("stream_join_sink gate entry equals the batch interval join, " +
+       "under both state-store providers") {
+    val d = "/root/testdata/sf0.001"
+    val SG = graft.streaming.StreamGate
+    import org.apache.spark.sql.functions._
+    // the batch statement of the same join + per-user cent sums
+    val ev = graft.util.Tables.events(spark, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = ev.select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(p, col("user_id") === col("pu") &&
+        col("ts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+        col("ts") <= col("pts"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"), sum("cents").as("sum_cents"))
+      .orderBy("user_id").collect().map(_.toString)
+    def runWith(prov: String): Array[String] = {
+      SG.providerOverride = Some(prov)
+      try SG.streamJoinSink(spark, d).collect().map(_.toString)
+      finally SG.providerOverride = None
+    }
+    val rocks = runWith("rocksdb")
+    assert(rocks.length > 0, "no joined rows surfaced")
+    assert(rocks.sameElements(batch),
+      s"stream ${rocks.length} vs batch ${batch.length}")
+    assert(runWith("hdfs").sameElements(batch), "provider changed rows")
+  }
+
   test("state-store providers (RocksDB vs in-heap HDFS) yield identical output") {
     // the gate entries are output-deterministic BY DESIGN; the state
     // store is an execution choice (RocksDB = the 100 TB continuous-
