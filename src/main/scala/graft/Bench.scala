@@ -24,6 +24,15 @@ object Bench {
       // stages are compute-heavy on byte-tiny rows, so coalescing to one
       // partition serializes them — keep the requested parallelism
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // same shuffle/cache codec stack as PipelineScaleProbe — the
+      // config a shuffle-heavy 100 TB deployment runs. The r9 dedup
+      // rework (serialized shingle caches + raw-stream repartition-by-h)
+      // was profiled and tuned under zstd+rdd.compress; without them the
+      // in-bench 100x dedup rows measured 3.5x the standalone probe
+      // (67 s vs 20 s) purely from codec drift between the two harnesses
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.rdd.compress", "true")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // untimed warm-up: JIT/codegen/shuffle-machinery spin-up otherwise

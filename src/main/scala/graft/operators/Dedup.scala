@@ -56,7 +56,20 @@ object Dedup {
     * codegen. md5 is the paragraph key for oracle parity (DuckDB has no
     * xxhash64); at 100 TB the key would be xxhash64 (8 B vs 32 B
     * shuffle rows) with md5 only on residual collisions. */
-  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+  def paragraphDedup(s: SparkSession, d: String): DataFrame =
+    paragraphMarked(s, d)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_paras"),
+        sum(when(col("kept"), length(col("para")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy("doc_id")
+
+  /** The (doc_id, pos, para, kept) stream both paragraph entries share:
+    * explode into 10-word chunks, hash, mark the earliest corpus-wide
+    * occurrence via a mergeable `min(struct(doc_id, pos))` + join-back. */
+  private def paragraphMarked(s: SparkSession, d: String): DataFrame = {
     val paras = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -72,14 +85,38 @@ object Dedup {
     paras.join(firsts, "h")
       .withColumn("kept",
         col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_paras"),
-        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_paras"),
-        sum(when(col("kept"), length(col("para")).cast("long"))
-          .otherwise(0L)).as("kept_chars"))
-      .orderBy("doc_id")
   }
+
+  /** Paragraph-dedup REWRITE: reconstruct every document from its kept
+    * paragraphs (earliest corpus-wide occurrence only, original order)
+    * — the step that actually produces the deduplicated training corpus
+    * [[paragraphDedup]] merely measures. Per doc: kept-paragraph count,
+    * rewritten length, and a portable 63-bit content hash of the
+    * rewritten text, so the DuckDB oracle certifies the reconstruction
+    * character-for-character (an order bug or a joiner-space bug flips
+    * the hash). Docs whose every paragraph was seen earlier elsewhere
+    * drop out entirely — exactly the rewrite semantics.
+    *
+    * Scale shape: the marking stages are [[paragraphDedup]]'s verbatim
+    * (word-count shuffle class); the reassembly adds ONE per-doc
+    * aggregate whose shuffle is the surviving text itself — the
+    * intrinsic output of a rewrite pass (you cannot emit a rewritten
+    * corpus without moving the rewritten corpus once). collect_list is
+    * bounded by a single document's paragraph count; array_sort(pos)
+    * restores original order independent of arrival. */
+  def paragraphRewrite(s: SparkSession, d: String): DataFrame =
+    paragraphMarked(s, d)
+      .filter(col("kept"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("""concat_ws(' ',
+             transform(array_sort(collect_list(struct(pos, para))),
+                       x -> x.para))""").as("new_text"))
+      .withColumn("new_chars", length(col("new_text")).cast("long"))
+      .withColumn("hx", md5(col("new_text")))
+      .withColumn("new_h", graft.util.Md5Lower64.of("hx"))
+      .select(col("doc_id"), col("n_kept"), col("new_chars"), col("new_h"))
+      .orderBy("doc_id")
 
   // ---- word 3-gram shingles (shared by jaccard + minhash) ----
 
@@ -1319,7 +1356,8 @@ object Dedup {
     "dedup_incremental" -> (incrementalNearDup _),
     "corpus_diff" -> (corpusDiff _),
     "split_leakage_safe" -> (splitLeakageSafe _),
-    "dedup_keep_best" -> (keepBest _))
+    "dedup_keep_best" -> (keepBest _),
+    "dedup_paragraph_rewrite" -> (paragraphRewrite _))
 
   /** Static entries plus the dynamic simhash-kernel oracle (available
     * once [[simhash]] has run and stashed its token-hash table — Verify
@@ -1564,6 +1602,32 @@ object Dedup {
            CAST(sum(CASE WHEN rn = 1 THEN len(para) ELSE 0 END) AS BIGINT)
              AS kept_chars
          FROM marked GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_paragraph_rewrite" ->
+      // the dedup_paragraph marking CTEs, then reassembly in pos order;
+      // the 63-bit portable hash certifies the rewritten text itself
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         paras AS (
+           SELECT doc_id, i.i AS pos,
+             array_to_string(toks[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS para
+           FROM toks, LATERAL (SELECT unnest(
+             range((len(toks) - 1) // 10 + 1)) AS i) i),
+         h AS (
+           SELECT doc_id, pos, para, md5(para) AS h
+           FROM paras WHERE len(para) > 0),
+         marked AS (
+           SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           FROM h),
+         rw AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(para, ' ' ORDER BY pos) AS new_text
+           FROM marked WHERE rn = 1 GROUP BY doc_id)
+         SELECT doc_id, n_kept,
+           CAST(length(new_text) AS BIGINT) AS new_chars,
+           CAST(md5_number_lower(new_text)
+             & 9223372036854775807 AS BIGINT) AS new_h
+         FROM rw ORDER BY doc_id""",
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
          r AS (SELECT h, row_number() OVER (PARTITION BY h ORDER BY doc_id) rn FROM h)

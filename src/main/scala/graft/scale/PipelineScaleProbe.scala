@@ -40,6 +40,10 @@ object PipelineScaleProbe {
     // base: its vocabulary-shaped aggregate class is the same shuffle
     // family text_tfidf already carries through 1000x
     "text_chunk",
+    // snapshot-CDC diff: hash-at-scan + one co-partitioned full-outer
+    // join on doc_id — the decade rows prove the change-shaped-output
+    // claim (unchanged mass filtered post-join, text never shuffled)
+    "corpus_diff",
     // the sources family's only decade rows: tar shard write+read is
     // shard-parallel in both directions (the timed row includes the
     // sink's single hash exchange + the full parse-back)

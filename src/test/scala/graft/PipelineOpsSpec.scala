@@ -508,6 +508,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(r => r._3 != r._1), "keep-best degenerated to keep-first")
   }
 
+  test("dedup_paragraph_rewrite reconstructs exactly the kept paragraphs " +
+       "in original order (pure-Scala replication incl. content hash)") {
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // earliest corpus-wide occurrence per paragraph hash (docs are
+    // scanned in (doc_id, pos) order, so first-seen IS the min)
+    val seen = scala.collection.mutable.Set[String]()
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val paras = toks.grouped(10).map(_.mkString(" ")).filter(_.nonEmpty)
+      val kept = paras.filter(p => seen.add(p)).toArray
+      if (kept.isEmpty) None
+      else {
+        val nt = kept.mkString(" ")
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(nt.getBytes("UTF-8"))
+        var v = 0L
+        for (i <- 0 until 8) v |= (dig(8 + i) & 0xffL) << (8 * i)
+        Some((id, kept.length.toLong, nt.length.toLong, v & Long.MaxValue))
+      }
+    }
+    val got = Dedup.paragraphRewrite(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    // consistency with the measuring entry: kept counts agree, and the
+    // dedup did real work (some paragraph was dropped corpus-wide)
+    val stats = Dedup.paragraphDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keptOf = stats.map { case (id, np, nd) => id -> (np - nd) }.toMap
+    got.foreach { case (id, nk, _, _) => assert(keptOf(id) == nk) }
+    assert(stats.map(_._3).sum > 0, "no paragraph was ever dropped")
+  }
+
   test("TopKTerms aggregate equals the row_number window on tie-heavy " +
        "data, at every partitioning") {
     val sp = spark
