@@ -42,4 +42,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // steady-state on identical queries).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench JVM executes ~380 distinct codegen-heavy queries (125
+  // gate entries x 2 passes + BerlinMOD + the scale blocks), each
+  // producing Janino-compiled whole-stage classes; the JDK17 default
+  // 240 MB code cache forces the flushing sweeper to evict warm
+  // methods under that load. 1 GB is the standard headroom for a
+  // long-lived many-query Spark JVM (driver or executor) and removes
+  // the sweeper from the measurement entirely.
+  "-XX:ReservedCodeCacheSize=1g",
 )

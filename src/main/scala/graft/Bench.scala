@@ -25,11 +25,10 @@ object Bench {
       // partition serializes them — keep the requested parallelism
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // same shuffle/cache codec stack as PipelineScaleProbe — the
-      // config a shuffle-heavy 100 TB deployment runs. The r9 dedup
-      // rework (serialized shingle caches + raw-stream repartition-by-h)
-      // was profiled and tuned under zstd+rdd.compress; without them the
-      // in-bench 100x dedup rows measured 3.5x the standalone probe
-      // (67 s vs 20 s) purely from codec drift between the two harnesses
+      // config a shuffle-heavy 100 TB deployment runs, and the one the
+      // r9 dedup rework (serialized shingle caches + raw-stream
+      // repartition-by-h) was profiled under; keeping the two harnesses
+      // on one configuration makes their numbers directly comparable
       .config("spark.io.compression.codec", "zstd")
       .config("spark.rdd.compress", "true")
       .config("spark.cleaner.periodicGC.interval", "30s")
@@ -62,12 +61,25 @@ object Bench {
     // target/bench.json only — the stdout tail line stays ~400 B)
     val metrics = new graft.util.BenchMetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    // per-query process CPU split (user/sys ticks from /proc/self/stat)
+    // and GC time — the wall-vs-cpu discriminator that located the r9
+    // late-bench inflation. stderr only; the driver parses stdout.
+    def cpuStat(): (Long, Long) = try {
+      val f = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
+      (f(13).toLong, f(14).toLong)
+    } catch { case _: Throwable => (0L, 0L) }
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def timed(work: Seq[(String, () => Unit)], clear: Boolean = true,
               passes: Int = 2): Seq[(String, Double, Option[String])] =
       for (pass <- 0 until passes; (name, run) <- work) yield {
         metrics.reset(name)
         spark.sparkContext.setJobGroup(name, name,
           interruptOnCancel = false)
+        val (u0, s0) = cpuStat(); val g0 = gcMs
         val t0 = System.nanoTime()
         val err = try { run(); None } catch {
           case e: Throwable =>
@@ -75,6 +87,10 @@ object Bench {
               String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(120))
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val (u1, s1) = cpuStat()
+        System.err.println(f"[bench] $name%-28s ${dt}%7.2f s " +
+          f"user=${(u1 - u0) / 100.0}%8.1f sys=${(s1 - s0) / 100.0}%6.1f " +
+          f"gc=${gcMs - g0}%5d ms pass=$pass")
         spark.sparkContext.clearJobGroup()
         if (clear) {
           spark.catalog.clearCache()
