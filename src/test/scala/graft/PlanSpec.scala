@@ -146,6 +146,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_keep_best: per-cluster argmax is a partial+final max(struct) " +
+       "aggregate — no Window anywhere in the plan") {
+    val p = plan(graft.operators.Dedup.keepBest(spark, d))
+    assert(!p.contains("Window"), "keep_best plan contains a Window")
+    // struct max plans as SortAggregate (not hash-aggregable) but keeps
+    // the map-side partial — fine at scale: the input is dup-graph-sized
+    assert(p.contains("partial_max(struct"), p.take(1500))
+    assert(!p.contains("ScalaUDF"), "plan contains a ScalaUDF")
+  }
+
   test("bucketed tables join with ZERO exchange (co-located shuffle-free join)") {
     // the 100 TB fact-fact join technique: both tables written bucketed
     // on the join key -> SortMergeJoin consumes the bucket layout
