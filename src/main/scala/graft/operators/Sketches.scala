@@ -90,6 +90,67 @@ object Sketches {
     * broadcast into the scan filter; here the join form keeps it fully
     * declarative. Output counts the maybe-hits against true membership
     * (the realized false-positive count), all integers -> exact oracle. */
+  /** Bloom-filter JOIN PRUNING — the semi-join-reduction pattern a
+    * 100 TB selective fact-dim join runs: build a Bloom over the
+    * selective side's join keys (orders with o_totalprice > 450000),
+    * broadcast its word table, and prune the FACT side map-side — two
+    * broadcast word lookups + a bit test per row, entirely inside the
+    * scan stage — so only Bloom-passing rows (true matches + the
+    * measured false positives) ever reach the join. At 100 TB this is
+    * the difference between shuffling the whole fact table and
+    * shuffling ~the match set; Spark's own runtime row-group filters do
+    * a coarser version of this, and the entry pins the exact-arithmetic
+    * version end-to-end. Bloom has no false negatives, so
+    * n_false_pos = n_pass − n_join exactly; revenue sums integer CENTS
+    * (per-row quantized — order-free, exact oracle). m = 16384 bits,
+    * two md5-derived hashes — the [[bloom]] arithmetic verbatim, so the
+    * DuckDB oracle replays words, pruning, and join from scratch. */
+  def bloomPruneJoin(s: SparkSession, d: String): DataFrame = {
+    val m = 16384
+    val keys = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"))
+    val words = keys
+      .withColumn("hx", md5(col("o_orderkey").cast("string")))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .select(explode(array(pmod(col("h"), lit(m)),
+        pmod(expr(s"h div $m"), lit(m)))).as("p"))
+      .groupBy(expr("p div 32").cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))")
+        .as("word"))
+    val big = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_cents"))
+      .withColumn("hx", md5(col("l_orderkey").cast("string")))
+      .withColumn("h", graft.util.Md5Lower64.of("hx"))
+      .withColumn("p1", pmod(col("h"), lit(m)))
+      .withColumn("p2", pmod(expr(s"h div $m"), lit(m)))
+    val pruned = big
+      .join(broadcast(words.select(expr("w").as("w1"), col("word").as("word1"))),
+        expr("cast(p1 div 32 as int)") === col("w1"), "left")
+      .join(broadcast(words.select(expr("w").as("w2"), col("word").as("word2"))),
+        expr("cast(p2 div 32 as int)") === col("w2"), "left")
+      .filter(
+        expr("(coalesce(word1, 0L) & shiftleft(cast(1 as bigint), " +
+          "cast(p1 % 32 as int))) != 0") &&
+        expr("(coalesce(word2, 0L) & shiftleft(cast(1 as bigint), " +
+          "cast(p2 % 32 as int))) != 0"))
+      .select(col("l_orderkey"), col("rev_cents"))
+    // exact join on the PRUNED side only; the key set is broadcast here
+    // (selective by construction) — at 100 TB a larger key set makes
+    // this a shuffle of just the pruned rows, which is the point
+    val joined = pruned
+      .join(broadcast(keys.withColumnRenamed("o_orderkey", "l_orderkey")),
+        Seq("l_orderkey"))
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n_big"))
+      .crossJoin(pruned.agg(count(lit(1)).as("n_pass")))
+      .crossJoin(joined.agg(count(lit(1)).as("n_join"),
+        sum("rev_cents").as("rev_cents")))
+      .select(lit(m).as("m"), col("n_big"), col("n_pass"), col("n_join"),
+        (col("n_pass") - col("n_join")).as("n_false_pos"), col("rev_cents"))
+  }
+
   def bloom(s: SparkSession, d: String): DataFrame = {
     val m = 1024
     def positions(df: DataFrame, key: String): DataFrame = df
@@ -617,7 +678,8 @@ object Sketches {
     "sketch_hll" -> (hll _),
     "sketch_countmin" -> (countMin _),
     "sketch_heavy_hitters" -> (heavyHitters _),
-    "sketch_bloom" -> (bloom _))
+    "sketch_bloom" -> (bloom _),
+    "sketch_bloom_join" -> (bloomPruneJoin _))
 
   val oracles: Map[String, String] = Map(
     "sketch_heavy_hitters" ->
@@ -765,6 +827,48 @@ object Sketches {
              ELSE CAST(round(255.0 * 9223372036854775808.0
                / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS kmv_estimate
          FROM tail ORDER BY grp""",
+    "sketch_bloom_join" ->
+      // the bloom word arithmetic verbatim over o_orderkey, then the
+      // prune + exact join replayed from scratch; revenue in integer
+      // cents (per-row quantized, order-free)
+      """WITH keys AS (
+           SELECT o_orderkey FROM orders WHERE o_totalprice > 450000),
+         kpos AS (
+           SELECT unnest([h % 16384, (h // 16384) % 16384]) AS p FROM (
+             SELECT CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) AS h FROM keys)),
+         words AS (
+           SELECT CAST(p // 32 AS INTEGER) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+           FROM kpos GROUP BY 1),
+         big AS (
+           SELECT l_orderkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS rev_cents,
+             CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR))
+               & 9223372036854775807 AS BIGINT) AS h
+           FROM lineitem),
+         bp AS (
+           SELECT l_orderkey, rev_cents,
+             h % 16384 AS p1, (h // 16384) % 16384 AS p2 FROM big),
+         pruned AS (
+           SELECT bp.l_orderkey, bp.rev_cents FROM bp
+           LEFT JOIN words w1 ON w1.w = CAST(bp.p1 // 32 AS INTEGER)
+           LEFT JOIN words w2 ON w2.w = CAST(bp.p2 // 32 AS INTEGER)
+           WHERE (coalesce(w1.word, 0)
+               & (CAST(1 AS BIGINT) << CAST(bp.p1 % 32 AS INTEGER))) != 0
+             AND (coalesce(w2.word, 0)
+               & (CAST(1 AS BIGINT) << CAST(bp.p2 % 32 AS INTEGER))) != 0),
+         j AS (
+           SELECT p.rev_cents FROM pruned p
+           JOIN keys k ON k.o_orderkey = p.l_orderkey)
+         SELECT 16384 AS m,
+           (SELECT count(*) FROM lineitem) AS n_big,
+           (SELECT count(*) FROM pruned) AS n_pass,
+           (SELECT count(*) FROM j) AS n_join,
+           (SELECT count(*) FROM pruned) - (SELECT count(*) FROM j)
+             AS n_false_pos,
+           (SELECT CAST(sum(rev_cents) AS BIGINT) FROM j) AS rev_cents""",
     "sketch_bloom" ->
       """WITH keys AS (
            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000),

@@ -543,6 +543,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.map(_._3).sum > 0, "no paragraph was ever dropped")
   }
 
+  test("sketch_bloom_join: no false negatives (n_join = exact join), " +
+       "counts replay in pure Scala, pruning does real work") {
+    val m = 16384
+    def h63(x: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      var v = 0L
+      for (i <- 0 until 8) v |= (dig(8 + i) & 0xffL) << (8 * i)
+      v & Long.MaxValue
+    }
+    val keys = Tables.orders(spark, d)
+      .filter(col("o_totalprice") > 450000)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val bits = scala.collection.mutable.BitSet()
+    keys.foreach { k =>
+      val h = h63(k)
+      bits += (h % m).toInt; bits += ((h / m) % m).toInt
+    }
+    val li = Tables.lineitem(spark, d).select("l_orderkey").collect()
+      .map(_.getLong(0))
+    val pass = li.filter { k =>
+      val h = h63(k)
+      bits((h % m).toInt) && bits(((h / m) % m).toInt)
+    }
+    val joinN = li.count(keys)
+    val r = graft.operators.Sketches.bloomPruneJoin(spark, d).collect()(0)
+    assert(r.getLong(1) == li.length)            // n_big
+    assert(r.getLong(2) == pass.length, "n_pass") // bloom pass count
+    assert(r.getLong(3) == joinN, "n_join = exact join (no false negatives)")
+    assert(r.getLong(4) == pass.length - joinN)   // n_false_pos
+    // the prune is doing real work: most non-matching rows never reach
+    // the join, and false positives are a small fraction of non-members
+    assert(pass.length < li.length / 2, s"pass ${pass.length} of ${li.length}")
+    assert(r.getLong(4).toDouble / (li.length - joinN) < 0.1, "fp rate")
+  }
+
   test("TopKTerms aggregate equals the row_number window on tie-heavy " +
        "data, at every partitioning") {
     val sp = spark
