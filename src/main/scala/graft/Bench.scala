@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine, not a constant: an unset env var used to
+    // mean local[4], which read as a uniform ~3.5x inflation of every
+    // CPU-heavy row on this 32-core box (r9 forensics, SURVEY §8l.24)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    System.err.println(s"[bench] cpus=$cpus sfDir=$sfDir")
     // heap pre-touch BEFORE Spark threads exist: this guest's balloon
     // free-page reporting makes first-touch ~100x cost (see HeapWarm),
     // and holding most of the heap live is only safe in a bare JVM
@@ -65,8 +70,12 @@ object Bench {
     // and GC time — the wall-vs-cpu discriminator that located the r9
     // late-bench inflation. stderr only; the driver parses stdout.
     def cpuStat(): (Long, Long) = try {
-      val f = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
-      (f(13).toLong, f(14).toLong)
+      // split AFTER the last ')' (the kernel-documented way to skip the
+      // comm field, which may itself contain spaces); utime/stime are
+      // then fields 11/12 of the remainder (stat fields 14/15, 1-based)
+      val raw = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val f = raw.substring(raw.lastIndexOf(')') + 2).split(" ")
+      (f(11).toLong, f(12).toLong)
     } catch { case _: Throwable => (0L, 0L) }
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._

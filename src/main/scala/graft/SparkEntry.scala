@@ -55,6 +55,7 @@ object SparkEntry {
   ) ++ MobilityOps.queries ++ Dedup.queries ++ Similarity.queries ++
     TextAnalysis.queries ++ Multimodal.queries ++
     Quality.queries ++ Sketches.queries ++
+    graft.operators.Multilingual.queries ++
     graft.sources.RoundTrip.queries ++
     graft.sources.TarShards.queries ++
     graft.streaming.StreamGate.queries
@@ -354,6 +355,7 @@ object SparkEntry {
   ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
     TextAnalysis.oracles ++ Multimodal.oracles ++
     Quality.oracles ++ Sketches.oracles ++
+    graft.operators.Multilingual.oracles ++
     graft.sources.RoundTrip.oracles ++
     graft.sources.TarShards.oracles ++
     // the streaming gate entries provably equal their batch operators

@@ -571,11 +571,18 @@ object Multimodal {
     private var nbits = 0
     def bit(): Int = {
       if (nbits == 0) {
-        var b = p(off) & 0xFF; off += 1
+        val b = p(off) & 0xFF; off += 1
         if (b == 0xFF) {
           val m = p(off) & 0xFF
           if (m == 0x00) off += 1 // stuffed byte
-          else b = 0xFF // marker reached: the spec pads with 1s anyway
+          else
+            // a well-formed scan pads its FINAL byte with 1s before the
+            // marker, so entropy decoding never needs bits past a
+            // non-stuffed 0xFF — reaching one means the scan is
+            // truncated/corrupt; fail the walk instead of silently
+            // decoding substituted bits (r9 ADVICE)
+            throw new IllegalArgumentException(
+              f"entropy decode ran past scan end (marker 0xFF$m%02X)")
         }
         acc = b; nbits = 8
       }

@@ -724,6 +724,21 @@ object TextAnalysis {
     * Both engines evaluate the identical log2 expression shape and
     * round to 6 dp before ranking. */
   def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val (out, toks) = pmiPlan(s, d)
+    // materialize the k-bounded (40-row) result while toks is cached,
+    // then release the cache — a long-lived session invoking this
+    // repeatedly must not leak the token table (r9 ADVICE); the
+    // driver-side hop is the same class as the n/nBi fetches inside
+    val rows = out.collect().toSeq
+    toks.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** The lazy plan behind [[pmiCollocations]] plus its cached token
+    * table (PlanSpec asserts on the plan; the gate entry materializes
+    * and unpersists). */
+  private[graft] def pmiPlan(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
@@ -742,7 +757,7 @@ object TextAnalysis {
       .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
     val nBi = bi.select(sum("cxy")).first().getLong(0)
-    bi.filter(col("cxy") >= 3)
+    val out = bi.filter(col("cxy") >= 3)
       .join(broadcast(uni.withColumnRenamed("w", "w1")
         .withColumnRenamed("c", "cx")), "w1")
       .join(broadcast(uni.withColumnRenamed("w", "w2")
@@ -754,6 +769,7 @@ object TextAnalysis {
           6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(40)
+    (out, toks)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

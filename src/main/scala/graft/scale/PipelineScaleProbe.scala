@@ -47,7 +47,11 @@ object PipelineScaleProbe {
     // the sources family's only decade rows: tar shard write+read is
     // shard-parallel in both directions (the timed row includes the
     // sink's single hash exchange + the full parse-back)
-    "sources_tar")
+    "sources_tar",
+    // bloom semi-join reduction (r9 verdict #1): build is a fixed
+    // 512-word aggregate collected once, probe is ONE map-side pass of
+    // the fact scan — the decade rows prove the single-scan rework
+    "sketch_bloom_join")
 
   /** Audit-machinery twins run at BASE scale only (the r7 verdict's
     * bench-signal finding): `sketch_kmv_grouped` keeps the exact-count

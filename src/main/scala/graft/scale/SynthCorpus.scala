@@ -111,22 +111,52 @@ object SynthCorpus {
     docs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
   }
 
-  /** Write `lineitem.parquet` (the three columns sketch_kmv_grouped
-    * reads) with `nRows` rows under `outDir` — pure column expressions,
-    * no lambda. Key spaces scale with the row count so the distinct
-    * count the KMV estimates keeps growing. */
+  /** Write `lineitem.parquet` (the columns sketch_kmv_grouped and
+    * sketch_bloom_join read) with `nRows` rows under `outDir` — pure
+    * column expressions, no lambda. Key spaces scale with the row count
+    * so the distinct count the KMV estimates keeps growing; l_orderkey
+    * references the [[writeOrders]] key space (4 lineitems per order,
+    * the TPC-H ratio) so the bloom semi-join-reduction probe has a real
+    * fact→dim key. */
   def writeLineitem(spark: SparkSession, nRows: Long, outDir: String): Unit = {
     val parts = spark.sparkContext.defaultParallelism * 2
     val nPart = math.max(200L, nRows / 30)
     val nSupp = math.max(10L, nRows / 600)
+    val nOrd = math.max(100L, nRows / 4)
     spark.range(0L, nRows, 1L, parts)
       .select(
         element_at(typedLit(Seq("A", "N", "N", "R")),
           (pmod(xxhash64(col("id"), lit(1)), lit(4)) + 1).cast("int"))
           .as("l_returnflag"),
         pmod(xxhash64(col("id"), lit(2)), lit(nPart)).as("l_partkey"),
-        pmod(xxhash64(col("id"), lit(3)), lit(nSupp)).as("l_suppkey"))
+        pmod(xxhash64(col("id"), lit(3)), lit(nSupp)).as("l_suppkey"),
+        pmod(xxhash64(col("id"), lit(4)), lit(nOrd)).as("l_orderkey"),
+        ((pmod(xxhash64(col("id"), lit(5)), lit(9900000L)) + 100000L)
+          .cast("double") / 100).as("l_extendedprice"),
+        (pmod(xxhash64(col("id"), lit(6)), lit(11)).cast("double") / 100)
+          .as("l_discount"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+  }
+
+  /** Write `orders.parquet` (the two columns sketch_bloom_join's build
+    * side reads): o_orderkey dense 0..nOrders-1, o_totalprice uniform in
+    * [0, U) with U chosen so `> 450000` keeps ~3 300 orders at EVERY
+    * scale. Holding the selected dim set constant across decades is the
+    * scenario the semi-join-reduction claim is about — a deployment
+    * whose key set grew 100x would size m up with it (a sizing input,
+    * not a plan property); the probe's decades must measure the
+    * probe-side fact scan, which is the part that scales. */
+  def writeOrders(spark: SparkSession, nOrders: Long, outDir: String): Unit = {
+    val parts = spark.sparkContext.defaultParallelism * 2
+    // U_cents solves nOrders * (U - 450000)/U = 3300
+    val upperCents =
+      (45000000.0 * nOrders / (nOrders - 3300.0)).toLong.max(45010000L)
+    spark.range(0L, nOrders, 1L, parts)
+      .select(
+        col("id").as("o_orderkey"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(upperCents)).cast("double")
+          / 100).as("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
   }
 
   /** Write `embeddings.parquet` (vec_id, 64-dim float vector, label)
@@ -169,12 +199,17 @@ object SynthCorpus {
     * complete and bit-identical to a regeneration — skip it (the 1000x
     * corpus is ~14 GB / minutes of write). */
   def generate(spark: SparkSession, mult: Int, outDir: String): Unit = {
-    val done = Seq("documents", "lineitem", "embeddings").forall(t =>
-      new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists())
-    if (!done) {
-      writeDocuments(spark, 5000L * mult, outDir)
-      writeLineitem(spark, 600000L * mult, outDir)
-      writeEmbeddings(spark, 50000L * mult, outDir)
-    }
+    def ok(t: String) =
+      new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()
+    // per-table skip (the 1000x corpus is ~14 GB / minutes of write);
+    // lineitem gained the bloom-join columns in r10, so a pre-r10 dir's
+    // lineitem is stale — detect by schema, not just the marker
+    val lineitemCurrent = ok("lineitem") && scala.util.Try(
+      spark.read.parquet(s"$outDir/lineitem.parquet")
+        .schema.fieldNames.contains("l_orderkey")).getOrElse(false)
+    if (!ok("documents")) writeDocuments(spark, 5000L * mult, outDir)
+    if (!lineitemCurrent) writeLineitem(spark, 600000L * mult, outDir)
+    if (!ok("orders")) writeOrders(spark, 150000L * mult, outDir)
+    if (!ok("embeddings")) writeEmbeddings(spark, 50000L * mult, outDir)
   }
 }

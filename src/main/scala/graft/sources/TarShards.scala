@@ -227,6 +227,18 @@ object TarShards {
         }
         if (cur != null) { cur.write(new Array[Byte](2 * Block)); cur.close() }
       }
+    // every residue class gets a shard file even when no row hashed to
+    // it (possible with sparse doc_ids or nDocs < nShards): an empty
+    // ustar archive is just the 1024-byte end-of-archive — keeps
+    // n_shards and tar_bytes consistent with the oracle, which charges
+    // end-of-archive bytes for all nShards shards (r9 ADVICE)
+    (0 until nShards).foreach { i =>
+      val f = new File(f"$outAbs/shard-$i%05d.tar")
+      if (!f.exists()) {
+        val o = new FileOutputStream(f)
+        try o.write(new Array[Byte](2 * Block)) finally o.close()
+      }
+    }
     dir.listFiles().map(_.getAbsolutePath).sorted.toSeq
   }
 
@@ -241,8 +253,20 @@ object TarShards {
       .flatMap { p =>
         val shard = new File(p).getName
         val in = new BufferedInputStream(new FileInputStream(p), 1 << 16)
-        try readTar(in).map(m => (shard, m.key, m.ext, m.bytes)).toVector
-        finally in.close()
+        // stream member-by-member (never a whole shard in memory — a
+        // production shard is ~1 GB): the stream closes on exhaustion;
+        // a task killed mid-iteration leaks the fd until GC, the
+        // standard closing-iterator trade-off (r9 ADVICE)
+        val base = readTar(in).map(m => (shard, m.key, m.ext, m.bytes))
+        new Iterator[(String, String, String, Array[Byte])] {
+          private var open = true
+          def hasNext: Boolean = open && {
+            val h = base.hasNext
+            if (!h) { in.close(); open = false }
+            h
+          }
+          def next(): (String, String, String, Array[Byte]) = base.next()
+        }
       }
       .toDF("shard", "key", "ext", "bytes")
   }

@@ -471,13 +471,25 @@ object StreamGate {
         StructField("user_id", LongType), StructField("pts", TimestampType))))
       .parquet(prDir)
     val joined = StreamJoin.intervalJoin(evStream, prStream)
-    withStateProvider(s) {
-      StreamSink.parquetSink(joined, out)
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-    }
+    // same stateful-shuffle-partition pinning as streamNearDupSink: the
+    // count is fixed at first start and becomes the state-store count,
+    // and a stream-stream join commits FOUR state stores per partition
+    // per batch (left/right keyToNumValues + keyWithIndexToValue), so
+    // checkpoint I/O — not compute — dominated this row at 32 partitions
+    // (6.5 s in r9). 8 is still full parallelism for the bounded gate
+    // stream; output is partition-invariant (append-mode inner join).
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.get(spKey)
+    s.conf.set(spKey, math.min(prevSp.toInt, 8).toString)
+    try {
+      withStateProvider(s) {
+        StreamSink.parquetSink(joined, out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+    } finally s.conf.set(spKey, prevSp)
     s.read
       .schema(StructType(Seq(
         StructField("user_id", LongType), StructField("pts", TimestampType),

@@ -76,6 +76,41 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(6L)._1 == "\u00c5")
   }
 
+  test("md5_lower64 native kernel equals the SQL twin (fuzz, both forms)") {
+    // Md5Lower64.of/signedOf now execute graft.functions.HexLower64
+    // (nibble parse in codegen); Md5Lower64.sql/signedSql remain the
+    // documented pure-SQL form the DuckDB oracles replay — pin their
+    // equality over random strings (unicode included) plus edge cases
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(1234)
+    val inputs = (0 until 200).map { _ =>
+      val n = rnd.nextInt(40)
+      new String(Array.fill(n)((rnd.nextInt(0x2FF) + 1).toChar))
+    } ++ Seq("", "a", "élève", "0123456789abcdef0123456789abcdef")
+    val df = inputs.toDF("s")
+      .selectExpr("md5(s) AS hx")
+      .select(
+        graft.util.Md5Lower64.of("hx").as("k_u"),
+        org.apache.spark.sql.functions.expr(
+          graft.util.Md5Lower64.sql("hx")).as("s_u"),
+        graft.util.Md5Lower64.signedOf("hx").as("k_s"),
+        org.apache.spark.sql.functions.expr(
+          graft.util.Md5Lower64.signedSql("hx")).as("s_s"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"unsigned mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"signed mismatch: $r")
+      assert(r.getLong(0) == (r.getLong(2) & Long.MaxValue),
+        s"mask relation broken: $r")
+      assert(r.getLong(0) >= 0L)
+    }
+    // null propagates like the SQL form
+    val nr = Seq[Option[String]](None).toDF("hx")
+      .select(graft.util.Md5Lower64.of("hx").as("v")).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("vec_inter_sorted matches set intersection (codegen path)") {
     val sp = spark
     import sp.implicits._

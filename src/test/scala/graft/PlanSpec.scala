@@ -582,7 +582,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("text_pmi plan: unigram lookups broadcast, no sort-merge join") {
-    val p = plan(graft.operators.TextAnalysis.pmiCollocations(spark, d))
+    // pmiPlan is the lazy plan the gate entry materializes (the entry
+    // itself returns a localized 40-row result so it can unpersist the
+    // token cache — r10); assert on the plan that actually executes
+    val (df, toks) = graft.operators.TextAnalysis.pmiPlan(spark, d)
+    val p = plan(df)
+    toks.unpersist()
     assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
