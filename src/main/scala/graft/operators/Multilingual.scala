@@ -39,14 +39,22 @@ object Multilingual {
     * decomposition — the per-doc suffix carries the byte difference
     * for those docs. */
   private val subs: Seq[(String, String, String, String)] = Seq(
-    ("de", "group", "grüppe", "grüppe"),
-    ("de", "value", "wärte", "wärte"),
-    ("fr", "group", "groupé", "groupé"),
-    ("fr", "value", "valèur", "valèur"),
-    ("es", "group", "grupó", "grupó"),
-    ("es", "value", "valór", "valór"),
-    ("zh", "group", "组集", "组集"),
-    ("zh", "value", "值量", "值量"))
+    ("de", "group", "gr\u00fcppe", "gru\u0308ppe"),
+    ("de", "value", "w\u00e4rte", "wa\u0308rte"),
+    ("de", "scan", "pr\u00fcfung", "pru\u0308fung"),
+    ("de", "order", "ordn\u00fcng", "ordnu\u0308ng"),
+    ("fr", "group", "group\u00e9", "groupe\u0301"),
+    ("fr", "value", "val\u00e8ur", "vale\u0300ur"),
+    ("fr", "scan", "balay\u00e0ge", "balaya\u0300ge"),
+    ("fr", "order", "ordr\u00e9", "ordre\u0301"),
+    ("es", "group", "grup\u00f3", "grupo\u0301"),
+    ("es", "value", "val\u00f3r", "valo\u0301r"),
+    ("es", "scan", "escan\u00e9o", "escane\u0301o"),
+    ("es", "order", "ord\u00e9n", "orde\u0301n"),
+    ("zh", "group", "\u7ec4\u96c6", "\u7ec4\u96c6"),
+    ("zh", "value", "\u503c\u91cf", "\u503c\u91cf"),
+    ("zh", "scan", "\u626b\u63cf", "\u626b\u63cf"),
+    ("zh", "order", "\u987a\u5e8f", "\u987a\u5e8f"))
 
   /** SQL fragment deriving the multilingual text from `textCol` /
     * `langCol` — valid in BOTH Spark SQL and DuckDB (CASE + replace +
@@ -208,7 +216,7 @@ object Multilingual {
   // ---- trained language ID (r9 verdict #6) -------------------------------
 
   /** Hash-gram buckets for the language-ID model. */
-  private val B = 32
+  private val B = 64
 
   private[graft] final case class LangModel(
     langs: Array[String],
@@ -250,7 +258,11 @@ object Multilingual {
       val v = new Array[Double](B)
       var tot = 0L
       rows.foreach { r => tot += r.getLong(3) }
-      rows.foreach { r => v(r.getInt(2)) = r.getLong(3).toDouble / tot }
+      // frequencies scaled by B so the mean feature is ~1 — raw 1/B-scale
+      // frequencies left plain GD four orders short of convergence (the
+      // r10 always-predicts-en forensics); the scale folds back into the
+      // exported weights below, so the integer scoring term is unchanged
+      rows.foreach { r => v(r.getInt(2)) = r.getLong(3).toDouble * B / tot }
       xs(i) = v; labels(i) = rows.head.getString(1); i += 1
     }
     val langs = labels.distinct.sorted
@@ -261,7 +273,7 @@ object Multilingual {
       val y = labels.map(l => if (l == langs(li)) 1.0 else 0.0)
       val w = new Array[Double](B); var b = 0.0
       var it = 0
-      while (it < 400) {
+      while (it < 1000) {
         val gw = new Array[Double](B); var gb = 0.0
         var r = 0
         while (r < n) {
@@ -274,11 +286,14 @@ object Multilingual {
           r += 1
         }
         var k = 0
-        while (k < B) { w(k) -= 5.0 * gw(k) / n; k += 1 }
-        b -= 5.0 * gb / n
+        while (k < B) { w(k) -= gw(k) / n; k += 1 }
+        b -= gb / n
         it += 1
       }
-      wM(li) = w.map(x => math.rint(x * 1e6).toLong)
+      // export w·B (undoing the feature scale) so the scorer's integer
+      // term b0·n_grams + Σ w[bucket] over raw gram counts is the same
+      // linear function the fit optimized
+      wM(li) = w.map(x => math.rint(x * B * 1e6).toLong)
       bM(li) = math.rint(b * 1e6).toLong
       li += 1
     }

@@ -1,7 +1,7 @@
 package graft.sqlx
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
 
 /** Executable SQL entry point: the reference dialect, including the one
   * DDL statement the reference registers that plain rewriting cannot
@@ -24,21 +24,24 @@ object MobSql {
   private val buildSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val createIndexRe =
-    """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+TRTREE\s*\(\s*(\w+)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+TRTREE\s*\(\s*(\w+)\s*\)\s*(ZORDER)?\s*;?\s*$""".r
 
   /** Layout bookkeeping for the maintenance surface: the clustered dir
     * plus any un-clustered append tails currently read alongside it
     * (the immutable-files answer to the reference R-tree's
-    * Insert/Append, rtree_module.cpp:106-261). */
+    * Insert/Append, rtree_module.cpp:106-261). `zorder` records which
+    * cluster key the layout was built with so compaction re-applies
+    * the same one. */
   private final case class LayoutState(boxCol: String, layoutDir: String,
-                                       tailDirs: List[String])
+                                       tailDirs: List[String],
+                                       zorder: Boolean)
   private val layouts =
     new java.util.concurrent.ConcurrentHashMap[String, LayoutState]()
 
   /** Run one statement of the reference dialect. */
   def run(spark: SparkSession, sql: String): DataFrame = sql match {
-    case createIndexRe(idxName, table, boxCol) =>
-      createTrtreeLayout(spark, idxName, table, boxCol)
+    case createIndexRe(idxName, table, boxCol, zorder) =>
+      createTrtreeLayout(spark, idxName, table, boxCol, zorder != null)
       spark.emptyDataFrame // DDL yields no rows, like the reference
     case other =>
       spark.sql(SqlRewriter.rewrite(other))
@@ -55,6 +58,63 @@ object MobSql {
     keys
   }
 
+  /** Z-ORDER cluster key (`USING TRTREE(box) ZORDER`): quantize up to
+    * three box-min coordinates against their global ranges and
+    * interleave the bits into one space-filling-curve key, so a file's
+    * min/max statistics bound a HYPER-RECTANGLE rather than an interval
+    * of the leading coordinate. A 1-D range key degrades on off-axis
+    * predicates — a box tight in y but wide in x prunes nothing when
+    * the layout leads with x — which is exactly the 2-D locality the
+    * reference's R-tree pages give it (ref src/index/rtree_module.cpp:49);
+    * the Z-curve is the write-time-layout equivalent. The per-dim
+    * bounds come from one tiny write-time aggregate; degenerate dims
+    * (constant coordinate) quantize to 0 and drop out of the curve. */
+  private def zorderKey(df: DataFrame, boxCol: String)
+      : org.apache.spark.sql.Column = {
+    val st = df.schema(boxCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dims = Seq("xmin", "ymin", "zmin", "tmin", "lower")
+      .filter(st.fieldNames.contains).take(3)
+    require(dims.nonEmpty, s"$boxCol has no box/span min fields to z-order on")
+    val aggExprs = dims.flatMap(f => Seq(
+      min(col(s"$boxCol.$f").cast("double")),
+      max(col(s"$boxCol.$f").cast("double"))))
+    val bounds = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    val lo = Array.tabulate(dims.length)(i => bounds.getDouble(2 * i))
+    val hi = Array.tabulate(dims.length)(i => bounds.getDouble(2 * i + 1))
+    val bits = 63 / dims.length // 21 bits/dim at 3 dims
+    val maxQ = (1L << bits) - 1
+    val quantized = dims.zipWithIndex.map { case (f, di) =>
+      val range = if (hi(di) > lo(di)) hi(di) - lo(di) else 1.0
+      least(lit(maxQ), greatest(lit(0L),
+        floor((col(s"$boxCol.$f").cast("double") - lit(lo(di)))
+          / lit(range) * lit((1L << bits).toDouble)).cast("long")))
+    }
+    var z: org.apache.spark.sql.Column = lit(0L)
+    for (bit <- 0 until bits; (q, di) <- quantized.zipWithIndex)
+      z = z.bitwiseOR(shiftleft(
+        shiftright(q, bit).bitwiseAND(lit(1L)),
+        bit * dims.length + di))
+    z
+  }
+
+  /** Write `df` clustered for pruning: range keys or the Z-curve key. */
+  private def clusterWrite(spark: SparkSession, df: DataFrame,
+                           boxCol: String, zorder: Boolean,
+                           dir: String): Unit =
+    if (zorder) {
+      df.withColumn("__zkey", zorderKey(df, boxCol))
+        .repartitionByRange(col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite").parquet(dir)
+    } else {
+      val keys = clusterKeys(df, boxCol)
+      df.repartitionByRange(keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** Re-bind the table view to the layout plus its append tails. */
   private def bind(spark: SparkSession, table: String,
                    st: LayoutState): Unit = {
@@ -65,9 +125,9 @@ object MobSql {
   }
 
   private def createTrtreeLayout(spark: SparkSession, idxName: String,
-                                 table: String, boxCol: String): Unit = {
+                                 table: String, boxCol: String,
+                                 zorder: Boolean): Unit = {
     val df = spark.table(table)
-    val keys = clusterKeys(df, boxCol)
     // fresh path per build: a re-issued CREATE INDEX would otherwise read
     // and overwrite the same parquet dir the view is bound to, which
     // Spark rejects ("Cannot overwrite a path that is also being read
@@ -75,10 +135,8 @@ object MobSql {
     val dir = new java.io.File(
       s"target/trtree_${table}_${idxName}_${buildSeq.incrementAndGet()}")
       .getAbsolutePath
-    df.repartitionByRange(keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .write.mode("overwrite").parquet(dir)
-    val st = LayoutState(boxCol, dir, Nil)
+    clusterWrite(spark, df, boxCol, zorder, dir)
+    val st = LayoutState(boxCol, dir, Nil, zorder)
     layouts.put(table, st)
     bind(spark, table, st)
   }
@@ -116,14 +174,11 @@ object MobSql {
     val st = layouts.get(table)
     require(st != null, s"$table has no TRTREE layout to compact")
     val df = spark.table(table) // layout ∪ tails, as currently bound
-    val keys = clusterKeys(df, st.boxCol)
     val dir = new java.io.File(
       s"target/trtree_${table}_compact_${buildSeq.incrementAndGet()}")
       .getAbsolutePath
-    df.repartitionByRange(keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .write.mode("overwrite").parquet(dir)
-    val st2 = LayoutState(st.boxCol, dir, Nil)
+    clusterWrite(spark, df, st.boxCol, st.zorder, dir)
+    val st2 = LayoutState(st.boxCol, dir, Nil, st.zorder)
     layouts.put(table, st2)
     bind(spark, table, st2)
   }

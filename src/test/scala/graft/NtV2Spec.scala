@@ -113,6 +113,63 @@ class NtV2Spec extends AnyFunSuite {
     } finally GridStore.remove(SynthNtv2.fileName)
   }
 
+  test("27700 full-path grid-vs-Helmert divergence band (resolution-order " +
+       "contract through the projected pipeline)") {
+    // r9 verdict #8: lock the contract that a 27700-class PROJECTED
+    // transform routes its datum step through the covering grid when one
+    // is shipped (Helmert else) — through the FULL path: TM inverse →
+    // OSGB36 geographic → datum shift → WGS84. The synthetic OSTN15 is
+    // the OSGB36 Helmert field SAMPLED on a 0.05° grid over a Wales/
+    // England patch PLUS a constant +0.5″ latitude offset, so the
+    // grid-vs-Helmert divergence band is pinned analytically: +0.5″ in
+    // lat (±bilinear error on the smooth field), ~0 in lon.
+    val h = R.DatumOsgb36.toWgs84.get
+    val (s0, n0, e0, w0) = (51.0, 53.0, 0.0, 7200.0) // lon -2..0E
+    val inc = 180.0
+    val nc = math.round((w0 - e0) / inc).toInt + 1
+    val nr = math.round((n0 - s0) * 3600 / inc).toInt + 1
+    val la = new Array[Double](nr * nc)
+    val lo = new Array[Double](nr * nc)
+    for (r <- 0 until nr; c <- 0 until nc) {
+      val lat = s0 + r * inc / 3600.0
+      val lonE = -(e0 + c * inc) / 3600.0
+      val (wLon, wLat) = h.shift(lonE, lat)
+      la(r * nc + c) = (wLat - lat) * 3600.0 + 0.5 // the planted offset
+      lo(r * nc + c) = -(wLon - lonE) * 3600.0
+    }
+    val gf = NtV2.GridFile(IndexedSeq(NtV2.SubGrid("OSTN15", "NONE",
+      s0 * 3600, n0 * 3600, e0, w0, inc, inc, la, lo)))
+    // project the test points WITHOUT the grid (Helmert-only 27700)
+    val pts = Seq((-1.25, 51.75), (-0.13, 52.2))
+    val en = pts.map { case (lon, lat) => Crs.transform(27700, lon, lat) }
+    val outside = Crs.transform(27700, -4.9, 56.2) // Scotland, off-grid
+    val helmOut = Crs.transformBetween(27700, 4326,
+      outside._1, outside._2)
+    GridStore.put("OSTN15_NTv2_OSGBtoETRS.gsb", NtV2.write(gf))
+    try {
+      for (((lon, lat), (e, n)) <- pts.zip(en)) {
+        val (gLon, gLat) = Crs.transformBetween(27700, 4326, e, n)
+        val dLatSec = (gLat - lat) * 3600.0
+        val dLonSec = (gLon - lon) * 3600.0
+        assert(math.abs(dLatSec - 0.5) < 2e-3,
+          s"lat divergence $dLatSec″ at $lon,$lat — want the 0.5″ band")
+        assert(math.abs(dLonSec) < 2e-3,
+          s"lon divergence $dLonSec″ at $lon,$lat — want ~0")
+      }
+      // outside the grid extent: byte-identical to the Helmert-only path
+      val offGrid = Crs.transformBetween(27700, 4326,
+        outside._1, outside._2)
+      assert(offGrid === helmOut)
+    } finally GridStore.remove("OSTN15_NTv2_OSGBtoETRS.gsb")
+    // with the grid gone the divergence collapses to zero again
+    val (rLon, rLat) = Crs.transformBetween(27700, 4326,
+      en.head._1, en.head._2)
+    // sub-mm: the residual is the iterative inverse-TM tolerance, not
+    // any grid remnant (the 0.5″ offset is ~15 m — four orders away)
+    assert(math.abs(rLat - pts.head._2) * 3600 < 1e-3 &&
+      math.abs(rLon - pts.head._1) * 3600 < 1e-3)
+  }
+
   test("without the grid file the registry is Helmert-only (r7 behavior)") {
     val hOnly = R.DatumNtf.toWgs84.get.shift(32.25, -6.75)
     assert(Crs.transformBetween(4275, 4326, 32.25, -6.75) === hOnly)

@@ -315,6 +315,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.count() > 0)
   }
 
+  test("TRTREE ZORDER layout prunes off-axis box queries the range layout can't") {
+    // range-clustering leads with xmin, so a predicate tight in y but
+    // wide in x prunes nothing; the Z-curve key interleaves (x, y, t)
+    // bits so every file's min/max stats bound a hyper-rectangle — the
+    // write-time equivalent of the R-tree's 2-D page locality. Measured
+    // as rows SURVIVING row-group pruning at the scan (with AQE off so
+    // the executed plan exposes the scan metric directly).
+    graft.functions.GraftFunctions.register(spark)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def src = spark.sql(
+        s"""SELECT id, to_stbox(tgeompoint(st_point(cast(id % 100 AS double),
+              cast((id div 100) % 100 AS double)), timestamp'2024-01-01'))
+              AS box
+            FROM range(20000) t(id)""")
+      src.createOrReplaceTempView("zr_tab")
+      src.createOrReplaceTempView("zz_tab")
+      graft.sqlx.MobSql.run(spark,
+        "CREATE INDEX zr_idx ON zr_tab USING TRTREE(box)")
+      graft.sqlx.MobSql.run(spark,
+        "CREATE INDEX zz_idx ON zz_tab USING TRTREE(box) ZORDER")
+      def q(t: String) = graft.sqlx.MobSql.run(spark,
+        s"""SELECT id FROM $t
+            WHERE box && stbox('STBOX X((0.0,40.0),(99.0,45.0))')""")
+      def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+      }
+      val idsR = q("zr_tab").collect().map(_.getLong(0)).sorted
+      val idsZ = q("zz_tab").collect().map(_.getLong(0)).sorted
+      assert(idsR.sameElements(idsZ), s"${idsR.length} vs ${idsZ.length}")
+      assert(idsR.length == 1200) // 6 of 100 y values x 200 points each
+      val (rRows, zRows) = (scanRows(q("zr_tab")), scanRows(q("zz_tab")))
+      assert(zRows < rRows,
+        s"zorder scan read $zRows rows, range layout $rRows — " +
+          "the curve should prune off-axis row groups")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("TRTREE compact restores pushed-filter pruning over appended rows") {
     // append leaves a tail scanned unpruned alongside the layout;
     // compact must fold it back so the WHOLE table is again behind one
