@@ -240,6 +240,9 @@ object Multilingual {
       .select(col("doc_id"), col("lang"), m.as("m"))
       .withColumn("hk", xxhash64(col("doc_id")))
       .orderBy("hk").limit(2000)
+      // the limit collapses to one partition; spread the 2000 docs
+      // before the per-gram md5 expand (same reason as the scorer)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, greatest(char_length(m) - 2, 1))," +
           " i -> substring(m, i, 3))")).as("g"))
@@ -327,17 +330,29 @@ object Multilingual {
       mod.langs.zipWithIndex.map { case (l, li) => (l, mod.bMicros(li)) }
         .toSeq.toDF("cl", "b0"))
     val m = expr(mtextSql("text", "lang", decomposed = false))
+    // repartition before the gram expand: the driver's parquet is one
+    // row group (= one scan task), and the per-gram md5 work is the
+    // row's whole cost — spread the tiny doc table first so the expand
+    // runs on every core (at 100 TB the scan has real splits and this
+    // exchange is dropped, not resized)
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), m.as("m"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, greatest(char_length(m) - 2, 1))," +
           " i -> substring(m, i, 3))")).as("g"))
       .withColumn("hx", md5(col("g")))
       .select(col("doc_id"), col("lang"),
         pmod(graft.util.Md5Lower64.of("hx"), lit(B)).cast("int").as("b"))
-    val cand = grams.join(wDf, "b")
+    // bucket-aggregate BEFORE the weight join: (doc, bucket) counts are
+    // ≤B rows per doc, so the k-way weight blowup multiplies the small
+    // aggregated table, not the raw gram stream
+    val cand = grams
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c"))
+      .join(wDf, "b")
       .groupBy("doc_id", "lang", "cl")
-      .agg(count(lit(1)).as("n_g"), sum("wm").as("sw"))
+      .agg(sum("c").as("n_g"), sum(col("c") * col("wm")).as("sw"))
       .join(iDf, "cl")
       .withColumn("score", col("b0") * col("n_g") + col("sw"))
     val w = Window.partitionBy("doc_id")
