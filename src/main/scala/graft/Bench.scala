@@ -49,6 +49,7 @@ object Bench {
       graft.operators.Similarity.buildLshLayout(spark, sfDir)
       graft.operators.Similarity.buildIvfLayout(spark, sfDir)
       graft.operators.Similarity.buildIvfPqLayout(spark, sfDir)
+      graft.operators.Similarity.buildGraphLayout(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // fixed order + cache isolation so one query's cached/cached-adjacent

@@ -82,6 +82,10 @@ object PipelineScaleProbe {
     * timings, like the BerlinMOD load and the bench warm-up builds. */
   val annProbeQueries: Seq[String] = Seq(
     "ann_topk", "ann_lsh_bucketed", "ann_ivf_bucketed", "ann_ivfpq_bucketed",
+    // beam search over the write-time navigable graph (build untimed,
+    // like the other ANN layouts): the timed decades are the search —
+    // L bounded beam-expansion joins, candidate sets O(|Q|·W·M)
+    "ann_graph_search",
     "dedup_paragraph")
 
   /** Load-phase builds for [[annProbeQueries]] over `dir`. The in-memory
@@ -93,6 +97,7 @@ object PipelineScaleProbe {
     graft.operators.Similarity.buildLshLayout(spark, dir)
     graft.operators.Similarity.buildIvfLayout(spark, dir)
     graft.operators.Similarity.buildIvfPqLayout(spark, dir)
+    graft.operators.Similarity.buildGraphLayout(spark, dir)
   }
 
   /** `runMain graft.scale.PipelineScaleProbe <mult> [passes] [q1,q2,...]`
@@ -154,6 +159,8 @@ object PipelineScaleProbe {
       graft.operators.Similarity.buildIvfLayout(spark, dir)
     if (selQs.contains("ann_ivfpq_bucketed"))
       graft.operators.Similarity.buildIvfPqLayout(spark, dir)
+    if (selQs.contains("ann_graph_search"))
+      graft.operators.Similarity.buildGraphLayout(spark, dir)
     // same per-query task-metric attribution as the bench: the probe's
     // scale claims need spill/shuffle evidence, not just wall-clock
     val metrics = new graft.util.BenchMetricsListener

@@ -1180,6 +1180,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann_graph_search: well-formed ranks and recall@5 vs the exact " +
+       "brute force above the navigability floor") {
+    import graft.operators.Similarity
+    val g = Similarity.annGraphSearch(spark, d).collect()
+    val t = Similarity.annTopK(spark, d).collect()
+    // shape: 10 queries x ranks 1..5, cos within [-1, 1]
+    val byQ = g.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0))
+    }
+    // recall vs the exact top-5 (the audit brute force): the undirected
+    // 2-bit-probe graph measured 0.88 at sf0.01 / r10 — pin a floor
+    // well above the 0.66 the 1-bit directed build capped at
+    val gs = g.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ts = t.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (gs & ts).size.toDouble / ts.size
+    assert(recall >= 0.75, s"graph-search recall@5 $recall below floor")
+  }
+
   test("text_pmi: equals a pure-Scala PMI computation, ranked top-40") {
     val texts = Tables.documents(spark, d)
       .select("text").collect().map(_.getString(0))
