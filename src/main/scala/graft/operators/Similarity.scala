@@ -1231,7 +1231,13 @@ object Similarity {
     *    out-degree M = 8 over the denser 2-bit probe pool
     *    ([[probes2]]), made undirected — bucketed, output-sized
     *    exchanges, written once at ingest exactly as HNSW construction
-    *    is.
+    *    is. The gate keeps the FIXED 8-plane family (exact-oracle
+    *    parity), under which per-bucket population grows with the
+    *    corpus; a production build raises the plane count so buckets
+    *    track n (the [[buildLshLayout]] write-time pattern, decade-
+    *    proved there), which the hash family supports without changing
+    *    the search. Probe policy: auditAtBase (see
+    *    PipelineScaleProbe).
     *  - Search: entry set = the 16 lowest vec_ids; L = 3 unrolled
     *    rounds of: candidates = beam ∪ neighbors(beam), exact-cosine
     *    score, keep top-W = 8 per query by (round(cos,6) desc, id asc).
