@@ -137,7 +137,7 @@ object Multilingual {
           col("b.tok") === col("a.tok"))
       .groupBy(col("a.article_id").as("article_id"))
       .agg(count(lit(1)).as("n_int"))
-    stats
+    val out = stats
       .join(tcnt.withColumnRenamed("n_tok", "n_tok_a"), Seq("article_id"), "left")
       .join(tcnt.select((col("article_id") + 1).as("article_id"),
         col("n_tok").as("n_tok_b")), Seq("article_id"), "left")
@@ -148,6 +148,13 @@ object Multilingual {
           / (col("n_tok_a") + col("n_tok_b") - col("n_int")), 4)
           .as("jaccard_prev"))
       .orderBy("article_id")
+    // materialize the article-bounded result while `hashed` is cached,
+    // then release the cache (the pmiCollocations discipline — a
+    // long-lived session must not leak one cached paragraph table per
+    // invocation)
+    val rows = out.collect().toSeq
+    hashed.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   private val multilingualOracle: String = {

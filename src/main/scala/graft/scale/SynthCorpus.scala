@@ -148,9 +148,14 @@ object SynthCorpus {
     * probe-side fact scan, which is the part that scales. */
   def writeOrders(spark: SparkSession, nOrders: Long, outDir: String): Unit = {
     val parts = spark.sparkContext.defaultParallelism * 2
-    // U_cents solves nOrders * (U - 450000)/U = 3300
-    val upperCents =
-      (45000000.0 * nOrders / (nOrders - 3300.0)).toLong.max(45010000L)
+    // U_cents solves nOrders * (U - 450000)/U = 3300; the formula is
+    // always > 45000000 cents when the denominator is positive, so the
+    // only guard needed is tiny nOrders (≤ 3300 would flip the sign —
+    // fall back to half the orders qualifying, still ≤ 3300 keys).
+    // A fixed floor here would silently override the solve at large
+    // nOrders and break the constant-key-set invariant (r10 review).
+    val upperCents = (45000000.0 * nOrders /
+      math.max(nOrders - 3300.0, nOrders * 0.5)).toLong
     spark.range(0L, nOrders, 1L, parts)
       .select(
         col("id").as("o_orderkey"),

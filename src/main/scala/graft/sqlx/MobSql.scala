@@ -80,9 +80,15 @@ object MobSql {
       min(col(s"$boxCol.$f").cast("double")),
       max(col(s"$boxCol.$f").cast("double"))))
     val bounds = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    // empty table: min/max are null — any constant key is a correct
+    // layout for zero rows (matches the range path's no-op)
+    if (bounds.isNullAt(0)) return lit(0L)
     val lo = Array.tabulate(dims.length)(i => bounds.getDouble(2 * i))
     val hi = Array.tabulate(dims.length)(i => bounds.getDouble(2 * i + 1))
-    val bits = 63 / dims.length // 21 bits/dim at 3 dims
+    // 21 bits/dim at 3 dims; capped below 63 so `1L << bits` stays
+    // positive when a box type exposes a single min field (63/1 would
+    // be Long.MinValue and clamp every key to 0 — silently unclustered)
+    val bits = math.min(63 / dims.length, 21)
     val maxQ = (1L << bits) - 1
     val quantized = dims.zipWithIndex.map { case (f, di) =>
       val range = if (hi(di) > lo(di)) hi(di) - lo(di) else 1.0
