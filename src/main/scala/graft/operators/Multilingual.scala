@@ -148,13 +148,16 @@ object Multilingual {
           / (col("n_tok_a") + col("n_tok_b") - col("n_int")), 4)
           .as("jaccard_prev"))
       .orderBy("article_id")
-    // materialize the article-bounded result while `hashed` is cached,
-    // then release the cache (the pmiCollocations discipline — a
-    // long-lived session must not leak one cached paragraph table per
-    // invocation)
-    val rows = out.collect().toSeq
+    // materialize the result while `hashed` is cached, then release the
+    // cache (a long-lived session must not leak one cached paragraph
+    // table per invocation). localCheckpoint, NOT collect: the result is
+    // one row per ARTICLE — linear in corpus size — so a driver hop here
+    // would be the exact anti-pattern this entry's scale-shape claims
+    // forbid. Checkpointing materializes the partitions cluster-side and
+    // severs the lineage back to `hashed`, so the unpersist is safe.
+    val res = out.localCheckpoint(true)
     hashed.unpersist()
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    res
   }
 
   private val multilingualOracle: String = {
@@ -233,14 +236,22 @@ object Multilingual {
   private val trainedLang =
     new java.util.concurrent.ConcurrentHashMap[String, LangModel]()
 
+  /** Dir of the most recent [[langIdModel]] run — the dir whose model
+    * [[oracles]] must interpolate. Verify runs every query against ONE
+    * sfDir before dumping oracles, so "last trained" IS "the dir being
+    * dumped"; tracking it explicitly (instead of `values().findFirst()`)
+    * keeps the dump correct even when a test session trains two dirs. */
+  @volatile private var lastLangDir: String = null
+
   /** Deterministic in-repo fit (the [[Quality.fitClassifier]]
     * distillation precedent): character-trigram hash-gram frequencies
-    * (B=32 buckets via the parity hash) over the derived multilingual
-    * text, one-vs-rest logistic per language, plain full-batch GD (400
-    * iterations, lr 5.0, zero init, fixed accumulation order), weights
-    * quantized to 1e-6 so they interpolate into the DuckDB oracle
-    * exactly. The sample is BOUNDED (2 000 docs by hashed doc_id), so
-    * driver-side training cost is constant at any corpus size. */
+    * ([[B]] = 64 buckets via the md5-lower64 hash) over the derived
+    * multilingual text, one-vs-rest logistic per language, plain
+    * full-batch GD (1000 iterations, step = gradient/n, zero init, fixed
+    * accumulation order), weights quantized to 1e-6 so they interpolate
+    * into the DuckDB oracle exactly. The sample is BOUNDED (2 000 docs
+    * by hashed doc_id), so driver-side training cost is constant at any
+    * corpus size. */
   private[graft] def fitLangModel(s: SparkSession, d: String): LangModel = {
     val m = expr(mtextSql("text", "lang", decomposed = false))
     val sample = Tables.documents(s, d)
@@ -310,8 +321,11 @@ object Multilingual {
     LangModel(langs.toArray, wM, bM)
   }
 
-  private[graft] def langModel(s: SparkSession, d: String): LangModel =
-    trainedLang.computeIfAbsent(d, _ => fitLangModel(s, d))
+  private[graft] def langModel(s: SparkSession, d: String): LangModel = {
+    val m = trainedLang.computeIfAbsent(d, _ => fitLangModel(s, d))
+    lastLangDir = d
+    m
+  }
 
   /** `text_lang_id_model` gate entry: score every document with the
     * fitted hash-gram logistic model and emit the (pred, lang)
@@ -404,16 +418,13 @@ object Multilingual {
     "text_multilingual" -> (multilingualDedup _),
     "text_lang_id_model" -> (langIdModel _))
 
-  /** `def`, not `val`: the model oracle interpolates the weights
-    * learned by the session's [[langIdModel]] run (the driver always
-    * runs queries before dumping oracles — the IVF-codebook
-    * convention). The fallback for an unvisited dir trains on the
-    * gate's sf0.01 corpus. */
+  /** `def`, not `val`: the model oracle interpolates the weights learned
+    * by the session's [[langIdModel]] run against the dir it ran on (the
+    * driver always runs queries before dumping oracles — the IVF-codebook
+    * convention, which also OMITS the entry when untrained rather than
+    * dumping a degenerate model). */
   def oracles: Map[String, String] = Map(
-    "text_multilingual" -> multilingualOracle,
-    "text_lang_id_model" -> {
-      val mod = Option(trainedLang.values().stream().findFirst().orElse(null))
-        .getOrElse(LangModel(Array("en"), Array(Array.fill(B)(0L)), Array(0L)))
-      langIdModelOracle(mod)
-    })
+    "text_multilingual" -> multilingualOracle) ++
+    Option(lastLangDir).flatMap(d => Option(trainedLang.get(d)))
+      .map(m => "text_lang_id_model" -> langIdModelOracle(m)).toMap
 }

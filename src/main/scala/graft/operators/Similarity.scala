@@ -1238,9 +1238,13 @@ object Similarity {
     *    proved there), which the hash family supports without changing
     *    the search. Probe policy: auditAtBase (see
     *    PipelineScaleProbe).
-    *  - Search: entry set = the 16 lowest vec_ids; L = 3 unrolled
-    *    rounds of: candidates = beam ∪ neighbors(beam), exact-cosine
-    *    score, keep top-W = 8 per query by (round(cos,6) desc, id asc).
+    *  - Search: entry set = vec_id < [[GraphEntryBound]] (64); L =
+    *    [[GraphL]] (4) unrolled rounds of: candidates = beam ∪
+    *    neighbors(beam), exact-cosine score, keep top-W = [[GraphW]]
+    *    (16) per query by (round(cos,6) desc, id asc). The constants
+    *    are shared vals interpolated into BOTH the Spark plan and the
+    *    DuckDB oracle (the BloomJoinM discipline) so they cannot drift
+    *    one-sided.
     *    Each round's candidate set is ≤ |Q|·W·(M+1) rows — broadcast
     *    against the graph and the vector table, so the per-round joins
     *    are point-lookup-shaped, never corpus-shaped; at 100 TB the
@@ -1252,6 +1256,14 @@ object Similarity {
     * rounds, quantized tie-breaks), so DuckDB replays build + L rounds
     * as unrolled CTEs and must match bit-for-bit. Measured recall@5 vs
     * [[annTopK]]: 0.88 at sf0.01 (PipelineOpsSpec pins a floor). */
+  /** Shared navigable-graph constants — interpolated into the Spark
+    * plan AND the DuckDB oracle, which must stay in bit-for-bit
+    * lockstep. */
+  private val GraphM = 8          // out-degree of the neighbor graph
+  private val GraphW = 16         // beam width per round
+  private val GraphL = 4          // unrolled beam-expansion rounds
+  private val GraphEntryBound = 64 // entry set: vec_id < bound
+
   /** The navigable-graph edge build behind [[annGraphSearch]]:
     * out-degree-M knn edges from the 2-bit-probe candidate pool, made
     * UNDIRECTED (the NSW navigability trick — reverse links let the
@@ -1293,7 +1305,7 @@ object Similarity {
       else f.lastModified()
     val marker = new java.io.File(layout, "_SUCCESS")
     if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
-      graphEdges(s, d, 8)
+      graphEdges(s, d, GraphM)
         .write.mode("overwrite").parquet(layout.getPath)
     }
     layout
@@ -1301,7 +1313,7 @@ object Similarity {
 
   def annGraphSearch(s: SparkSession, d: String): DataFrame = {
     reg(s)
-    val M = 8; val W = 16; val L = 4
+    val W = GraphW; val L = GraphL
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -1323,7 +1335,7 @@ object Similarity {
         .select("query_id", "vec_id", "cos")
     }
     val entry = q.select(col("query_id"))
-      .crossJoin(e.filter(col("vec_id") < 64).select(col("vec_id")))
+      .crossJoin(e.filter(col("vec_id") < GraphEntryBound).select(col("vec_id")))
     var beam = topW(score(entry))
     for (_ <- 1 to L) {
       val expand = beam.select(col("query_id"), col("vec_id").as("src"))
@@ -1923,7 +1935,7 @@ object Similarity {
            SELECT query_id, vec_id, cos FROM (
              SELECT s$i.*, row_number() OVER (PARTITION BY query_id
                ORDER BY round(cos, 6) DESC, vec_id ASC) AS rk FROM s$i)
-           WHERE rk <= 16)"""
+           WHERE rk <= $GraphW)"""
       }
       def candCte(i: Int): String =
         s"""c$i AS (
@@ -1932,7 +1944,7 @@ object Similarity {
              UNION ALL
              SELECT p.query_id, g.dst AS vec_id
              FROM b${i - 1} p JOIN gedges g ON g.src = p.vec_id))"""
-      val rounds = (roundCtes(0) +: (1 to 4).flatMap(i =>
+      val rounds = (roundCtes(0) +: (1 to GraphL).flatMap(i =>
         Seq(candCte(i), roundCtes(i)))).mkString(",\n         ")
       val sqlProbes2 =
         "[bkt, " + flips2.map(m => s"xor(bkt,$m)").mkString(", ") + "]"
@@ -1951,21 +1963,21 @@ object Similarity {
          gedges AS (
            SELECT DISTINCT src, dst FROM (
              SELECT query_id AS src, neighbor_id AS dst
-             FROM granked WHERE rank <= 8
+             FROM granked WHERE rank <= $GraphM
              UNION ALL
              SELECT neighbor_id AS src, query_id AS dst
-             FROM granked WHERE rank <= 8)),
+             FROM granked WHERE rank <= $GraphM)),
          qq AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM b
                 WHERE vec_id IN (${queryIds.mkString(", ")})),
          entry AS (SELECT qq.query_id, e.vec_id
-                   FROM qq CROSS JOIN emb e WHERE e.vec_id < 64),
+                   FROM qq CROSS JOIN emb e WHERE e.vec_id < $GraphEntryBound),
          $rounds
          SELECT query_id, rk AS rank, vec_id AS neighbor_id,
            round(cos, 5) AS cos
          FROM (
-           SELECT b4.*, CAST(row_number() OVER (PARTITION BY query_id
+           SELECT b$GraphL.*, CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rk
-           FROM b4)
+           FROM b$GraphL)
          WHERE rk <= 5 ORDER BY query_id, rank"""
     },
     "emb_pagerank" -> pagerankOracle,
