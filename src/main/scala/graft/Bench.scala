@@ -50,6 +50,7 @@ object Bench {
       graft.operators.Similarity.buildIvfLayout(spark, sfDir)
       graft.operators.Similarity.buildIvfPqLayout(spark, sfDir)
       graft.operators.Similarity.buildGraphLayout(spark, sfDir)
+      graft.operators.Similarity.buildHnswLayout(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // fixed order + cache isolation so one query's cached/cached-adjacent

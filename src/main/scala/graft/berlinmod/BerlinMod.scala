@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Interp, SpanL, SpanSetAlg, TextIO, TNumAlg, TPoint, TPointAlg}
 import graft.functions.GraftFunctions
 
 /** The BerlinMOD mobility workload end-to-end: deterministic synthetic
@@ -79,52 +78,12 @@ object BerlinMod {
   case class TripPoint(TripId: Int, VehicleId: Int, PosX: Double, PosY: Double,
                        t: java.sql.Timestamp)
 
-  /** A single linear motion segment as a 2-instant TPoint. `seg` layout:
-    * (x1, y1, t1micros, x2, y2, t2micros) — micros-as-double is exact
-    * (|t| < 2^53). Reusing TPointAlg on these keeps the segment-level
-    * pair queries numerically IDENTICAL to the trip-level solvers. */
-  private def segTPoint(a: Array[Double]): TPoint = {
-    val t1 = a(2).toLong; val t2 = a(5).toLong
-    if (t2 > t1)
-      TPointAlg.sequence(Array(a(0), a(3)), Array(a(1), a(4)), Array(t1, t2),
-        Interp.Linear)
-    else TPointAlg.instant(a(0), a(1), t1)
-  }
-
-  private val segUdfsRegistered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  /** Segment-pair UDFs for the trip-pair queries (q6/q10/q16): each takes
-    * two packed segments and runs the same eDwithin/aDisjoint/tDwithin
-    * quadratic solvers the trip-level functions use (TPoint.scala), so a
-    * trip-pair predicate decomposes exactly into EXISTS/FORALL over its
-    * time-overlapping segment pairs. */
-  private def registerSegUdfs(spark: SparkSession): Unit = {
-    if (segUdfsRegistered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
-    spark.udf.register("seg_edwithin",
-      (a: Array[Double], b: Array[Double], d: Double) =>
-        TPointAlg.eDwithin(segTPoint(a), segTPoint(b), d))
-    spark.udf.register("seg_touches",
-      (a: Array[Double], b: Array[Double]) =>
-        !TPointAlg.aDisjoint(segTPoint(a), segTPoint(b)))
-    spark.udf.register("seg_dwithin_spans",
-      (a: Array[Double], b: Array[Double], d: Double) =>
-        TPointAlg.tDwithin(segTPoint(a), segTPoint(b), d) match {
-          case Some(tb) =>
-            val spans = TNumAlg.whenTrue(tb)
-            if (spans.isEmpty) null
-            else spans.flatMap(s => Array(s.lower, s.upper))
-          case None => null
-        })
-    spark.udf.register("pair_spanset_text",
-      (sps: Seq[Seq[Long]]) => {
-        val spans = sps.flatMap(_.grouped(2).map(p =>
-          SpanL(p(0), p(1), lowerInc = true, upperInc = true))).toArray
-        if (spans.isEmpty) null
-        else TextIO.printSpanSetL(SpanSetAlg.normalize(spans), TextIO.DomTs)
-      })
-  }
+  // Segment-pair predicates for the trip-pair queries (q6/q10/q16) are
+  // native codegen kernels since r11 — see
+  // [[graft.functions.SegKernels]] (same eDwithin/aDisjoint/tDwithin
+  // quadratic solvers the trip-level functions use, so a trip-pair
+  // predicate decomposes exactly into EXISTS/FORALL over its
+  // time-overlapping segment pairs; registered by GraftFunctions).
 
   /** Generate and register the BerlinMOD tables as temp views. Returns
     * the number of trips. */
@@ -133,7 +92,6 @@ object BerlinMod {
            ptsMin: Int = 10, ptsMax: Int = 50,
            cellSizeOverride: Option[Double] = None): Int = {
     GraftFunctions.register(spark)
-    registerSegUdfs(spark)
     val rng = new Rng(seed)
     val base = 1577836800000000L // 2020-01-01 UTC micros
 

@@ -30,7 +30,14 @@ object BmScaleProbe {
     spark.sql("SELECT * FROM SegCells").count()
     val nSegTime = spark.sql("SELECT * FROM SegTime").count()
     val loadSec = (System.nanoTime() - tL0) / 1e9
-    val wanted = Set("q6", "q10", "q16", "q17")
+    // q5/q12 joined the wanted set in r11 (r10 verdict #4): they are the
+    // reference's two slowest published queries (389 s / 266 s brussels,
+    // BASELINE.md) and previously had no decade evidence. q5 is
+    // licence-view-bounded (10x10 pairs of collected multipoints — cost
+    // grows with points per licence, not fleet^2); q12 is an equi-join
+    // on (PointId, InstantId) whose candidate mass follows the
+    // bbox-hit count (~linear in fleet at fixed area).
+    val wanted = Set("q5", "q6", "q10", "q12", "q16", "q17")
     val times = (for (_ <- 1 to passes) yield {
       BerlinMod.queries(spark).filter(p => wanted(p._1)).map { case (n, df) =>
         val t0 = System.nanoTime()

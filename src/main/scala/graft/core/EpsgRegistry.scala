@@ -658,10 +658,50 @@ object EpsgRegistry {
       case z if z >= 28348 && z <= 28358 =>
         CrsDef(DatumGrs80, TmercProj(Grs80, 0.0, (z - 28300) * 6 - 183, 0.9996,
           500000.0, 10000000.0))
+      // WGS84 / UTM north 1-60 and south 1-60 — registry-side twins of
+      // the Crs.transform special-case path (same etmerc kernel, so
+      // they agree to the nanometer; having them HERE makes every UTM
+      // code a transformBetween pivot and a forward/inverse citizen)
+      case z if z >= 32601 && z <= 32660 =>
+        CrsDef(DatumWgs84, TmercProj(Wgs84, 0.0, (z - 32600) * 6 - 183,
+          0.9996, 500000.0, 0.0))
+      case z if z >= 32701 && z <= 32760 =>
+        CrsDef(DatumWgs84, TmercProj(Wgs84, 0.0, (z - 32700) * 6 - 183,
+          0.9996, 500000.0, 10000000.0))
+      // GDA2020 / MGA zones 46-58: identical grid to GDA94 / MGA (the
+      // ~1.8 m plate-motion datum difference is below the no-grid
+      // Helmert accuracy class both are served at — see DatumGrs80 note)
+      case z if z >= 7846 && z <= 7858 =>
+        CrsDef(DatumGrs80, TmercProj(Grs80, 0.0, (z - 7800) * 6 - 183,
+          0.9996, 500000.0, 10000000.0))
       // NAD83 / UTM north zones 1-23
       case z if z >= 26901 && z <= 26923 =>
         CrsDef(DatumGrs80, TmercProj(Grs80, 0.0, (z - 26900) * 6 - 183, 0.9996,
           500000.0, 0.0))
+      // NAD83 State Plane (meter-based SPCS83 codes) — the LCC-2SP tier
+      // real US users hit first. Parameters are the published SPCS83
+      // defining constants; the false origin (lon0, lat0) -> (FE, FN)
+      // identity is exact by construction and pinned in CrsRegistrySpec.
+      case 26943 => CrsDef(DatumGrs80, Lcc2SPProj(Grs80, // California zone 3
+        38.43333333333333, 37.06666666666667, 36.5, -120.5,
+        2000000.0, 500000.0))
+      case 26954 => CrsDef(DatumGrs80, Lcc2SPProj(Grs80, // Colorado Central
+        39.75, 38.45, 37.833333333333336, -105.5,
+        914401.8288036576, 304800.6096012192))
+      case 26986 => CrsDef(DatumGrs80, Lcc2SPProj(Grs80, // Massachusetts Mainland
+        42.68333333333333, 41.71666666666667, 41.0, -71.5,
+        200000.0, 750000.0))
+      case 32118 => CrsDef(DatumGrs80, Lcc2SPProj(Grs80, // New York Long Island
+        41.03333333333333, 40.666666666666664, 40.166666666666664, -74.0,
+        300000.0, 0.0))
+      // NAD83 State Plane TM tier — Arizona East/Central/West (meters,
+      // k0 = 0.9999, FE = 213360 m = 700000 international feet)
+      case 26948 => CrsDef(DatumGrs80,
+        TmercProj(Grs80, 31.0, -110.16666666666667, 0.9999, 213360.0, 0.0))
+      case 26949 => CrsDef(DatumGrs80,
+        TmercProj(Grs80, 31.0, -111.91666666666667, 0.9999, 213360.0, 0.0))
+      case 26950 => CrsDef(DatumGrs80,
+        TmercProj(Grs80, 31.0, -113.75, 0.9999, 213360.0, 0.0))
       // NAD27 / UTM north zones 3-22
       case z if z >= 26703 && z <= 26722 =>
         CrsDef(DatumNad27, TmercProj(Clarke1866, 0.0, (z - 26700) * 6 - 183,

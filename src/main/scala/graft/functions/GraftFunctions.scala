@@ -90,6 +90,18 @@ object GraftFunctions {
       (e: Seq[Expression]) => VecNearestCell(e(0), e(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_probe_cells",
       (e: Seq[Expression]) => VecProbeCells(e(0), e(1), e(2)), "built-in")
+    // segment-pair kernels (BerlinMOD q6/q10/q16 hot path — former
+    // ScalaUDFs, see SegExprs)
+    registry.createOrReplaceTempFunction("seg_edwithin",
+      (e: Seq[Expression]) => SegEDwithin(e(0), e(1), e(2)), "built-in")
+    registry.createOrReplaceTempFunction("seg_touches",
+      (e: Seq[Expression]) => SegTouches(e(0), e(1)), "built-in")
+    registry.createOrReplaceTempFunction("seg_dwithin_spans",
+      (e: Seq[Expression]) => SegDwithinSpans(e(0), e(1), e(2)), "built-in")
+    registry.createOrReplaceTempFunction("pair_spanset_text",
+      (e: Seq[Expression]) => PairSpansetText(e(0)), "built-in")
+    registry.createOrReplaceTempFunction("hilbert_key",
+      (e: Seq[Expression]) => HilbertKey(e(0), e(1)), "built-in")
     // Unicode canonicalization (DuckDB-compatible names/semantics)
     registry.createOrReplaceTempFunction("nfc_normalize",
       (e: Seq[Expression]) => UnicodeNormalize(e(0), "NFC"), "built-in")

@@ -340,7 +340,18 @@ object Multilingual {
     * a per-(doc, candidate) partial+final aggregate — the same
     * one-scan-zero-driver profile as text_quality_classifier, with
     * training bounded by the fixed sample. */
-  def langIdModel(s: SparkSession, d: String): DataFrame = {
+  def langIdModel(s: SparkSession, d: String): DataFrame =
+    langIdConfusion(s, d, heldOutOnly = false)
+
+  /** Confusion matrix of the trained model — over the full corpus (the
+    * gate entry) or, with `heldOutOnly`, over only the docs OUTSIDE the
+    * 2000-doc training sample: the held-out evaluation MultilingualSpec
+    * pins (learning vs memorization — r10 verdict #7). The held-out
+    * split re-derives the training sample's id set (lowest 2000 by
+    * hashed doc_id, exactly [[fitLangModel]]'s rule) and anti-joins it
+    * away. */
+  private[graft] def langIdConfusion(s: SparkSession, d: String,
+                                     heldOutOnly: Boolean): DataFrame = {
     val mod = langModel(s, d)
     import s.implicits._
     val wDf = broadcast(
@@ -356,7 +367,20 @@ object Multilingual {
     // row's whole cost — spread the tiny doc table first so the expand
     // runs on every core (at 100 TB the scan has real splits and this
     // exchange is dropped, not resized)
-    val grams = Tables.documents(s, d)
+    val base0 = Tables.documents(s, d)
+    val base =
+      if (!heldOutOnly) base0
+      else {
+        // alias the id before the self-anti-join: joining a frame with
+        // its own derived LIMIT on the SAME attribute makes the join
+        // condition resolve both sides to one attribute (trivially true
+        // — every row anti-removed, observed as a 0-row held-out split)
+        val trained = base0.select(col("doc_id").as("train_id"))
+          .withColumn("hk", xxhash64(col("train_id")))
+          .orderBy("hk").limit(2000).select("train_id")
+        base0.join(trained, col("doc_id") === col("train_id"), "left_anti")
+      }
+    val grams = base
       .select(col("doc_id"), col("lang"), m.as("m"))
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), explode(expr(

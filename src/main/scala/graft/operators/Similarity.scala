@@ -45,14 +45,22 @@ object Similarity {
     rankedTopK(scored, 5)
   }
 
-  /** 8 deterministic pseudo-random hyperplanes (splitmix64 stream). */
-  private val planes: Array[Array[Double]] = Array.tabulate(8) { p =>
-    var x = 0x9E3779B97F4A7C15L * (p + 1)
-    Array.fill(64) {
-      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-      ((x * 0x2545F4914F6CDD1DL) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  /** Deterministic pseudo-random hyperplanes (splitmix64 stream),
+    * generalized to any plane count: plane p is a function of p alone,
+    * so `planesN(k)` is a PREFIX of `planesN(k')` for k < k' — a scaled
+    * family extends the fixed 8-plane gate family rather than replacing
+    * it. */
+  private def planesN(count: Int): Array[Array[Double]] =
+    Array.tabulate(count) { p =>
+      var x = 0x9E3779B97F4A7C15L * (p + 1)
+      Array.fill(64) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        ((x * 0x2545F4914F6CDD1DL) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
     }
-  }
+
+  /** The fixed 8-plane gate family (256 buckets). */
+  private val planes: Array[Array[Double]] = planesN(8)
 
   /** Sign-LSH bucket id (8-bit) of a vector: 8 plane dot products via the
     * native vec_dot kernel, sign bits OR'd — pure codegen'd expressions,
@@ -1311,19 +1319,31 @@ object Similarity {
     layout
   }
 
-  def annGraphSearch(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val W = GraphW; val L = GraphL
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val layout = buildGraphLayout(s, d)
-    val edges = s.read.parquet(layout.getPath)
+  /** The width-[[GraphW]] / [[GraphL]]-round beam search over an
+    * arbitrary (src, dst) neighbor graph — shared by the fixed-family
+    * gate entry and the n-scaled production build. `e` is the
+    * (vec_id, v, n) corpus frame; the beam/candidate frames stay
+    * |Q|-bounded throughout, so every join here is point-lookup-shaped
+    * regardless of corpus size. */
+  private def beamSearch(e: DataFrame, edges: DataFrame): DataFrame =
+    beamSearchAudited(e, edges)._1
+
+  /** [[beamSearch]] plus its audit frame: the DISTINCT (query_id,
+    * vec_id) pairs the search scored across all rounds — the
+    * scored-candidate budget the hierarchical variant must beat at equal
+    * beam width (PipelineOpsSpec). `rounds` widens the unrolled loop;
+    * `extraEntry` unions per-query seed rows into the fixed entry set
+    * (the scaled variant's quantizer seeding — see [[annGraphScaled]]). */
+  private[graft] def beamSearchAudited(
+      e: DataFrame, edges: DataFrame,
+      rounds: Int = GraphL,
+      extraEntry: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val W = GraphW; val L = rounds
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n").as("qn"))
     def score(cand: DataFrame): DataFrame = cand
-      .join(e, Seq("vec_id"))
+      .join(e.select("vec_id", "v", "n"), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
@@ -1334,28 +1354,368 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= W)
         .select("query_id", "vec_id", "cos")
     }
-    val entry = q.select(col("query_id"))
+    val entry0 = q.select(col("query_id"))
       .crossJoin(e.filter(col("vec_id") < GraphEntryBound).select(col("vec_id")))
-    var beam = topW(score(entry))
+    val entry = extraEntry
+      .map(x => entry0.unionByName(x).distinct())
+      .getOrElse(entry0)
+    var scoredSets = Seq(entry.select("query_id", "vec_id"))
+    // the beam is referenced twice per round (cand = beam ∪ neighbors,
+    // then re-rank): checkpoint the |Q|·W-row beam each round or the
+    // lineage doubles per round (2^L recompute at the scaled L)
+    var beam = topW(score(entry)).localCheckpoint(true)
     for (_ <- 1 to L) {
       val expand = beam.select(col("query_id"), col("vec_id").as("src"))
         .join(edges, Seq("src"))
         .select(col("query_id"), col("dst").as("vec_id"))
       val cand = beam.select("query_id", "vec_id")
         .unionByName(expand).distinct()
-      beam = topW(score(cand))
+      scoredSets :+= cand
+      beam = topW(score(cand)).localCheckpoint(true)
     }
     val w5 = Window.partitionBy("query_id")
       .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    beam.withColumn("rank", row_number().over(w5).cast("int"))
+    val res = beam.withColumn("rank", row_number().over(w5).cast("int"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 5).as("cos"))
       .orderBy("query_id", "rank")
+    (res, scoredSets.reduce(_ unionByName _).distinct())
+  }
+
+  def annGraphSearch(s: SparkSession, d: String): DataFrame =
+    annGraphSearchAudited(s, d)._1
+
+  private[graft] def annGraphSearchAudited(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    reg(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val layout = buildGraphLayout(s, d)
+    beamSearchAudited(e, s.read.parquet(layout.getPath))
+  }
+
+  // ---- n-scaled production graph build (r10 verdict #2) ------------------
+
+  /** Target bucket population for the scaled build's hash family. */
+  private val GraphTargetBucket = 64
+
+  /** Per-bucket candidate cap for the scaled build. The plane count
+    * holds the MEAN bucket near [[GraphTargetBucket]], but real corpora
+    * are clustered (near-duplicate embeddings share every sign bit —
+    * measured: the synthetic corpus at 500k vectors put 6 205 candidates
+    * per vector through a mean-64 family), so the bound must hold by
+    * CONSTRUCTION, not by expectation: each bucket contributes at most
+    * its [[GraphBuildCap]] lowest-vec_id members as candidates, making
+    * candidates/vector ≤ cap·(P+1) under ANY skew. vec_id order (not a
+    * hash) keeps the sample aligned with the id-ascending tie-break the
+    * exact top-k uses, so cos-tied duplicate clusters resolve to the
+    * same representatives. */
+  private val GraphBuildCap = 32
+
+  /** Plane count that tracks the corpus: P = max(8, ceil(log2(n/T)))
+    * holds per-bucket population ≈ [[GraphTargetBucket]] at any n, so
+    * candidate volume per vector is ≈ T·(P+1) — bounded by a LOG of the
+    * corpus size, where the fixed 8-plane gate family grows linearly
+    * ([[PipelineScaleProbe]] auditAtBase note: ~36B candidate pairs at
+    * 500k vectors; this build measures ~450M there). */
+  private[graft] def scaledPlaneCount(n: Long): Int =
+    math.max(8, math.ceil(
+      math.log(math.max(n, 1).toDouble / GraphTargetBucket) / math.log(2.0)
+    ).toInt)
+
+  /** P-plane sign bucket (codegen'd — plane literals + vec_dot). */
+  private def bucketN(v: Column, pl: Array[Array[Double]]): Column =
+    pl.indices.map { p =>
+      when(dot(v, typedLit(pl(p).toSeq)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Query bucket + its P 1-bit flips (the scaled family's probe set:
+    * 2-bit flips would square the probe count as P grows — the scaled
+    * build keeps P+1 probes and buys recall back with bucket granularity
+    * that TRACKS n instead). */
+  private def probes1N(b: Column, p: Int): Column =
+    array(b +: (0 until p).map(i => b.bitwiseXOR(lit(1 << i))): _*)
+
+  /** Recorded plane count per dataset dir — the [[trainedCodebooks]]
+    * convention: the oracle must interpolate the exact plane family the
+    * query derived from the corpus count. */
+  private val scaledGraphP =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  @volatile private var lastScaledDir: String = null
+
+  private def scaledPFor(s: SparkSession, d: String): Int = {
+    val p = scaledGraphP.computeIfAbsent(d,
+      _ => scaledPlaneCount(Tables.embeddings(s, d).count()))
+    lastScaledDir = d
+    p
+  }
+
+  /** The production navigable-graph BUILD: out-degree-[[GraphM]] knn
+    * edges from an n-SCALED sign-LSH candidate pool. Plan shape: one
+    * bucket-keyed shuffle of (P+1) ids+vector probe rows per vector
+    * (≈ n·(P+1) rows — linear in n with a log-n factor), candidates
+    * scored inside the joined stage by the native kernel, and the
+    * per-vector top-M taken by the BOUNDED [[TopKOrdered]] partial+final
+    * aggregate — the scored pair stream is never shuffled. Undirected
+    * closure is one ids-only exchange of n·M edges. This is the build
+    * the fixed-family gate variant's auditAtBase note promises: candidate
+    * volume per vector ≈ T·(P+1) stays ~constant-per-vector across
+    * decades (measured rows in SURVEY §8), where the fixed family's
+    * grows linearly. */
+  private def graphEdgesScaled(s: SparkSession, d: String): DataFrame = {
+    val p = scaledPFor(s, d)
+    val pl = planesN(p)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val eb = e.withColumn("bkt", bucketN(col("v"), pl))
+    // candidate side: at most GraphBuildCap lowest-id members per bucket
+    // (the skew-proof bound — see the GraphBuildCap scaladoc)
+    val capped = eb
+      .withColumn("brk", row_number().over(
+        Window.partitionBy("bkt").orderBy(col("vec_id").asc)))
+      .filter(col("brk") <= GraphBuildCap)
+      .drop("brk")
+    val qside = eb.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("n").as("qn"), explode(probes1N(col("bkt"), p)).as("bkt"))
+    val fwd = rankedTopK(
+      capped.join(qside, Seq("bkt"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn"))),
+      GraphM)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** `ann_graph_scaled` gate entry: the n-scaled BUILD (unconditional —
+    * the build IS what this entry times and proves; no layout cache, so
+    * every timed row measures construction, not a warm read) followed
+    * by the [[beamSearchAudited]] walk seeded from the query's own
+    * quantizer buckets (see the body comment). Exact oracle: the plane
+    * family is deterministic given the corpus count, recorded per-dir
+    * and interpolated ([[trainedCodebooks]] convention); at both gate
+    * SFs P = 8, so the family equals the gate family and only the
+    * probe set (1-bit vs 2-bit), the candidate cap, and the seeding
+    * differ. */
+  def annGraphScaled(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val p = scaledPFor(s, d)
+    val pl = planesN(p)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    // quantizer-seeded entry (the coarse-quantizer-seeds-the-graph-walk
+    // hybrid, the DiskANN/SPANN shape): each query's beam starts at the
+    // capped members of its own bucket and its P 1-bit-flip probes, in
+    // addition to the fixed global set, so the walk begins inside the
+    // right neighborhood instead of having to traverse there — a
+    // fixed-entry beam cannot cross a log-n-diameter graph (measured
+    // recall@5 at 500k vectors: 0.34 unseeded at L = 4, 0.36 unseeded
+    // even at L = P = 13 rounds, 0.52 own-bucket-seeded, 0.72 with the
+    // probe seeding below; the gate's exact-oracle twin of this number
+    // is the row itself). Per-query entry work is ≤ GraphEntryBound +
+    // GraphBuildCap·(P+1) rows — corpus-size-independent.
+    val eb = e.withColumn("bkt", bucketN(col("v"), pl))
+    val capped = eb
+      .withColumn("brk", row_number().over(
+        Window.partitionBy("bkt").orderBy(col("vec_id").asc)))
+      .filter(col("brk") <= GraphBuildCap)
+    val seed = eb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        explode(probes1N(col("bkt"), p)).as("bkt"))
+      .join(capped.select(col("vec_id"), col("bkt")), Seq("bkt"))
+      .select("query_id", "vec_id")
+    beamSearchAudited(e, graphEdgesScaled(s, d), extraEntry = Some(seed))._1
+  }
+
+  /** `ann_graph_scaled_stats` gate entry: the bounded-candidates
+    * EVIDENCE row — (n_vec, n_planes, cap, n_cand_pairs, cand_per_vec)
+    * for the scaled build's capped candidate generator, computed in
+    * CLOSED FORM from the bucket histogram (pairs into bucket b =
+    * min(pop_b, cap) candidates × probes targeting b, minus each capped
+    * member's own-bucket self match) — two bucket-shaped aggregates and
+    * a bucket-keyed join, NO pair materialization, so the decade rows
+    * cost ~a corpus scan at any n while proving candidates/vector stays
+    * ≤ cap·(P+1) under the measured skew. */
+  def annGraphScaledStats(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val p = scaledPFor(s, d)
+    val pl = planesN(p)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), bucketN(col("v"), pl).as("bkt"))
+    val pop = b.groupBy("bkt").agg(count(lit(1)).as("pop"))
+    val phits = b.select(explode(probes1N(col("bkt"), p)).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("ph"))
+    val capped = least(col("pop"), lit(GraphBuildCap.toLong))
+    pop.join(phits, Seq("bkt"))
+      .agg(sum(capped * col("ph") - capped).as("n_cand_pairs"))
+      .crossJoin(b.agg(count(lit(1)).as("n_vec")))
+      .select(col("n_vec"), lit(p).as("n_planes"),
+        lit(GraphBuildCap).as("cap"), col("n_cand_pairs"),
+        round(col("n_cand_pairs").cast("double") / col("n_vec"), 2)
+          .as("cand_per_vec"))
+  }
+
+  // ---- deterministic hierarchical HNSW (r10 verdict #3) ------------------
+
+  /** Layer cap, upper-layer beam width, and rounds-per-upper-layer. */
+  private val HnswLCap = 4
+  private val HnswWUp = 4
+  private val HnswRUp = 2
+
+  /** Deterministic HNSW layer assignment: `level = min(trailing_zeros(
+    * md5_lower64(vec_id)), cap)` — the geometric(1/2) level distribution
+    * HNSW draws from an RNG, made REPLAYABLE (an RNG level could never
+    * be oracled; this one is a pure function of vec_id both engines
+    * compute identically). trailing_zeros(h) = bit_count((h & -h) - 1),
+    * with h = 0 mapping to 64 and the cap clamping it. */
+  private def levelExpr: Column =
+    least(expr("bit_count((lvh & -lvh) - 1)"), lit(HnswLCap)).cast("int")
+
+  private def withLevel(e: DataFrame): DataFrame = e
+    .withColumn("lvx", md5(col("vec_id").cast("string")))
+    .withColumn("lvh", graft.util.Md5Lower64.of("lvx"))
+    .withColumn("lev", levelExpr)
+    .drop("lvx", "lvh")
+
+  /** Per-layer navigable edges: layer l contains the vectors with
+    * level >= l; its edge set is the [[graphEdges]] construction (2-bit
+    * probe pool, top-[[GraphM]], undirected) restricted to members.
+    * Build cost sums to < 2x the layer-0 build (layer sizes halve). */
+  private def hnswEdges(s: SparkSession, d: String): DataFrame = {
+    val e = withLevel(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v")))))
+    (0 to HnswLCap).map { l =>
+      val eb = e.filter(col("lev") >= l)
+        .withColumn("bkt", bucket(col("v")))
+      val qside = eb.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"), explode(probes2(col("bkt"))).as("bkt"))
+      val fwd = rankedTopK(
+        eb.join(qside, Seq("bkt"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            dot(col("v"), col("qv")) / (col("n") * col("qn"))),
+        GraphM)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .select(lit(l).as("lay"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Write-time HNSW layout (ingest work, like [[buildGraphLayout]]). */
+  def buildHnswLayout(s: SparkSession, d: String): java.io.File = {
+    reg(s)
+    val src = new java.io.File(d).getCanonicalFile
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    val layout = new java.io.File(
+      s"target/ann_hnsw_${src.getName}_$fp").getAbsoluteFile
+    val srcFile = new java.io.File(src, "embeddings.parquet")
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
+    val marker = new java.io.File(layout, "_SUCCESS")
+    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+      hnswEdges(s, d).write.mode("overwrite").parquet(layout.getPath)
+    }
+    layout
+  }
+
+  /** `ann_hnsw` gate entry — hierarchical navigable-graph search with
+    * DETERMINISTIC layers (the multi-layer variant the single-layer NSW
+    * entry [[annGraphSearch]] stands in for): entry is the single
+    * (level desc, vec_id asc) apex node instead of the fixed
+    * [[GraphEntryBound]]-node set; each upper layer l = LCap..1 runs
+    * [[HnswRUp]] beam rounds at width [[HnswWUp]] over that layer's
+    * edges (the logarithmic descent — ref counterpart: the R-tree's
+    * level descent, src/index/rtree_module.cpp:49); layer 0 then runs
+    * the same [[GraphW]]/[[GraphL]] beam the NSW entry runs, seeded by
+    * the descent instead of 64 fixed entries. Equal layer-0 beam width,
+    * FEWER distinct scored candidates (PipelineOpsSpec pins both that
+    * and a recall floor). Exact oracle: every piece — levels, per-layer
+    * edges, descent, tie-breaks — is deterministic and unrolled into
+    * CTEs. */
+  def annHnsw(s: SparkSession, d: String): DataFrame =
+    annHnswAudited(s, d)._1
+
+  private[graft] def annHnswAudited(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    reg(s)
+    val e = withLevel(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v")))))
+    val edges = s.read.parquet(buildHnswLayout(s, d).getPath)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"))
+    // descent scoring does NOT exclude the query itself: the apex (or a
+    // beam node) may BE the query, and its neighborhood is exactly where
+    // the search should go — self is dropped only from the final ranking
+    // (where the NSW entry never hits this: its entry set has 64 nodes)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select("vec_id", "v", "n"), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+      .select("query_id", "vec_id", "cos")
+    def topW(scored: DataFrame, w0: Int): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= w0)
+        .select("query_id", "vec_id", "cos")
+    }
+    def expandWith(beam: DataFrame, lay: Int): DataFrame = {
+      val ed = edges.filter(col("lay") === lay).select("src", "dst")
+      beam.select("query_id", "vec_id")
+        .unionByName(beam.select(col("query_id"), col("vec_id").as("src"))
+          .join(ed, Seq("src"))
+          .select(col("query_id"), col("dst").as("vec_id")))
+        .distinct()
+    }
+    // apex entry: the single (level desc, vec_id asc) node — the HNSW
+    // top-of-hierarchy start, deterministic and never empty
+    val apex = e.orderBy(col("lev").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"))
+    val entry = q.select(col("query_id")).crossJoin(apex)
+    var scoredSets = Seq(entry)
+    // each round references the beam TWICE (cand = beam ∪ neighbors,
+    // then re-rank), so an unmaterialized 12-round descent doubles its
+    // lineage per round (~2^12 recompute). The beam is |Q|·W rows —
+    // checkpoint it each round; values are unchanged (the oracle needs
+    // the VALUES deterministic, not the physical plan)
+    var beam = topW(score(entry), HnswWUp).localCheckpoint(true)
+    for (l <- HnswLCap to 1 by -1; _ <- 1 to HnswRUp) {
+      val cand = expandWith(beam, l)
+      scoredSets :+= cand
+      beam = topW(score(cand), HnswWUp).localCheckpoint(true)
+    }
+    for (_ <- 1 to GraphL) {
+      val cand = expandWith(beam, 0)
+      scoredSets :+= cand
+      beam = topW(score(cand), GraphW).localCheckpoint(true)
+    }
+    val w5 = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    val res = beam.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w5).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+    (res, scoredSets.reduce(_ unionByName _).distinct())
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> (annGraphSearch _),
+    "ann_graph_scaled" -> (annGraphScaled _),
+    "ann_graph_scaled_stats" -> (annGraphScaledStats _),
+    "ann_hnsw" -> (annHnsw _),
     "emb_kcenter" -> (embKcenter _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pagerank" -> (embPagerank _),
@@ -1670,6 +2030,236 @@ object Similarity {
                ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
            FROM scored)"""
 
+  /** Edge-build CTEs shared by the graph-ANN oracles: requires prior
+    * CTEs `gq` (query_id, qv, qn, bkt — the probe-exploded side, whose
+    * probe set is what differs between the fixed-family and scaled
+    * variants) and a candidate-side CTE (`b` for the uncapped gate
+    * family, `bc` for the scaled build's per-bucket cap) with
+    * (vec_id, v, n, bkt). Emits `gedges` (src, dst): top-[[GraphM]] by
+    * (round(cos,6) desc, id asc), made undirected. */
+  private def graphEdgeCtes(candSide: String = "b"): String =
+    s"""gscored AS (
+           SELECT gq.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.v, gq.qv) / (e.n * gq.qn) AS cos
+           FROM $candSide e JOIN gq ON e.bkt = gq.bkt
+             AND e.vec_id <> gq.query_id),
+         granked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+           FROM gscored),
+         gedges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT query_id AS src, neighbor_id AS dst
+             FROM granked WHERE rank <= $GraphM
+             UNION ALL
+             SELECT neighbor_id AS src, query_id AS dst
+             FROM granked WHERE rank <= $GraphM))"""
+
+  /** Unrolled beam-search CTE tail shared by the graph-ANN oracles:
+    * requires prior CTEs `emb` (vec_id, v), `b` (vec_id, v, n, ...) and
+    * `gedges` (src, dst). `nRounds` rounds (the gate's [[GraphL]], or
+    * the scaled variant's recorded log-n count) of candidates =
+    * beam ∪ neighbors(beam), exact-cosine score, top-[[GraphW]] by
+    * (round(cos,6) desc, id asc) — the same deterministic mechanics the
+    * Spark [[beamSearch]] loop runs. b$i is referenced twice by the
+    * next candidate union, so it is MATERIALIZED (DuckDB's default CTE
+    * inlining doubles the plan per round — the emb_kcenter lesson). */
+  private def beamSearchSqlTail(nRounds: Int = GraphL,
+                                extraEntrySql: Option[String] = None): String = {
+    def roundCtes(i: Int): String = {
+      val src = if (i == 0) "entry" else s"c$i"
+      s"""s$i AS (
+           SELECT c.query_id, c.vec_id,
+             list_dot_product(e.v, qq.qv) / (e.n * qq.qn) AS cos
+           FROM $src c JOIN b e USING (vec_id) JOIN qq USING (query_id)
+           WHERE c.vec_id <> c.query_id),
+         b$i AS MATERIALIZED (
+           SELECT query_id, vec_id, cos FROM (
+             SELECT s$i.*, row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, vec_id ASC) AS rk FROM s$i)
+           WHERE rk <= $GraphW)"""
+    }
+    def candCte(i: Int): String =
+      s"""c$i AS (
+           SELECT DISTINCT query_id, vec_id FROM (
+             SELECT query_id, vec_id FROM b${i - 1}
+             UNION ALL
+             SELECT p.query_id, g.dst AS vec_id
+             FROM b${i - 1} p JOIN gedges g ON g.src = p.vec_id))"""
+    val rounds = (roundCtes(0) +: (1 to nRounds).flatMap(i =>
+      Seq(candCte(i), roundCtes(i)))).mkString(",\n         ")
+    val entryCte = extraEntrySql match {
+      case None =>
+        s"""entry AS (SELECT qq.query_id, e.vec_id
+                   FROM qq CROSS JOIN emb e WHERE e.vec_id < $GraphEntryBound)"""
+      case Some(x) =>
+        s"""entry AS (SELECT qq.query_id, e.vec_id
+                   FROM qq CROSS JOIN emb e WHERE e.vec_id < $GraphEntryBound
+                   UNION
+                   $x)"""
+    }
+    s"""qq AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM b
+                WHERE vec_id IN (${queryIds.mkString(", ")})),
+         $entryCte,
+         $rounds
+         SELECT query_id, rk AS rank, vec_id AS neighbor_id,
+           round(cos, 5) AS cos
+         FROM (
+           SELECT b$nRounds.*, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rk
+           FROM b$nRounds)
+         WHERE rk <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB bucket expression for the first `p` planes of the scaled
+    * family (generalizes [[sqlBucket]]). */
+  private def sqlBucketN(p: Int): String = {
+    val pl = planesN(p)
+    pl.indices.map { i =>
+      s"(CASE WHEN list_dot_product(v, ${pl(i).mkString("[", ",", "]")}) > 0" +
+        s" THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** Oracle for [[annGraphScaled]] given the recorded plane count:
+    * same edge-build + beam-search CTEs as the fixed-family oracle, but
+    * the bucket uses the P-plane family and the probe set is the 1-bit
+    * flip family the scaled build runs. */
+  private def graphScaledOracle(p: Int): String = {
+    val probes1 =
+      "[bkt, " + (0 until p).map(i => s"xor(bkt,${1 << i})").mkString(", ") + "]"
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         b AS MATERIALIZED (
+               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
+                 ${sqlBucketN(p)} AS bkt FROM emb),
+         bc AS (SELECT vec_id, v, n, bkt FROM (
+                  SELECT b.*, row_number() OVER (PARTITION BY bkt
+                    ORDER BY vec_id ASC) AS brk FROM b)
+                WHERE brk <= $GraphBuildCap),
+         gq AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
+                  unnest($probes1) AS bkt FROM b),
+         ${graphEdgeCtes("bc")},
+         ${beamSearchSqlTail(GraphL, Some(
+           s"""SELECT qb.query_id, bc.vec_id
+               FROM (SELECT vec_id AS query_id, unnest($probes1) AS bkt
+                     FROM b
+                     WHERE vec_id IN (${queryIds.mkString(", ")})) qb
+               JOIN bc USING (bkt)"""))}"""
+  }
+
+  /** Oracle for [[annGraphScaledStats]]: the identical closed-form
+    * bucket-histogram computation over the P-plane 1-bit-probe family
+    * and per-bucket cap. */
+  private def graphScaledStatsOracle(p: Int): String = {
+    val probes1 =
+      "[bkt, " + (0 until p).map(i => s"xor(bkt,${1 << i})").mkString(", ") + "]"
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         b AS (SELECT vec_id, ${sqlBucketN(p)} AS bkt FROM emb),
+         pop AS (SELECT bkt, count(*) AS pop FROM b GROUP BY 1),
+         phits AS (SELECT bkt, count(*) AS ph FROM (
+             SELECT unnest($probes1) AS bkt FROM b) GROUP BY 1),
+         cand AS (SELECT CAST(sum(least(pop, $GraphBuildCap) * ph
+                    - least(pop, $GraphBuildCap)) AS BIGINT) AS n_cand_pairs
+                  FROM pop JOIN phits USING (bkt)),
+         nv AS (SELECT count(*) AS n_vec FROM b)
+       SELECT nv.n_vec, $p AS n_planes, $GraphBuildCap AS cap,
+         cand.n_cand_pairs,
+         round(CAST(cand.n_cand_pairs AS DOUBLE) / nv.n_vec, 2)
+           AS cand_per_vec
+       FROM cand CROSS JOIN nv"""
+  }
+
+  /** Unrolled DuckDB replay of [[annHnsw]]: deterministic levels
+    * (bit_count trailing-zeros of the portable md5 hash), per-layer
+    * member-restricted edge builds, the apex descent, and the layer-0
+    * beam — every CTE in bit-for-bit lockstep with the Spark loop. */
+  private def hnswOracle: String = {
+    val sqlProbes2 =
+      "[bkt, " + flips2.map(m => s"xor(bkt,$m)").mkString(", ") + "]"
+    val layerCtes = (0 to HnswLCap).map { l =>
+      s"""gq$l AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
+                  unnest($sqlProbes2) AS bkt FROM b WHERE lev >= $l),
+         gs$l AS (
+           SELECT gq$l.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.v, gq$l.qv) / (e.n * gq$l.qn) AS cos
+           FROM b e JOIN gq$l ON e.bkt = gq$l.bkt
+             AND e.vec_id <> gq$l.query_id
+           WHERE e.lev >= $l),
+         gr$l AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+           FROM gs$l),
+         ge$l AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT query_id AS src, neighbor_id AS dst
+             FROM gr$l WHERE rank <= $GraphM
+             UNION ALL
+             SELECT neighbor_id AS src, query_id AS dst
+             FROM gr$l WHERE rank <= $GraphM))"""
+    }.mkString(",\n         ")
+    // hb$i is referenced TWICE by the next round's candidate union —
+    // without MATERIALIZED, DuckDB's default CTE inlining doubles the
+    // plan per round (2^12 scans over 12 rounds: "Too many open files",
+    // the emb_kcenter lesson). Same for the shared b/qq/ge tables.
+    def sCte(i: Int, src: String, w: Int): String =
+      s"""hs$i AS (
+           SELECT c.query_id, c.vec_id,
+             list_dot_product(e.v, qq.qv) / (e.n * qq.qn) AS cos
+           FROM $src c JOIN b e USING (vec_id) JOIN qq USING (query_id)),
+         hb$i AS MATERIALIZED (
+           SELECT query_id, vec_id, cos FROM (
+             SELECT hs$i.*, row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 6) DESC, vec_id ASC) AS rk FROM hs$i)
+           WHERE rk <= $w)"""
+    def cCte(i: Int, lay: Int): String =
+      s"""hc$i AS (
+           SELECT DISTINCT query_id, vec_id FROM (
+             SELECT query_id, vec_id FROM hb${i - 1}
+             UNION ALL
+             SELECT p.query_id, g.dst AS vec_id
+             FROM hb${i - 1} p JOIN ge$lay g ON g.src = p.vec_id))"""
+    // round schedule mirrors the Spark loop: apex, then RUp rounds per
+    // upper layer LCap..1 at width WUp, then GraphL rounds at layer 0
+    // at width GraphW
+    val sched =
+      (HnswLCap to 1 by -1).flatMap(l => Seq.fill(HnswRUp)((l, HnswWUp))) ++
+        Seq.fill(GraphL)((0, GraphW))
+    val rounds = (sCte(0, "e0", HnswWUp) +: sched.zipWithIndex.flatMap {
+      case ((lay, w), k) => Seq(cCte(k + 1, lay), sCte(k + 1, s"hc${k + 1}", w))
+    }).mkString(",\n         ")
+    val last = sched.length
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         b0v AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
+                 $sqlBucket AS bkt,
+                 CAST(md5_number_lower(CAST(vec_id AS VARCHAR))
+                   & 9223372036854775807 AS BIGINT) AS lvh
+               FROM emb),
+         b AS MATERIALIZED (SELECT vec_id, v, n, bkt,
+                 CAST(least(bit_count((lvh & -lvh) - 1), $HnswLCap)
+                   AS INTEGER) AS lev
+               FROM b0v),
+         $layerCtes,
+         qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, n AS qn
+                FROM b
+                WHERE vec_id IN (${queryIds.mkString(", ")})),
+         apex AS (SELECT vec_id FROM b
+                  ORDER BY lev DESC, vec_id ASC LIMIT 1),
+         e0 AS (SELECT qq.query_id, apex.vec_id FROM qq CROSS JOIN apex),
+         $rounds
+         SELECT query_id, rk AS rank, vec_id AS neighbor_id,
+           round(cos, 5) AS cos
+         FROM (
+           SELECT hb$last.*, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rk
+           FROM hb$last WHERE vec_id <> query_id)
+         WHERE rk <= 5 ORDER BY query_id, rank"""
+  }
+
   /** One PageRank iteration's CTE in FIXED-POINT arithmetic: ranks are
     * 1e-9-scaled BIGINTs, each edge contributes `ri // deg` (floor
     * integer division), and the damped update is
@@ -1921,65 +2511,15 @@ object Similarity {
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
     "ann_graph_search" -> {
-      // unrolled beam rounds: candidates = beam ∪ neighbors(beam),
-      // exact-cosine score, top-W by (round(cos,6) desc, id asc) —
-      // the same deterministic mechanics the Spark loop runs
-      def roundCtes(i: Int): String = {
-        val src = if (i == 0) "entry" else s"c$i"
-        s"""s$i AS (
-           SELECT c.query_id, c.vec_id,
-             list_dot_product(e.v, qq.qv) / (e.n * qq.qn) AS cos
-           FROM $src c JOIN b e USING (vec_id) JOIN qq USING (query_id)
-           WHERE c.vec_id <> c.query_id),
-         b$i AS (
-           SELECT query_id, vec_id, cos FROM (
-             SELECT s$i.*, row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, vec_id ASC) AS rk FROM s$i)
-           WHERE rk <= $GraphW)"""
-      }
-      def candCte(i: Int): String =
-        s"""c$i AS (
-           SELECT DISTINCT query_id, vec_id FROM (
-             SELECT query_id, vec_id FROM b${i - 1}
-             UNION ALL
-             SELECT p.query_id, g.dst AS vec_id
-             FROM b${i - 1} p JOIN gedges g ON g.src = p.vec_id))"""
-      val rounds = (roundCtes(0) +: (1 to GraphL).flatMap(i =>
-        Seq(candCte(i), roundCtes(i)))).mkString(",\n         ")
       val sqlProbes2 =
         "[bkt, " + flips2.map(m => s"xor(bkt,$m)").mkString(", ") + "]"
       s"""WITH $knnGraphCtes,
          gq AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
                   unnest($sqlProbes2) AS bkt FROM b),
-         gscored AS (
-           SELECT gq.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(e.v, gq.qv) / (e.n * gq.qn) AS cos
-           FROM b e JOIN gq ON e.bkt = gq.bkt AND e.vec_id <> gq.query_id),
-         granked AS (
-           SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-           FROM gscored),
-         gedges AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT query_id AS src, neighbor_id AS dst
-             FROM granked WHERE rank <= $GraphM
-             UNION ALL
-             SELECT neighbor_id AS src, query_id AS dst
-             FROM granked WHERE rank <= $GraphM)),
-         qq AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM b
-                WHERE vec_id IN (${queryIds.mkString(", ")})),
-         entry AS (SELECT qq.query_id, e.vec_id
-                   FROM qq CROSS JOIN emb e WHERE e.vec_id < $GraphEntryBound),
-         $rounds
-         SELECT query_id, rk AS rank, vec_id AS neighbor_id,
-           round(cos, 5) AS cos
-         FROM (
-           SELECT b$GraphL.*, CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rk
-           FROM b$GraphL)
-         WHERE rk <= 5 ORDER BY query_id, rank"""
+         ${graphEdgeCtes()},
+         ${beamSearchSqlTail()}"""
     },
+    "ann_hnsw" -> hnswOracle,
     "emb_pagerank" -> pagerankOracle,
     "emb_dbscan" -> dbscanOracle,
     "emb_outliers" ->
@@ -2057,5 +2597,12 @@ object Similarity {
       } yield k -> ivfPqOracleSelect(cents, cbs)
     }.toMap ++
     Option(trainedCodebooks.get("dedup_semantic"))
-      .map(c => "dedup_semantic" -> semDedupOracle(c)).toMap
+      .map(c => "dedup_semantic" -> semDedupOracle(c)).toMap ++
+    // scaled-graph entries: plane count recorded from the corpus count
+    // at query time (omitted when the queries haven't run — the
+    // IVF-codebook convention)
+    Option(lastScaledDir).flatMap(d => Option(scaledGraphP.get(d))).toSeq
+      .flatMap(p => Seq(
+        "ann_graph_scaled" -> graphScaledOracle(p),
+        "ann_graph_scaled_stats" -> graphScaledStatsOracle(p))).toMap
 }

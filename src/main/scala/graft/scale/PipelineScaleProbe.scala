@@ -51,7 +51,16 @@ object PipelineScaleProbe {
     // bloom semi-join reduction (r9 verdict #1): build is a fixed
     // 512-word aggregate collected once, probe is ONE map-side pass of
     // the fact scan — the decade rows prove the single-scan rework
-    "sketch_bloom_join")
+    "sketch_bloom_join",
+    // n-scaled graph-ANN BUILD (r10 verdict #2): the production edge
+    // build whose plane count tracks the corpus and whose per-bucket
+    // candidate cap bounds work under ANY skew. The timed row is
+    // build+search with the build UNCACHED; the artifact carries it at
+    // BASE (50k vectors — auditAtBase below) plus the _stats decades:
+    // the closed-form candidate count proving candidates/vector stays
+    // ≤ cap·(P+1) across the decades (the bounded-candidates claim
+    // itself); archived manual probe runs carry the build's own 10x row
+    "ann_graph_scaled", "ann_graph_scaled_stats")
 
   /** Audit-machinery twins run at BASE scale only (the r7 verdict's
     * bench-signal finding): `sketch_kmv_grouped` keeps the exact-count
@@ -63,16 +72,26 @@ object PipelineScaleProbe {
     // production candidate generator is the LSH-bucketed join, whose
     // decades dedup_emb_lsh/ann_lsh_bucketed already carry)
     "emb_dbscan",
-    // the navigable-graph BUILD keeps the gate's fixed 8-plane hash
-    // family for exact-oracle parity, so per-bucket population — and
-    // with it the 2-bit-probe candidate volume — grows linearly with
-    // the corpus (measured: fine at 50k vectors, ~36B candidate pairs
-    // at 500k). At scale the build raises the plane count so buckets
-    // track n (the ann_lsh_bucketed write-time pattern, whose decade
-    // rows already carry that claim); the SEARCH is O(|Q|·W·M·L)
-    // independent of n. Decades for the fixed-family build would
-    // measure the deliberately-fixed gate parameters, not the design.
+    // the fixed-family navigable-graph entry keeps the gate's 8-plane
+    // hash family for exact-oracle parity, so per-bucket population —
+    // and with it the 2-bit-probe candidate volume — grows linearly
+    // with the corpus (~36B candidate pairs at 500k vectors). The
+    // PRODUCTION build is `ann_graph_scaled` (plane count tracks n,
+    // candidates/vector bounded), which carries the decade rows; this
+    // fixed variant stays at base as the oracle twin. The SEARCH is
+    // O(|Q|·W·M·L) independent of n in both.
     "ann_graph_search",
+    // hierarchical HNSW shares the fixed-family per-layer build (gate
+    // oracle parity) — same base-only reasoning; its search-side win
+    // (fewer scored candidates at equal beam width) is pinned in
+    // PipelineOpsSpec, not by decade rows
+    "ann_hnsw",
+    // the scaled BUILD row: a 5M-vector knn-graph construction is
+    // ~2.9B capped candidate scores — real ingest work whose artifact
+    // row would dwarf every query row (the r7 bench-signal rule). Base
+    // keeps build+search timed at 50k vectors; the _stats decades prove
+    // the candidate bound; a manual 10x probe run is archived in SURVEY
+    "ann_graph_scaled",
     // 16 driver-synchronized rounds make kcenter's wall scan-count-
     // shaped: its 100x row (29 s warm, 512 B shuffle, zero spill —
     // linear, probe-measured r9) would be the artifact's single largest
@@ -92,7 +111,7 @@ object PipelineScaleProbe {
     * timings, like the BerlinMOD load and the bench warm-up builds. */
   val annProbeQueries: Seq[String] = Seq(
     "ann_topk", "ann_lsh_bucketed", "ann_ivf_bucketed", "ann_ivfpq_bucketed",
-    "ann_graph_search",
+    "ann_graph_search", "ann_hnsw",
     "dedup_paragraph")
 
   /** Load-phase builds for [[annProbeQueries]] over `dir`. The in-memory
@@ -159,8 +178,11 @@ object PipelineScaleProbe {
     val tG0 = System.nanoTime()
     SynthCorpus.generate(spark, mult, dir)
     val genSec = (System.nanoTime() - tG0) / 1e9
+    // an EXPLICIT query list may name auditAtBase queries too — that is
+    // how archived decade runs for audit-shaped rows are produced
     val baseQs =
-      if (mult > 1) scaleRowQueries else probeQueries ++ annProbeQueries
+      if (mult > 1 && onlyQ.isEmpty) scaleRowQueries
+      else probeQueries ++ annProbeQueries
     val selQs = onlyQ.fold(baseQs)(sel => baseQs.filter(sel))
     // load-phase layout builds, but only for the ANN paths being probed
     if (selQs.contains("ann_lsh_bucketed"))
@@ -171,6 +193,8 @@ object PipelineScaleProbe {
       graft.operators.Similarity.buildIvfPqLayout(spark, dir)
     if (selQs.contains("ann_graph_search"))
       graft.operators.Similarity.buildGraphLayout(spark, dir)
+    if (selQs.contains("ann_hnsw"))
+      graft.operators.Similarity.buildHnswLayout(spark, dir)
     // same per-query task-metric attribution as the bench: the probe's
     // scale claims need spill/shuffle evidence, not just wall-clock
     val metrics = new graft.util.BenchMetricsListener

@@ -24,24 +24,25 @@ object MobSql {
   private val buildSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val createIndexRe =
-    """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+TRTREE\s*\(\s*(\w+)\s*\)\s*(ZORDER)?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+TRTREE\s*\(\s*(\w+)\s*\)\s*(ZORDER|HILBERT)?\s*;?\s*$""".r
 
   /** Layout bookkeeping for the maintenance surface: the clustered dir
     * plus any un-clustered append tails currently read alongside it
     * (the immutable-files answer to the reference R-tree's
-    * Insert/Append, rtree_module.cpp:106-261). `zorder` records which
-    * cluster key the layout was built with so compaction re-applies
-    * the same one. */
+    * Insert/Append, rtree_module.cpp:106-261). `curve` records which
+    * cluster key the layout was built with ("range", "zorder" or
+    * "hilbert") so compaction re-applies the same one. */
   private final case class LayoutState(boxCol: String, layoutDir: String,
                                        tailDirs: List[String],
-                                       zorder: Boolean)
+                                       curve: String) // "range"|"zorder"|"hilbert"
   private val layouts =
     new java.util.concurrent.ConcurrentHashMap[String, LayoutState]()
 
   /** Run one statement of the reference dialect. */
   def run(spark: SparkSession, sql: String): DataFrame = sql match {
-    case createIndexRe(idxName, table, boxCol, zorder) =>
-      createTrtreeLayout(spark, idxName, table, boxCol, zorder != null)
+    case createIndexRe(idxName, table, boxCol, curve) =>
+      createTrtreeLayout(spark, idxName, table, boxCol,
+        if (curve == null) "range" else curve.toLowerCase)
       spark.emptyDataFrame // DDL yields no rows, like the reference
     case other =>
       spark.sql(SqlRewriter.rewrite(other))
@@ -58,24 +59,28 @@ object MobSql {
     keys
   }
 
-  /** Z-ORDER cluster key (`USING TRTREE(box) ZORDER`): quantize up to
-    * three box-min coordinates against their global ranges and
-    * interleave the bits into one space-filling-curve key, so a file's
+  /** Space-filling-curve cluster key (`USING TRTREE(box) ZORDER` or
+    * `... HILBERT`): quantize up to three box-min coordinates against
+    * their global ranges and fold them into one curve key, so a file's
     * min/max statistics bound a HYPER-RECTANGLE rather than an interval
     * of the leading coordinate. A 1-D range key degrades on off-axis
     * predicates — a box tight in y but wide in x prunes nothing when
     * the layout leads with x — which is exactly the 2-D locality the
-    * reference's R-tree pages give it (ref src/index/rtree_module.cpp:49);
-    * the Z-curve is the write-time-layout equivalent. The per-dim
-    * bounds come from one tiny write-time aggregate; degenerate dims
-    * (constant coordinate) quantize to 0 and drop out of the curve. */
-  private def zorderKey(df: DataFrame, boxCol: String)
+    * reference's R-tree pages give it (ref src/index/rtree_module.cpp:49).
+    * ZORDER interleaves the quantized bits; HILBERT runs the
+    * [[graft.functions.HilbertCurve]] kernel, whose face-adjacent steps
+    * avoid the Z-curve's diagonal jumps (tighter blobs per key range at
+    * high skew — PlanSpec pins ≤ Z-order post-pruning rows on the
+    * off-axis query). The per-dim bounds come from one tiny write-time
+    * aggregate; degenerate dims (constant coordinate) quantize to 0 and
+    * drop out of the curve. */
+  private def curveKey(df: DataFrame, boxCol: String, curve: String)
       : org.apache.spark.sql.Column = {
     val st = df.schema(boxCol).dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val dims = Seq("xmin", "ymin", "zmin", "tmin", "lower")
       .filter(st.fieldNames.contains).take(3)
-    require(dims.nonEmpty, s"$boxCol has no box/span min fields to z-order on")
+    require(dims.nonEmpty, s"$boxCol has no box/span min fields to curve on")
     val aggExprs = dims.flatMap(f => Seq(
       min(col(s"$boxCol.$f").cast("double")),
       max(col(s"$boxCol.$f").cast("double"))))
@@ -96,23 +101,35 @@ object MobSql {
         floor((col(s"$boxCol.$f").cast("double") - lit(lo(di)))
           / lit(range) * lit((1L << bits).toDouble)).cast("long")))
     }
-    var z: org.apache.spark.sql.Column = lit(0L)
-    for (bit <- 0 until bits; (q, di) <- quantized.zipWithIndex)
-      z = z.bitwiseOR(shiftleft(
-        shiftright(q, bit).bitwiseAND(lit(1L)),
-        bit * dims.length + di))
-    z
+    if (curve == "hilbert") {
+      // Hilbert key: face-adjacent curve steps — a contiguous key range
+      // is a tighter spatial blob than the Z-curve's (which jumps
+      // diagonally at every power-of-two boundary); the native
+      // [[graft.functions.HilbertCurve]] kernel does Skilling's
+      // transform per row
+      org.apache.spark.sql.functions.call_function("hilbert_key",
+        org.apache.spark.sql.functions.array(quantized: _*),
+        lit(bits))
+    } else {
+      var z: org.apache.spark.sql.Column = lit(0L)
+      for (bit <- 0 until bits; (q, di) <- quantized.zipWithIndex)
+        z = z.bitwiseOR(shiftleft(
+          shiftright(q, bit).bitwiseAND(lit(1L)),
+          bit * dims.length + di))
+      z
+    }
   }
 
-  /** Write `df` clustered for pruning: range keys or the Z-curve key. */
+  /** Write `df` clustered for pruning: range keys or a curve key. */
   private def clusterWrite(spark: SparkSession, df: DataFrame,
-                           boxCol: String, zorder: Boolean,
+                           boxCol: String, curve: String,
                            dir: String): Unit =
-    if (zorder) {
-      df.withColumn("__zkey", zorderKey(df, boxCol))
-        .repartitionByRange(col("__zkey"))
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
+    if (curve == "zorder" || curve == "hilbert") {
+      graft.functions.GraftFunctions.register(spark)
+      df.withColumn("__ckey", curveKey(df, boxCol, curve))
+        .repartitionByRange(col("__ckey"))
+        .sortWithinPartitions("__ckey")
+        .drop("__ckey")
         .write.mode("overwrite").parquet(dir)
     } else {
       val keys = clusterKeys(df, boxCol)
@@ -132,7 +149,7 @@ object MobSql {
 
   private def createTrtreeLayout(spark: SparkSession, idxName: String,
                                  table: String, boxCol: String,
-                                 zorder: Boolean): Unit = {
+                                 curve: String): Unit = {
     val df = spark.table(table)
     // fresh path per build: a re-issued CREATE INDEX would otherwise read
     // and overwrite the same parquet dir the view is bound to, which
@@ -141,8 +158,8 @@ object MobSql {
     val dir = new java.io.File(
       s"target/trtree_${table}_${idxName}_${buildSeq.incrementAndGet()}")
       .getAbsolutePath
-    clusterWrite(spark, df, boxCol, zorder, dir)
-    val st = LayoutState(boxCol, dir, Nil, zorder)
+    clusterWrite(spark, df, boxCol, curve, dir)
+    val st = LayoutState(boxCol, dir, Nil, curve)
     layouts.put(table, st)
     bind(spark, table, st)
   }
@@ -183,8 +200,8 @@ object MobSql {
     val dir = new java.io.File(
       s"target/trtree_${table}_compact_${buildSeq.incrementAndGet()}")
       .getAbsolutePath
-    clusterWrite(spark, df, st.boxCol, st.zorder, dir)
-    val st2 = LayoutState(st.boxCol, dir, Nil, st.zorder)
+    clusterWrite(spark, df, st.boxCol, st.curve, dir)
+    val st2 = LayoutState(st.boxCol, dir, Nil, st.curve)
     layouts.put(table, st2)
     bind(spark, table, st2)
   }

@@ -151,7 +151,10 @@ class CrsRegistrySpec extends AnyFunSuite {
       27573, 27574, 28992, 31370, 31466, 31467, 31468, 31469, 2193, 2157,
       28350, 28355, 26910, 26918, 26710, 26718, 23030, 23032, 3031, 3032,
       3413, 3976, 32661, 32761, 5070, 3577, 6933,
-      4149, 4156, 4298, 4237, 21781, 23700, 29873, 3078, 5513, 5514)
+      4149, 4156, 4298, 4237, 21781, 23700, 29873, 3078, 5513, 5514,
+      // r11 tier: WGS84 UTM N/S, GDA2020 MGA, NAD83 state plane
+      32601, 32617, 32660, 32701, 32733, 32760, 7846, 7855, 7858,
+      26943, 26954, 26986, 32118, 26948, 26949, 26950)
     for (srid <- codes) {
       val crs = R.lookup(srid).getOrElse(fail(s"missing $srid"))
       val (olon, olat) = crs.proj.origin
@@ -212,6 +215,50 @@ class CrsRegistrySpec extends AnyFunSuite {
     val (x84, y84) = Crs.transform(32612, -112.1, 40.6)
     assert(math.hypot(x83 - x84, y83 - y84) < 1.0,
       s"NAD83=($x83,$y83) WGS84=($x84,$y84)")
+  }
+
+  test("registry WGS84 UTM equals the Crs.transform special-case path") {
+    // same etmerc kernel behind both — registry-side UTM (r11) must
+    // agree to the micrometer, north and south band
+    for ((srid, lon, lat) <- Seq((32617, -79.4, 43.7), (32733, 13.2, -8.8),
+        (32756, 151.2, -33.9))) {
+      val (xr, yr) = R.forward(srid, lon, lat).get
+      val (xc, yc) = Crs.transform(srid, lon, lat)
+      assert(math.hypot(xr - xc, yr - yc) < 1e-6,
+        s"$srid registry=($xr,$yr) crs=($xc,$yc)")
+    }
+  }
+
+  test("GDA2020 MGA grid equals GDA94 MGA (same GRS80 TM constants)") {
+    val (x20, y20) = R.forward(7855, 144.96, -37.81).get // MGA2020 zone 55
+    val (x94, y94) = R.forward(28355, 144.96, -37.81).get
+    assert(math.hypot(x20 - x94, y20 - y94) < 1e-9,
+      s"2020=($x20,$y20) 94=($x94,$y94)")
+  }
+
+  test("NAD83 state plane: false origin maps to (FE, FN) exactly (≤5 cm)") {
+    // the EPSG LCC-2SP/TM defining identity: grid coords of the false/
+    // natural origin ARE the false easting/northing — exact by
+    // construction, so a wrong defining constant fails loudly here
+    val cases = Seq(
+      (26943, -120.5, 36.5, 2000000.0, 500000.0), // California zone 3
+      (26954, -105.5, 37.833333333333336, 914401.8288036576,
+        304800.6096012192),                       // Colorado Central
+      (26986, -71.5, 41.0, 200000.0, 750000.0),   // Massachusetts Mainland
+      (32118, -74.0, 40.166666666666664, 300000.0, 0.0), // NY Long Island
+      (26948, -110.16666666666667, 31.0, 213360.0, 0.0), // Arizona East
+      (26949, -111.91666666666667, 31.0, 213360.0, 0.0), // Arizona Central
+      (26950, -113.75, 31.0, 213360.0, 0.0))             // Arizona West
+    for ((srid, lon0, lat0, fe, fn) <- cases) {
+      val (x, y) = projOnly(srid).forward(lon0, lat0)
+      assert(math.abs(x - fe) < 0.05 && math.abs(y - fn) < 0.05,
+        s"$srid origin=($x,$y) expected=($fe,$fn)")
+    }
+    // wiring sanity on a real-world point: San Francisco in CA zone 3
+    // sits ~170 km west / ~140 km north of the false origin
+    val (sx, sy) = R.forward(26943, -122.42, 37.77).get
+    assert(sx > 1780000 && sx < 1880000 && sy > 590000 && sy < 690000,
+      s"SF CA3=($sx,$sy)")
   }
 
   test("ED50 UTM differs from WGS84 UTM by the expected ~50-300 m shift") {

@@ -127,6 +127,36 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(i) == a.toSet.intersect(b.toSet).size, s"case $i")
   }
 
+  test("hilbert_key: bijection + unit-step adjacency on the full 2-D grid " +
+       "(the defining Hilbert properties), 3-D bijection, codegen path") {
+    val sp = spark
+    import sp.implicits._
+    // 2-D, 4 bits/dim: all 256 cells through the SQL function (codegen)
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)
+    val keyed = cells.toDF("x", "y")
+      .selectExpr("x", "y", "hilbert_key(array(x, y), 4) AS k")
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    // bijection onto [0, 256)
+    assert(keyed.map(_._1).sorted.sameElements(0L until 256L))
+    // consecutive curve positions are face-adjacent cells (|dx|+|dy| = 1)
+    // — the property Z-order lacks (its diagonal jumps are exactly why
+    // HILBERT is offered as the TRTREE cluster key)
+    val byKey = keyed.sortBy(_._1).map(_._2)
+    for (i <- 1 until byKey.length) {
+      val d = math.abs(byKey(i)._1 - byKey(i - 1)._1) +
+        math.abs(byKey(i)._2 - byKey(i - 1)._2)
+      assert(d == 1, s"jump of $d at curve position $i")
+    }
+    // 3-D, 3 bits/dim: bijection onto [0, 512)
+    val cells3 = for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield (x.toLong, y.toLong, z.toLong)
+    val keys3 = cells3.toDF("x", "y", "z")
+      .selectExpr("hilbert_key(array(x, y, z), 3) AS k")
+      .collect().map(_.getLong(0))
+    assert(keys3.sorted.sameElements(0L until 512L))
+  }
+
   test("vec_nearest_cell / vec_probe_cells match brute-force argmin (codegen)") {
     val sp = spark
     import sp.implicits._

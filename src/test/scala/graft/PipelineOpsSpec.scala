@@ -1201,6 +1201,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.75, s"graph-search recall@5 $recall below floor")
   }
 
+  test("ann_hnsw: hierarchical descent holds the NSW recall floor with " +
+       "FEWER distinct scored candidates at equal layer-0 beam width") {
+    import graft.operators.Similarity
+    val (hdf, haud) = Similarity.annHnswAudited(spark, d)
+    val h = hdf.collect()
+    val byQ = h.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0))
+    }
+    val t = Similarity.annTopK(spark, d).collect()
+    val hs = h.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ts = t.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (hs & ts).size.toDouble / ts.size
+    assert(recall >= 0.75, s"hnsw recall@5 $recall below the NSW floor")
+    // the hierarchy's point (r10 verdict #3): entering through the apex
+    // + logarithmic descent must score FEWER distinct (query, candidate)
+    // pairs than the fixed 64-node entry set, at the same layer-0 W/L
+    val (_, naud) = Similarity.annGraphSearchAudited(spark, d)
+    val hnswScored = haud.count()
+    val nswScored = naud.count()
+    assert(hnswScored < nswScored,
+      s"hnsw scored $hnswScored, nsw scored $nswScored")
+  }
+
   test("text_pmi: equals a pure-Scala PMI computation, ranked top-40") {
     val texts = Tables.documents(spark, d)
       .select("text").collect().map(_.getString(0))

@@ -355,6 +355,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(zRows < rRows,
         s"zorder scan read $zRows rows, range layout $rRows — " +
           "the curve should prune off-axis row groups")
+      // HILBERT (r10 verdict #8): same off-axis query, rows identical,
+      // and post-pruning scan rows <= the Z-curve's (face-adjacent curve
+      // steps bound each file's hyper-rectangle at least as tightly as
+      // Z-order's diagonal-jumping key ranges)
+      src.createOrReplaceTempView("zh_tab")
+      graft.sqlx.MobSql.run(spark,
+        "CREATE INDEX zh_idx ON zh_tab USING TRTREE(box) HILBERT")
+      val idsH = q("zh_tab").collect().map(_.getLong(0)).sorted
+      assert(idsH.sameElements(idsZ), s"${idsH.length} vs ${idsZ.length}")
+      val hRows = scanRows(q("zh_tab"))
+      assert(hRows <= zRows,
+        s"hilbert scan read $hRows rows, zorder $zRows — " +
+          "hilbert should prune at least as tightly off-axis")
+      assert(hRows < rRows,
+        s"hilbert scan read $hRows rows, range layout $rRows")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
@@ -503,10 +518,67 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranged.collect().map(_.toString).sorted.sameElements(base))
   }
 
+  test("BerlinMOD trip-pair plans (q6/q10/q16) carry no ScalaUDF") {
+    // the segment-pair solvers are native codegen kernels since r11
+    // (SegExprs — r10 verdict #5); these three queries were the last
+    // ScalaUDF hot path in the repo
+    graft.berlinmod.BerlinMod.load(spark)
+    val wanted = Set("q6", "q10", "q16")
+    for ((n, df) <- graft.berlinmod.BerlinMod.queries(spark)
+        if wanted(n)) {
+      val p = plan(df)
+      assert(!p.contains("UDF"), s"$n plan has a ScalaUDF:\n${p.take(1500)}")
+    }
+    // and the kernels actually appear where expected
+    val q10 = graft.berlinmod.BerlinMod.queries(spark)
+      .find(_._1 == "q10").get._2
+    val p10 = q10.queryExecution.optimizedPlan.toString
+    assert(p10.contains("seg_dwithin_spans"), p10.take(1500))
+    assert(p10.contains("pair_spanset_text"), p10.take(1500))
+  }
+
+  test("no unbounded .collect() in src/main (audited allowlist)") {
+    // Every driver-side collect must be k-/vocab-/sample-/row-bounded —
+    // never corpus-shaped (the r10 text_multilingual finding). This
+    // audit pins the per-file call-site counts; adding a .collect()
+    // anywhere fails here until the new site is audited as bounded and
+    // the allowlist updated. Audited r11:
+    //   StreamGate: 3 scalar max() rows + 1 single-row array agg
+    //   MobSql: 1-row bounds aggregate; BerlinMod: two 1-row aggregates
+    //   Similarity: codebook/query-id/kcenter collects (k- or 10-bounded)
+    //   TextAnalysis: vocab-bounded LM table + top-40 PMI rows
+    //   Quality/Multilingual: fixed 2000-doc training samples
+    //   Sketches: 512-word bloom vocabulary; Dedup: 20-row CDC sample
+    val expected = Map(
+      "operators/Similarity.scala" -> 10,
+      "streaming/StreamGate.scala" -> 4,
+      "operators/TextAnalysis.scala" -> 2,
+      "berlinmod/BerlinMod.scala" -> 2,
+      "sqlx/MobSql.scala" -> 1,
+      "operators/Sketches.scala" -> 1,
+      "operators/Quality.scala" -> 1,
+      "operators/Multilingual.scala" -> 1,
+      "operators/Dedup.scala" -> 1)
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val rel = root.relativize(p).toString
+        val n = java.nio.file.Files.readString(p)
+          .sliding(".collect()".length).count(_ == ".collect()")
+        if (n > 0) found(rel) = n
+      }
+    }
+    assert(found.toMap == expected,
+      s"collect() call sites changed — audit the new/removed sites for " +
+        s"boundedness and update the allowlist.\nfound:    ${found.toMap}\n" +
+        s"expected: $expected")
+  }
+
   test("simhash/minhash-LSH/ann-LSH plans carry no ScalaUDF") {
-    // hash/banding/bucketing are native kernels or builtins now — the
-    // only ScalaUDFs left anywhere should be the BerlinMOD geometry
-    // solvers, which none of these plans use
+    // hash/banding/bucketing are native kernels or builtins — nothing
+    // in src/main registers a ScalaUDF anymore (the BerlinMOD geometry
+    // solvers were the last, kernel-ified in r11)
     import graft.operators.{Dedup, Similarity}
     for ((name, df) <- Seq(
         ("dedup_simhash", Dedup.simhash(spark, d)),
