@@ -1528,7 +1528,11 @@ object Similarity {
         explode(probes1N(col("bkt"), p)).as("bkt"))
       .join(capped.select(col("vec_id"), col("bkt")), Seq("bkt"))
       .select("query_id", "vec_id")
-    beamSearchAudited(e, graphEdgesScaled(s, d), extraEntry = Some(seed))._1
+    // materialize the edge table ONCE: every checkpointed beam round
+    // references `edges`, and an un-materialized build would re-execute
+    // per round (measured 65 s vs 26 s at 500k vectors)
+    val edges = graphEdgesScaled(s, d).localCheckpoint(true)
+    beamSearchAudited(e, edges, extraEntry = Some(seed))._1
   }
 
   /** `ann_graph_scaled_stats` gate entry: the bounded-candidates
