@@ -165,6 +165,26 @@ class BerlinModSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(baseline.values.exists(_.nonEmpty), "all diffed results empty")
   }
 
+  test("trip-pair plans (q6/q10/q16) carry no ScalaUDF — the segment " +
+       "solvers are native codegen kernels") {
+    // r10 verdict #5: seg_edwithin/seg_touches/seg_dwithin_spans/
+    // pair_spanset_text were the repo's last hot-path ScalaUDFs; they
+    // are Catalyst expressions now (SegExprs). This lives HERE, not in
+    // PlanSpec: it needs BerlinMod's temp views, suites run in parallel
+    // on one shared SparkSession, and a competing load raced this
+    // suite's own fleet reloads. Plan SHAPE is fleet-independent, so
+    // whatever this suite last loaded is fine.
+    val wanted = Set("q6", "q10", "q16")
+    for ((n, df) <- BerlinMod.queries(spark) if wanted(n)) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("UDF"), s"$n plan has a ScalaUDF:\n${p.take(1500)}")
+    }
+    val q10 = BerlinMod.queries(spark).find(_._1 == "q10").get._2
+    val p10 = q10.queryExecution.optimizedPlan.toString
+    assert(p10.contains("seg_dwithin_spans"), p10.take(1500))
+    assert(p10.contains("pair_spanset_text"), p10.take(1500))
+  }
+
   test("e2e checksums match SparkEntry.e2ePinned (re-pin discipline)") {
     // The gate's berlinmod_e2e row compares against SELF-PINNED
     // constants, so a deliberate generator/query change would otherwise

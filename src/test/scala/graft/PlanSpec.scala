@@ -518,24 +518,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranged.collect().map(_.toString).sorted.sameElements(base))
   }
 
-  test("BerlinMOD trip-pair plans (q6/q10/q16) carry no ScalaUDF") {
-    // the segment-pair solvers are native codegen kernels since r11
-    // (SegExprs — r10 verdict #5); these three queries were the last
-    // ScalaUDF hot path in the repo
-    graft.berlinmod.BerlinMod.load(spark)
-    val wanted = Set("q6", "q10", "q16")
-    for ((n, df) <- graft.berlinmod.BerlinMod.queries(spark)
-        if wanted(n)) {
-      val p = plan(df)
-      assert(!p.contains("UDF"), s"$n plan has a ScalaUDF:\n${p.take(1500)}")
-    }
-    // and the kernels actually appear where expected
-    val q10 = graft.berlinmod.BerlinMod.queries(spark)
-      .find(_._1 == "q10").get._2
-    val p10 = q10.queryExecution.optimizedPlan.toString
-    assert(p10.contains("seg_dwithin_spans"), p10.take(1500))
-    assert(p10.contains("pair_spanset_text"), p10.take(1500))
-  }
+  // the q6/q10/q16 no-ScalaUDF plan assertions live in BerlinModSpec
+  // (not here): they need BerlinMod.load's temp views, and suites run
+  // in PARALLEL on one shared SparkSession — a load here raced
+  // BerlinModSpec's own fleet reloads (observed as a one-in-N suite
+  // flake). Within a suite, tests are serial.
 
   test("no unbounded .collect() in src/main (audited allowlist)") {
     // Every driver-side collect must be k-/vocab-/sample-/row-bounded —
