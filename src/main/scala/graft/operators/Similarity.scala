@@ -1691,8 +1691,11 @@ object Similarity {
     // each round references the beam TWICE (cand = beam ∪ neighbors,
     // then re-rank), so an unmaterialized 12-round descent doubles its
     // lineage per round (~2^12 recompute). The beam is |Q|·W rows —
-    // checkpoint it each round; values are unchanged (the oracle needs
-    // the VALUES deterministic, not the physical plan)
+    // checkpoint it EVERY round; values are unchanged (the oracle needs
+    // the VALUES deterministic, not the physical plan). A sparser
+    // cadence saves nothing measurable: the rounds are driver-latency
+    // bound, and skipped checkpoints just re-execute the prior rounds'
+    // window/distinct exchanges inside longer per-job stage chains.
     var beam = topW(score(entry), HnswWUp).localCheckpoint(true)
     for (l <- HnswLCap to 1 by -1; _ <- 1 to HnswRUp) {
       val cand = expandWith(beam, l)
