@@ -1564,6 +1564,65 @@ object Similarity {
           .as("cand_per_vec"))
   }
 
+  // ---- scalar quantization (SQ8) ANN --------------------------------------
+
+  /** `ann_sq8` gate entry: scalar-quantized search — the third classic
+    * quantization family next to IVF and PQ (FAISS's SQ8): each
+    * dimension is affinely mapped to an int in [0, 255] against its
+    * per-dimension corpus min/max; candidates are ranked by the
+    * approximate cosine of the DEQUANTIZED reconstructions (the affine
+    * map distorts relative dot products, so the raw integer dot ranks
+    * wrong — measured recall 0.4; reconstruction fixes the estimator),
+    * and the top-64 shortlist is re-ranked by exact cosine.
+    *
+    * Scale shape: the bounds are one per-dimension min/max aggregate
+    * (exact values — no FP-order dependence); encode is a map-side
+    * projection; scoring is the [[annTopK]] scan shape (query side
+    * broadcast, corpus only scanned) except each vector reads 64 BYTES
+    * + one norm instead of 256/512 — the 4-8x scan-byte cut is the
+    * reason SQ8 exists at 100 TB; the shortlist is the bounded
+    * [[TopKOrdered]] partial+final aggregate and the re-rank touches 64
+    * ids per query. Exact oracle: bounds re-derived in DuckDB (min/max
+    * of the same doubles are the same doubles), identical quantize /
+    * dequantize arithmetic, the same left-to-right dot fold both
+    * engines already agree on, 6-dp-rounded rank keys. */
+  def annSq8(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bounds = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("lo"), col("hi")))).as("b"))
+      .select(transform(col("b"), x => x.getField("lo")).as("lo"),
+        transform(col("b"), x => x.getField("hi")).as("hi"))
+    val enc = e.crossJoin(broadcast(bounds))
+      .withColumn("q", expr(
+        "transform(v, (x, i) -> CASE WHEN hi[i] > lo[i] THEN " +
+          "greatest(0, least(255, cast(floor((x - lo[i]) / (hi[i] - lo[i])" +
+          " * 255.0 + 0.5) as int))) ELSE 0 END)"))
+      // dequantized reconstruction — what the scan decodes at read time
+      .withColumn("dq", expr(
+        "transform(q, (c, i) -> lo[i] + cast(c as double)" +
+          " * (hi[i] - lo[i]) / 255.0)"))
+      .select(col("vec_id"), col("v"),
+        sqrt(dot(col("v"), col("v"))).as("n"), col("dq"))
+    val q = enc.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"), col("dq").as("qdq"))
+    val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ascore",
+        dot(col("dq"), col("qdq")) / (col("n") * col("qn")))
+    val short = shortlistTopK(
+      scored.withColumn("d2r", -round(col("ascore"), 6)), 64)
+    val rerank = short
+      .join(enc.select("vec_id", "v", "n"), Seq("vec_id"))
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+      .select("query_id", "vec_id", "cos")
+    rankedTopK(rerank, 5)
+  }
+
   // ---- deterministic hierarchical HNSW (r10 verdict #3) ------------------
 
   /** Layer cap, upper-layer beam width, and rounds-per-upper-layer. */
@@ -1723,6 +1782,7 @@ object Similarity {
     "ann_graph_scaled" -> (annGraphScaled _),
     "ann_graph_scaled_stats" -> (annGraphScaledStats _),
     "ann_hnsw" -> (annHnsw _),
+    "ann_sq8" -> (annSq8 _),
     "emb_kcenter" -> (embKcenter _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pagerank" -> (embPagerank _),
@@ -2267,6 +2327,56 @@ object Similarity {
          WHERE rk <= 5 ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replay of [[annSq8]]: bounds re-derived (exact min/max),
+    * identical quantization arithmetic, integer symmetric scores,
+    * (iscore desc, id asc) shortlist, exact-cosine re-rank. */
+  private val sq8Oracle: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+       bounds AS (
+         SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+         FROM (SELECT pos, min(x) AS lo, max(x) AS hi FROM (
+                 SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
+                 FROM emb) GROUP BY pos)),
+       enc0 AS (
+         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n, lo, hi,
+           list_transform(generate_series(1, len(v)), i ->
+             CASE WHEN hi[i] > lo[i] THEN
+               greatest(0, least(255, CAST(floor((v[i] - lo[i])
+                 / (hi[i] - lo[i]) * 255.0 + 0.5) AS INTEGER)))
+             ELSE 0 END) AS q
+         FROM emb CROSS JOIN bounds),
+       enc AS (
+         SELECT vec_id, v, n,
+           list_transform(generate_series(1, len(q)), i ->
+             lo[i] + CAST(q[i] AS DOUBLE) * (hi[i] - lo[i]) / 255.0) AS dq
+         FROM enc0),
+       qs AS (SELECT vec_id AS query_id, v AS qv, n AS qn, dq AS qdq
+              FROM enc WHERE vec_id IN (${queryIds.mkString(", ")})),
+       scored AS (
+         SELECT qs.query_id, e.vec_id,
+           list_dot_product(e.dq, qs.qdq) / (e.n * qs.qn) AS ascore
+         FROM enc e CROSS JOIN qs WHERE e.vec_id <> qs.query_id),
+       short AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(ascore, 6) DESC, vec_id ASC) AS rk
+           FROM scored) WHERE rk <= 64),
+       rerank AS (
+         SELECT s.query_id, s.vec_id AS neighbor_id,
+           list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
+         FROM short s
+         JOIN enc e ON e.vec_id = s.vec_id
+         JOIN qs q ON q.query_id = s.query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+         FROM rerank)
+       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** One PageRank iteration's CTE in FIXED-POINT arithmetic: ranks are
     * 1e-9-scaled BIGINTs, each edge contributes `ri // deg` (floor
     * integer division), and the damped update is
@@ -2527,6 +2637,7 @@ object Similarity {
          ${beamSearchSqlTail()}"""
     },
     "ann_hnsw" -> hnswOracle,
+    "ann_sq8" -> sq8Oracle,
     "emb_pagerank" -> pagerankOracle,
     "emb_dbscan" -> dbscanOracle,
     "emb_outliers" ->

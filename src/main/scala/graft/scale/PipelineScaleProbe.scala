@@ -112,6 +112,10 @@ object PipelineScaleProbe {
   val annProbeQueries: Seq[String] = Seq(
     "ann_topk", "ann_lsh_bucketed", "ann_ivf_bucketed", "ann_ivfpq_bucketed",
     "ann_graph_search", "ann_hnsw",
+    // SQ8 is the brute-force scan shape at 1/4 the scan bytes — its
+    // decades ride next to ann_topk's as the quantized/full-precision
+    // scan pair
+    "ann_sq8",
     "dedup_paragraph")
 
   /** Load-phase builds for [[annProbeQueries]] over `dir`. The in-memory

@@ -1227,6 +1227,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hnsw scored $hnswScored, nsw scored $nswScored")
   }
 
+  test("ann_sq8: recall@5 >= 0.95 vs exact top-k; well-formed ranking") {
+    // 8-bit scalar quantization reconstructs each dim to ~range/512, so
+    // the dequantized-cosine shortlist should essentially never miss a
+    // true top-5 neighbor (measured 1.0 at this SF)
+    val exact = graft.operators.Similarity.annTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq = graft.operators.Similarity.annSq8(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    sq.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to 5), s"query $q ranks")
+    }
+    val got = sq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & got(q)).size / 5.0).sum / exact.size
+    assert(recall >= 0.95, s"sq8 recall@5 $recall")
+  }
+
   test("text_pmi: equals a pure-Scala PMI computation, ranked top-40") {
     val texts = Tables.documents(spark, d)
       .select("text").collect().map(_.getString(0))
