@@ -102,6 +102,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => PairSpansetText(e(0)), "built-in")
     registry.createOrReplaceTempFunction("hilbert_key",
       (e: Seq[Expression]) => HilbertKey(e(0), e(1)), "built-in")
+    registry.createOrReplaceTempFunction("sq8_recon",
+      (e: Seq[Expression]) => Sq8Recon(e(0), e(1), e(2)), "built-in")
     // Unicode canonicalization (DuckDB-compatible names/semantics)
     registry.createOrReplaceTempFunction("nfc_normalize",
       (e: Seq[Expression]) => UnicodeNormalize(e(0), "NFC"), "built-in")

@@ -186,6 +186,26 @@ object VectorKernels {
     bestI
   }
 
+  /** Fused SQ8 quantize + dequantize (see [[Sq8Recon]]): the exact
+    * arithmetic the DuckDB oracle replays, one allocation per row. */
+  def sq8Recon(v: ArrayData, lo: ArrayData, hi: ArrayData): Array[Double] = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val l = lo.getDouble(i); val h = hi.getDouble(i)
+      if (h > l) {
+        val x = v.getDouble(i)
+        var q = math.floor((x - l) / (h - l) * 255.0 + 0.5).toInt
+        if (q < 0) q = 0
+        if (q > 255) q = 255
+        out(i) = l + q * (h - l) / 255.0
+      } else out(i) = l
+      i += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash over single-space-separated words (deterministic
     * seeded polynomial word hash; bit b set iff more word hashes have
     * bit b than not). */
@@ -211,6 +231,37 @@ object VectorKernels {
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+}
+
+/** Fused SQ8 quantize→reconstruct: per-dimension affine int8 encode of
+  * `v` against (lo, hi) bounds followed by dequantization, one codegen
+  * pass — the two chained higher-order `transform` lambdas this
+  * replaces are CodegenFallback (interpreted per element; measured 5x
+  * the brute-force scan at 5M vectors). Arithmetic matches the DuckDB
+  * oracle exactly: q = clamp(floor((x-lo)/(hi-lo)*255+0.5), 0, 255),
+  * recon = lo + q*(hi-lo)/255 (same association order). */
+case class Sq8Recon(first: Expression, second: Expression,
+                    third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_recon"
+
+  override protected def nullSafeEval(v0: Any, lo0: Any, hi0: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.sq8Recon(v0.asInstanceOf[ArrayData],
+        lo0.asInstanceOf[ArrayData], hi0.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, lo, hi) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorKernels.sq8Recon($v, $lo, $hi));""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Recon =
+    copy(first = f, second = s, third = t)
 }
 
 /** MinHash signature of a doc's (sorted or not) shingle-hash array —

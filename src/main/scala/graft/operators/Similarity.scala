@@ -1596,15 +1596,12 @@ object Similarity {
         struct(col("pos"), col("lo"), col("hi")))).as("b"))
       .select(transform(col("b"), x => x.getField("lo")).as("lo"),
         transform(col("b"), x => x.getField("hi")).as("hi"))
+    // quantize + dequantize in ONE native codegen kernel (sq8_recon):
+    // the chained higher-order transform lambdas are CodegenFallback —
+    // interpreted per element, measured 5x the brute-force scan cost
     val enc = e.crossJoin(broadcast(bounds))
-      .withColumn("q", expr(
-        "transform(v, (x, i) -> CASE WHEN hi[i] > lo[i] THEN " +
-          "greatest(0, least(255, cast(floor((x - lo[i]) / (hi[i] - lo[i])" +
-          " * 255.0 + 0.5) as int))) ELSE 0 END)"))
-      // dequantized reconstruction — what the scan decodes at read time
-      .withColumn("dq", expr(
-        "transform(q, (c, i) -> lo[i] + cast(c as double)" +
-          " * (hi[i] - lo[i]) / 255.0)"))
+      .withColumn("dq",
+        call_function("sq8_recon", col("v"), col("lo"), col("hi")))
       .select(col("vec_id"), col("v"),
         sqrt(dot(col("v"), col("v"))).as("n"), col("dq"))
     val q = enc.filter(col("vec_id").isin(queryIds: _*))
@@ -1615,7 +1612,10 @@ object Similarity {
         dot(col("dq"), col("qdq")) / (col("n") * col("qn")))
     val short = shortlistTopK(
       scored.withColumn("d2r", -round(col("ascore"), 6)), 64)
-    val rerank = short
+    // broadcast the 64-ids-per-query shortlist: a post-aggregate frame
+    // has no size stats, so the rerank join against the corpus would
+    // otherwise sort-merge-shuffle all of it (1.3 GB at 5M vectors)
+    val rerank = broadcast(short)
       .join(enc.select("vec_id", "v", "n"), Seq("vec_id"))
       .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
