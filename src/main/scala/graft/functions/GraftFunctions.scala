@@ -104,6 +104,12 @@ object GraftFunctions {
       (e: Seq[Expression]) => HilbertKey(e(0), e(1)), "built-in")
     registry.createOrReplaceTempFunction("sq8_recon",
       (e: Seq[Expression]) => Sq8Recon(e(0), e(1), e(2)), "built-in")
+    registry.createOrReplaceTempFunction("sq8_encode",
+      (e: Seq[Expression]) => Sq8Encode(e(0), e(1), e(2)), "built-in")
+    registry.createOrReplaceTempFunction("sq8_decode",
+      (e: Seq[Expression]) => Sq8Decode(e(0), e(1), e(2)), "built-in")
+    registry.createOrReplaceTempFunction("sq8_dot",
+      (e: Seq[Expression]) => Sq8Dot(e(0), e(1), e(2), e(3)), "built-in")
     // Unicode canonicalization (DuckDB-compatible names/semantics)
     registry.createOrReplaceTempFunction("nfc_normalize",
       (e: Seq[Expression]) => UnicodeNormalize(e(0), "NFC"), "built-in")

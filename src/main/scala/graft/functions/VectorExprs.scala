@@ -206,6 +206,59 @@ object VectorKernels {
     out
   }
 
+  /** SQ8 ENCODE to packed bytes (the write-time layout form): the same
+    * quantization as [[sq8Recon]], one byte per dimension. */
+  def sq8Encode(v: ArrayData, lo: ArrayData, hi: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val l = lo.getDouble(i); val h = hi.getDouble(i)
+      var q = 0
+      if (h > l) {
+        q = math.floor((v.getDouble(i) - l) / (h - l) * 255.0 + 0.5).toInt
+        if (q < 0) q = 0
+        if (q > 255) q = 255
+      }
+      out(i) = q.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** SQ8 DECODE from packed bytes to the dequantized reconstruction —
+    * encode∘decode equals [[sq8Recon]] exactly (the byte stores q
+    * losslessly; the reconstruction arithmetic is identical). */
+  def sq8Decode(code: Array[Byte], lo: ArrayData, hi: ArrayData): Array[Double] = {
+    val n = code.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val l = lo.getDouble(i); val h = hi.getDouble(i)
+      out(i) = if (h > l) l + (code(i) & 0xFF) * (h - l) / 255.0 else l
+      i += 1
+    }
+    out
+  }
+
+  /** Fused SQ8 decode + dot product: Σ dequant(code_i)·y_i with the
+    * reconstruction computed inline — same left-to-right fold and the
+    * same per-element arithmetic as [[sq8Decode]] followed by a dot, so
+    * the value is bit-identical, but no per-row array allocation. */
+  def sq8Dot(code: Array[Byte], lo: ArrayData, hi: ArrayData,
+             y: ArrayData): Double = {
+    val n = math.min(code.length, y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val l = lo.getDouble(i); val h = hi.getDouble(i)
+      val dq = if (h > l) l + (code(i) & 0xFF) * (h - l) / 255.0 else l
+      s += dq * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
   /** 64-bit SimHash over single-space-separated words (deterministic
     * seeded polynomial word hash; bit b set iff more word hashes have
     * bit b than not). */
@@ -262,6 +315,84 @@ case class Sq8Recon(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Sq8Recon =
     copy(first = f, second = s, third = t)
+}
+
+/** SQ8 encode to packed bytes (one byte per dimension) — the write-time
+  * layout column. */
+case class Sq8Encode(first: Expression, second: Expression,
+                     third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  override protected def nullSafeEval(v0: Any, lo0: Any, hi0: Any): Any =
+    VectorKernels.sq8Encode(v0.asInstanceOf[ArrayData],
+      lo0.asInstanceOf[ArrayData], hi0.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, lo, hi) =>
+      s"${ev.value} = graft.functions.VectorKernels.sq8Encode($v, $lo, $hi);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Encode =
+    copy(first = f, second = s, third = t)
+}
+
+/** SQ8 decode from packed bytes to the dequantized array. */
+case class Sq8Decode(first: Expression, second: Expression,
+                     third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.BinaryType,
+      ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_decode"
+
+  override protected def nullSafeEval(c0: Any, lo0: Any, hi0: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.sq8Decode(c0.asInstanceOf[Array[Byte]],
+        lo0.asInstanceOf[ArrayData], hi0.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, lo, hi) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorKernels.sq8Decode($c, $lo, $hi));""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Decode =
+    copy(first = f, second = s, third = t)
+}
+
+/** Fused SQ8 decode + dot (`sq8_dot(code, lo, hi, y)`) — the packed
+  * layout's per-candidate scoring kernel. */
+case class Sq8Dot(first: Expression, second: Expression,
+                  third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType),
+      ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_dot"
+
+  override protected def nullSafeEval(c0: Any, lo0: Any, hi0: Any,
+                                      y0: Any): Any =
+    VectorKernels.sq8Dot(c0.asInstanceOf[Array[Byte]],
+      lo0.asInstanceOf[ArrayData], hi0.asInstanceOf[ArrayData],
+      y0.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, lo, hi, y) =>
+      s"${ev.value} = graft.functions.VectorKernels.sq8Dot($c, $lo, $hi, $y);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Sq8Dot =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** MinHash signature of a doc's (sorted or not) shingle-hash array —

@@ -1590,12 +1590,7 @@ object Similarity {
     reg(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bounds = e.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
-      .agg(array_sort(collect_list(
-        struct(col("pos"), col("lo"), col("hi")))).as("b"))
-      .select(transform(col("b"), x => x.getField("lo")).as("lo"),
-        transform(col("b"), x => x.getField("hi")).as("hi"))
+    val bounds = sq8Bounds(e)
     // quantize + dequantize in ONE native codegen kernel (sq8_recon):
     // the chained higher-order transform lambdas are CodegenFallback —
     // interpreted per element, measured 5x the brute-force scan cost
@@ -1617,6 +1612,91 @@ object Similarity {
     // otherwise sort-merge-shuffle all of it (1.3 GB at 5M vectors)
     val rerank = broadcast(short)
       .join(enc.select("vec_id", "v", "n"), Seq("vec_id"))
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+      .select("query_id", "vec_id", "cos")
+    rankedTopK(rerank, 5)
+  }
+
+  /** Per-dimension (lo, hi) bounds frame shared by the SQ8 paths. */
+  private def sq8Bounds(e: DataFrame): DataFrame =
+    e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("lo"), col("hi")))).as("b"))
+      .select(transform(col("b"), x => x.getField("lo")).as("lo"),
+        transform(col("b"), x => x.getField("hi")).as("hi"))
+
+  /** Write-time SQ8 layout (the production form of [[annSq8]]): the
+    * corpus stored as (vec_id, norm, 64 PACKED BYTES of codes) plus a
+    * one-row bounds table — the scan of the search path reads ~72 B
+    * per vector instead of 512 B of float64 (the 4-8x scan-byte cut
+    * SQ8 exists for, now measured rather than argued). Encode is
+    * ingest work, cached by the standard mtime marker. */
+  def buildSq8Layout(s: SparkSession, d: String): java.io.File = {
+    reg(s)
+    val src = new java.io.File(d).getCanonicalFile
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    val layout = new java.io.File(
+      s"target/ann_sq8_${src.getName}_$fp").getAbsoluteFile
+    val srcFile = new java.io.File(src, "embeddings.parquet")
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
+    val marker = new java.io.File(layout, "_SUCCESS")
+    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      sq8Bounds(e).coalesce(1).write.mode("overwrite")
+        .parquet(s"${layout}_bounds")
+      val bounds = s.read.parquet(s"${layout}_bounds")
+      e.crossJoin(broadcast(bounds))
+        .select(col("vec_id"),
+          sqrt(dot(col("v"), col("v"))).as("n"),
+          call_function("sq8_encode", col("v"), col("lo"), col("hi"))
+            .as("code"))
+        .write.mode("overwrite").parquet(layout.getPath)
+    }
+    layout
+  }
+
+  /** `ann_sq8_packed` gate entry: [[annSq8]]'s search over the packed
+    * write-time layout — the corpus scan reads codes + norms only (no
+    * float64 vectors), decodes with the native kernel, and only the
+    * 64-per-query re-rank ids touch the full-precision base table.
+    * Row-identical to `ann_sq8` (encode∘decode reproduces the same
+    * reconstruction bytes-for-bits), so it shares the oracle. */
+  def annSq8Packed(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val layout = buildSq8Layout(s, d)
+    val bounds = s.read.parquet(s"${layout.getPath}_bounds")
+    // codes stay PACKED through the scan; scoring decodes inline in the
+    // fused sq8_dot kernel (a per-row decode-to-array allocation made
+    // the packed path SLOWER than the full-precision scan: 4.7 s vs
+    // 2.4 s at 5M vectors)
+    val enc = s.read.parquet(layout.getPath)
+      .crossJoin(broadcast(bounds))
+      .select(col("vec_id"), col("n"), col("code"), col("lo"), col("hi"))
+    // query side reads the BASE table (10 ids, isin pushed to the scan)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .crossJoin(broadcast(bounds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        sqrt(dot(col("v"), col("v"))).as("qn"),
+        call_function("sq8_recon", col("v"), col("lo"), col("hi"))
+          .as("qdq"))
+    val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ascore",
+        call_function("sq8_dot", col("code"), col("lo"), col("hi"),
+          col("qdq")) / (col("n") * col("qn")))
+    val short = shortlistTopK(
+      scored.withColumn("d2r", -round(col("ascore"), 6)), 64)
+    val rerank = broadcast(short)
+      .join(e.withColumn("n", sqrt(dot(col("v"), col("v"))))
+        .select("vec_id", "v", "n"), Seq("vec_id"))
       .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
       .select("query_id", "vec_id", "cos")
@@ -1783,6 +1863,7 @@ object Similarity {
     "ann_graph_scaled_stats" -> (annGraphScaledStats _),
     "ann_hnsw" -> (annHnsw _),
     "ann_sq8" -> (annSq8 _),
+    "ann_sq8_packed" -> (annSq8Packed _),
     "emb_kcenter" -> (embKcenter _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pagerank" -> (embPagerank _),
@@ -2638,6 +2719,9 @@ object Similarity {
     },
     "ann_hnsw" -> hnswOracle,
     "ann_sq8" -> sq8Oracle,
+    // row-identical to ann_sq8 (encode∘decode reproduces the same
+    // reconstructions) — same oracle text
+    "ann_sq8_packed" -> sq8Oracle,
     "emb_pagerank" -> pagerankOracle,
     "emb_dbscan" -> dbscanOracle,
     "emb_outliers" ->

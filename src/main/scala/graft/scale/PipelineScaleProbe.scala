@@ -114,8 +114,9 @@ object PipelineScaleProbe {
     "ann_graph_search", "ann_hnsw",
     // SQ8 is the brute-force scan shape at 1/4 the scan bytes — its
     // decades ride next to ann_topk's as the quantized/full-precision
-    // scan pair
-    "ann_sq8",
+    // scan pair; the _packed variant reads the write-time byte layout
+    // (the measured scan-byte cut), its encode untimed load phase
+    "ann_sq8", "ann_sq8_packed",
     "dedup_paragraph")
 
   /** Load-phase builds for [[annProbeQueries]] over `dir`. The in-memory
@@ -125,6 +126,7 @@ object PipelineScaleProbe {
     * untimed build, leaving the pruned code-scan as the timed query. */
   def buildAnnLayouts(spark: SparkSession, dir: String): Unit = {
     graft.operators.Similarity.buildLshLayout(spark, dir)
+    graft.operators.Similarity.buildSq8Layout(spark, dir)
     graft.operators.Similarity.buildIvfLayout(spark, dir)
     graft.operators.Similarity.buildIvfPqLayout(spark, dir)
     // NOT the graph layout: ann_graph_search is auditAtBase (fixed
@@ -199,6 +201,8 @@ object PipelineScaleProbe {
       graft.operators.Similarity.buildGraphLayout(spark, dir)
     if (selQs.contains("ann_hnsw"))
       graft.operators.Similarity.buildHnswLayout(spark, dir)
+    if (selQs.contains("ann_sq8_packed"))
+      graft.operators.Similarity.buildSq8Layout(spark, dir)
     // same per-query task-metric attribution as the bench: the probe's
     // scale claims need spill/shuffle evidence, not just wall-clock
     val metrics = new graft.util.BenchMetricsListener

@@ -157,6 +157,44 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys3.sorted.sameElements(0L until 512L))
   }
 
+  test("sq8 kernels: encode∘decode == recon == the HOF-SQL twin; " +
+       "fused sq8_dot == dot(decode, y) (fuzz, codegen paths)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val cases = (0 until 30).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 4 - 2),
+        Array.fill(dim)(rnd.nextDouble() * 4 - 2))
+    }
+    val lo = Array.tabulate(dim)(j => cases.map(_._2(j)).min)
+    val hi = Array.tabulate(dim)(j =>
+      if (j == 3) lo(3) else cases.map(_._2(j)).max) // j=3: degenerate dim
+    val df = cases.toDF("i", "v", "y")
+      .selectExpr(s"i", "v", "y",
+        s"cast(array(${lo.mkString(",")}) as array<double>) AS lo",
+        s"cast(array(${hi.mkString(",")}) as array<double>) AS hi")
+      .selectExpr("i",
+        "sq8_recon(v, lo, hi) AS recon",
+        "sq8_decode(sq8_encode(v, lo, hi), lo, hi) AS roundtrip",
+        "sq8_dot(sq8_encode(v, lo, hi), lo, hi, y) AS fused",
+        "vec_dot(sq8_decode(sq8_encode(v, lo, hi), lo, hi), y) AS plain",
+        // the HOF twin the oracle replays (identical arithmetic)
+        "transform(transform(v, (x, j) -> CASE WHEN hi[j] > lo[j] THEN " +
+          "greatest(0, least(255, cast(floor((x - lo[j]) / (hi[j] - lo[j])" +
+          " * 255.0 + 0.5) as int))) ELSE 0 END), " +
+          "(c, j) -> lo[j] + cast(c as double) * (hi[j] - lo[j]) / 255.0)" +
+          " AS hof")
+      .collect()
+    for (r <- df) {
+      val recon = r.getSeq[Double](1)
+      assert(recon == r.getSeq[Double](2), s"roundtrip != recon at ${r.getLong(0)}")
+      assert(recon == r.getSeq[Double](5), s"hof != recon at ${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(4),
+        s"fused dot != plain dot at ${r.getLong(0)}")
+    }
+  }
+
   test("vec_nearest_cell / vec_probe_cells match brute-force argmin (codegen)") {
     val sp = spark
     import sp.implicits._
