@@ -98,7 +98,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlFor(None)
+
+  /** [[oracleSql]] threaded with the dataset dir the dump is FOR —
+    * [[Verify]] passes its sfDir so the trained-artifact oracles
+    * (lang-ID weights, scaled-graph plane family) interpolate THAT
+    * dir's artifacts rather than whichever dir a query last ran
+    * against (the last-run-wins globals remain only as the no-arg
+    * fallback for ad-hoc use). */
+  def oracleSqlFor(dir: Option[String]): Map[String, String] = Map(
     "berlinmod_e2e" -> e2eOracleSql,
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -352,10 +360,10 @@ object SparkEntry {
            AS w(win_id, lo, hi)
            ON e.ts >= w.lo AND e.ts < w.hi
          GROUP BY win_id ORDER BY win_id""",
-  ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+  ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oraclesFor(dir) ++
     TextAnalysis.oracles ++ Multimodal.oracles ++
     Quality.oracles ++ Sketches.oracles ++
-    graft.operators.Multilingual.oracles ++
+    graft.operators.Multilingual.oraclesFor(dir) ++
     graft.sources.RoundTrip.oracles ++
     graft.sources.TarShards.oracles ++
     // the streaming gate entries provably equal their batch operators

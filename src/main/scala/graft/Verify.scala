@@ -95,7 +95,9 @@ object Verify {
       spark.catalog.clearCache()
       r
     }
-    val json = SparkEntry.oracleSql
+    // thread the dir being dumped: trained-artifact oracles (lang-ID,
+    // scaled-graph plane family) must interpolate THIS dir's artifacts
+    val json = SparkEntry.oracleSqlFor(Some(sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query run manifest: fixed file AND one bare stdout JSON line —

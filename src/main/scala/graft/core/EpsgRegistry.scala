@@ -695,13 +695,15 @@ object EpsgRegistry {
         41.03333333333333, 40.666666666666664, 40.166666666666664, -74.0,
         300000.0, 0.0))
       // NAD83 State Plane TM tier — Arizona East/Central/West (meters,
-      // k0 = 0.9999, FE = 213360 m = 700000 international feet)
+      // FE = 213360 m = 700000 international feet). Scale reductions
+      // differ per zone: East/Central 1:10000 (k0 = 0.9999), West
+      // 1:15000 (k0 = 0.999933...) — SPCS83 defining constants.
       case 26948 => CrsDef(DatumGrs80,
         TmercProj(Grs80, 31.0, -110.16666666666667, 0.9999, 213360.0, 0.0))
       case 26949 => CrsDef(DatumGrs80,
         TmercProj(Grs80, 31.0, -111.91666666666667, 0.9999, 213360.0, 0.0))
       case 26950 => CrsDef(DatumGrs80,
-        TmercProj(Grs80, 31.0, -113.75, 0.9999, 213360.0, 0.0))
+        TmercProj(Grs80, 31.0, -113.75, 0.9999333333333333, 213360.0, 0.0))
       // NAD27 / UTM north zones 3-22
       case z if z >= 26703 && z <= 26722 =>
         CrsDef(DatumNad27, TmercProj(Clarke1866, 0.0, (z - 26700) * 6 - 183,
@@ -735,6 +737,31 @@ object EpsgRegistry {
       case 21781 => CrsDef(DatumCh1903, ObliqueMerc(Bessel1841,
         46.0 + 57.0 / 60 + 8.66 / 3600, 7.0 + 26.0 / 60 + 22.5 / 3600,
         90.0, 90.0, 1.0, 600000.0, 200000.0, variantB = true))
+      // CH1903+ / LV95 — LV03 shifted to the (2.6M, 1.2M) false origin;
+      // the published Helmert set (674.374/15.056/405.346, the Bern
+      // parameters) is the CH1903+ one the registry already carries
+      case 2056 => CrsDef(DatumCh1903, ObliqueMerc(Bessel1841,
+        46.0 + 57.0 / 60 + 8.66 / 3600, 7.0 + 26.0 / 60 + 22.5 / 3600,
+        90.0, 90.0, 1.0, 2600000.0, 1200000.0, variantB = true))
+      // NAD83 / Alaska zone 1 (SPCS83) — variant A, the negative-azimuth
+      // case (αc = γc = -36°52'11.6315", the published sexagesimal —
+      // atan(-3/4) differs in the 8th decimal)
+      case 26931 => CrsDef(DatumGrs80, ObliqueMerc(Grs80,
+        57.0, -133.66666666666667,
+        -(36.0 + 52.0 / 60 + 11.6315 / 3600),
+        -(36.0 + 52.0 / 60 + 11.6315 / 3600),
+        0.9999, 5000000.0, -5000000.0, variantB = false))
+      // GDM2000 RSO grids (GDM2000 is WGS84-coincident) — variant A
+      case 3375 => CrsDef(DatumGrs80, ObliqueMerc(Grs80, // Peninsular RSO
+        4.0, 102.25,
+        323.0 + 1.0 / 60 + 32.8467 / 3600,   // azimuth of initial line
+        323.0 + 7.0 / 60 + 48.3685 / 3600,   // rectified-to-skew angle
+        0.99984, 804671.0, 0.0, variantB = false))
+      case 3376 => CrsDef(DatumGrs80, ObliqueMerc(Grs80, // East Malaysia BRSO
+        4.0, 115.0,
+        53.0 + 18.0 / 60 + 56.9537 / 3600,
+        53.0 + 7.0 / 60 + 48.3685 / 3600,
+        0.99984, 0.0, 0.0, variantB = false))
       // HD72 / EOV (Hungary) — the other national αc = 90° HOM-B grid
       case 23700 => CrsDef(DatumHd72, ObliqueMerc(Grs67,
         47.0 + 8.0 / 60 + 39.8174 / 3600, 19.0 + 2.0 / 60 + 54.8584 / 3600,

@@ -243,6 +243,22 @@ object Multilingual {
     * keeps the dump correct even when a test session trains two dirs. */
   @volatile private var lastLangDir: String = null
 
+  /** The bounded training sample's id set: the [[TrainSampleN]] lowest
+    * xxhash64(doc_id) docs. ONE definition shared by [[fitLangModel]]
+    * (trains on exactly these docs) and [[langIdConfusion]]'s held-out
+    * anti-join (must exclude exactly these docs) — a drifted second
+    * copy would silently evaluate "held-out" agreement on partially
+    * trained-on docs. The id comes out pre-aliased as `train_id`:
+    * joining a frame with its own derived LIMIT on the SAME attribute
+    * resolves both join sides to one attribute (trivially true — every
+    * row removed from an anti-join, observed as a 0-row held-out
+    * split), so callers join on `doc_id === train_id`. */
+  private val TrainSampleN = 2000
+  private def trainingSampleIds(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("train_id"))
+      .withColumn("hk", xxhash64(col("train_id")))
+      .orderBy("hk").limit(TrainSampleN).select("train_id")
+
   /** Deterministic in-repo fit (the [[Quality.fitClassifier]]
     * distillation precedent): character-trigram hash-gram frequencies
     * ([[B]] = 64 buckets via the md5-lower64 hash) over the derived
@@ -256,10 +272,11 @@ object Multilingual {
     val m = expr(mtextSql("text", "lang", decomposed = false))
     val sample = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), m.as("m"))
-      .withColumn("hk", xxhash64(col("doc_id")))
-      .orderBy("hk").limit(2000)
-      // the limit collapses to one partition; spread the 2000 docs
-      // before the per-gram md5 expand (same reason as the scorer)
+      .join(trainingSampleIds(Tables.documents(s, d)),
+        col("doc_id") === col("train_id"))
+      .drop("train_id")
+      // the bounded sample is tiny; spread the docs before the per-gram
+      // md5 expand (same reason as the scorer)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, greatest(char_length(m) - 2, 1))," +
@@ -370,16 +387,12 @@ object Multilingual {
     val base0 = Tables.documents(s, d)
     val base =
       if (!heldOutOnly) base0
-      else {
-        // alias the id before the self-anti-join: joining a frame with
-        // its own derived LIMIT on the SAME attribute makes the join
-        // condition resolve both sides to one attribute (trivially true
-        // — every row anti-removed, observed as a 0-row held-out split)
-        val trained = base0.select(col("doc_id").as("train_id"))
-          .withColumn("hk", xxhash64(col("train_id")))
-          .orderBy("hk").limit(2000).select("train_id")
-        base0.join(trained, col("doc_id") === col("train_id"), "left_anti")
-      }
+      else
+        // exclude exactly the docs fitLangModel trained on — the shared
+        // trainingSampleIds helper IS the training-sample rule, so the
+        // held-out split cannot drift from it
+        base0.join(trainingSampleIds(base0),
+          col("doc_id") === col("train_id"), "left_anti")
     val grams = base
       .select(col("doc_id"), col("lang"), m.as("m"))
       .repartition(s.sparkContext.defaultParallelism)
@@ -447,8 +460,14 @@ object Multilingual {
     * driver always runs queries before dumping oracles — the IVF-codebook
     * convention, which also OMITS the entry when untrained rather than
     * dumping a degenerate model). */
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesFor(None)
+
+  /** Threaded form: the model oracle interpolates the weights trained
+    * against the dir being DUMPED (not whichever dir last ran — see
+    * [[SparkEntry.oracleSqlFor]]); no-arg falls back to last-run. */
+  def oraclesFor(dumpDir: Option[String]): Map[String, String] = Map(
     "text_multilingual" -> multilingualOracle) ++
-    Option(lastLangDir).flatMap(d => Option(trainedLang.get(d)))
+    dumpDir.orElse(Option(lastLangDir))
+      .flatMap(d => Option(trainedLang.get(d)))
       .map(m => "text_lang_id_model" -> langIdModelOracle(m)).toMap
 }

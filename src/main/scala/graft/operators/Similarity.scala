@@ -1414,14 +1414,20 @@ object Similarity {
     * same representatives. */
   private val GraphBuildCap = 32
 
-  /** Plane count that tracks the corpus: P = max(8, ceil(log2(n/T)))
+  /** Plane count that tracks the corpus: P = max(3, ceil(log2(n/T)))
     * holds per-bucket population ≈ [[GraphTargetBucket]] at any n, so
     * candidate volume per vector is ≈ T·(P+1) — bounded by a LOG of the
     * corpus size, where the fixed 8-plane gate family grows linearly
     * ([[PipelineScaleProbe]] auditAtBase note: ~36B candidate pairs at
-    * 500k vectors; this build measures ~450M there). */
+    * 500k vectors; this build measures ~450M there). The floor is 3,
+    * not the fixed family's 8: an 8-plane floor at the 500-vector gate
+    * SFs makes 256 buckets of ~2 members — a graph built from ~18
+    * candidates per node, recall-capped at 0.56-0.60 no matter how the
+    * walk is seeded. P = 3 restores the design's own mean-bucket ≈ T
+    * at tiny n (8 buckets × ~62); production corpora (n ≥ 2^3·T = 512)
+    * are governed by the log term either way. */
   private[graft] def scaledPlaneCount(n: Long): Int =
-    math.max(8, math.ceil(
+    math.max(3, math.ceil(
       math.log(math.max(n, 1).toDouble / GraphTargetBucket) / math.log(2.0)
     ).toInt)
 
@@ -1437,6 +1443,52 @@ object Similarity {
     * that TRACKS n instead). */
   private def probes1N(b: Column, p: Int): Column =
     array(b +: (0 until p).map(i => b.bitwiseXOR(lit(1 << i))): _*)
+
+  /** 1-bit + 2-bit flip masks of a P-plane bucket (the [[flips2]]
+    * family generalized to any P). */
+  private def masks2N(p: Int): Seq[Int] =
+    (0 until p).map(1 << _) ++
+      (for (i <- 0 until p; j <- i + 1 until p) yield (1 << i) | (1 << j))
+
+  /** Query-side SEED probe set for the scaled graph: bucket + 1-bit +
+    * 2-bit flips. The BUILD stays on the (P+1)-probe 1-bit family (that
+    * side is corpus-shaped — n·(P+1) rows); seeding is per-QUERY work,
+    * so it can afford the O(P²) set: 1+P+P(P-1)/2 probes ≈ 211 at the
+    * 50M-vector P = 20, times the [[GraphBuildCap]] bucket cap ≈ 6.7k
+    * seed rows per query — still corpus-size-independent. Measured at
+    * gate SFs (with the P = 3 floor family): recall@5 0.86 at sf0.001
+    * / 0.94 at sf0.01, vs 0.60 / 0.74 with 1-bit seeds over the old
+    * 8-plane-floor family. */
+  private def probes2N(b: Column, p: Int): Column =
+    array(b +: masks2N(p).map(m => b.bitwiseXOR(lit(m))): _*)
+
+  /** The skew-proof per-bucket candidate cap as a BOUNDED min-k
+    * partial+final aggregate over (bkt, vec_id) IDS ONLY — emits the
+    * ≤[[GraphBuildCap]] lowest-vec_id members of every bucket as
+    * (bkt, vec_id) rows. The r11 form — `row_number() OVER (PARTITION
+    * BY bkt ORDER BY vec_id)` — was a window: ALL members of a bucket
+    * (full 64-double vectors and norms included) land in one task and
+    * get SORTED before the `<= cap` filter drops them (measured 2.7 GB
+    * of disk spill at 500k vectors; a degenerate near-dup corpus makes
+    * the biggest bucket O(n) rows in a single-task sort that no
+    * plane-count growth fixes, since identical vectors share every
+    * sign bit at any P). Here each partition keeps at most cap ids per
+    * bucket ([[TopKOrdered]]), the one exchange carries cap-bounded
+    * ids-only partial states, and callers re-join vectors only for the
+    * capped representatives. The selected set is identical by
+    * construction (same lowest-ids-per-bucket rule; the double sort
+    * key is exact for ids < 2^53). */
+  private def cappedBucketIds(eb: DataFrame): DataFrame = {
+    val agg = udaf(new TopKOrdered(GraphBuildCap),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long, Double)]())
+    eb.select(col("bkt"), col("vec_id"))
+      .groupBy("bkt")
+      .agg(agg(col("vec_id").cast("double"), col("vec_id"), lit(0.0))
+        .as("top"))
+      .select(col("bkt"), explode(col("top")).as("p"))
+      .select(col("bkt"), col("p._1").as("vec_id"))
+  }
 
   /** Recorded plane count per dataset dir — the [[trainedCodebooks]]
     * convention: the oracle must interpolate the exact plane family the
@@ -1464,7 +1516,7 @@ object Similarity {
     * volume per vector ≈ T·(P+1) stays ~constant-per-vector across
     * decades (measured rows in SURVEY §8), where the fixed family's
     * grows linearly. */
-  private def graphEdgesScaled(s: SparkSession, d: String): DataFrame = {
+  private[graft] def graphEdgesScaled(s: SparkSession, d: String): DataFrame = {
     val p = scaledPFor(s, d)
     val pl = planesN(p)
     val e = Tables.embeddings(s, d)
@@ -1472,12 +1524,13 @@ object Similarity {
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val eb = e.withColumn("bkt", bucketN(col("v"), pl))
     // candidate side: at most GraphBuildCap lowest-id members per bucket
-    // (the skew-proof bound — see the GraphBuildCap scaladoc)
-    val capped = eb
-      .withColumn("brk", row_number().over(
-        Window.partitionBy("bkt").orderBy(col("vec_id").asc)))
-      .filter(col("brk") <= GraphBuildCap)
-      .drop("brk")
+    // (the skew-proof bound — see the cappedBucketIds scaladoc), vectors
+    // re-joined for the capped representatives only (one vec_id-keyed
+    // exchange of the base table — uniform unique key, no skew)
+    val capped = e.join(
+      cappedBucketIds(eb).select(col("vec_id").as("capped_id"), col("bkt")),
+      col("vec_id") === col("capped_id"))
+      .drop("capped_id")
     val qside = eb.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("n").as("qn"), explode(probes1N(col("bkt"), p)).as("bkt"))
     val fwd = rankedTopK(
@@ -1496,10 +1549,10 @@ object Similarity {
     * by the [[beamSearchAudited]] walk seeded from the query's own
     * quantizer buckets (see the body comment). Exact oracle: the plane
     * family is deterministic given the corpus count, recorded per-dir
-    * and interpolated ([[trainedCodebooks]] convention); at both gate
-    * SFs P = 8, so the family equals the gate family and only the
-    * probe set (1-bit vs 2-bit), the candidate cap, and the seeding
-    * differ. */
+    * and interpolated ([[trainedCodebooks]] convention); at the
+    * 500-vector gate SFs [[scaledPlaneCount]] gives P = 3 (8 buckets ≈
+    * the design's mean-[[GraphTargetBucket]] target), and the oracle
+    * replays that exact family, probe sets, cap, and seeding. */
   def annGraphScaled(s: SparkSession, d: String): DataFrame = {
     reg(s)
     val p = scaledPFor(s, d)
@@ -1514,19 +1567,17 @@ object Similarity {
     // right neighborhood instead of having to traverse there — a
     // fixed-entry beam cannot cross a log-n-diameter graph (measured
     // recall@5 at 500k vectors: 0.34 unseeded at L = 4, 0.36 unseeded
-    // even at L = P = 13 rounds, 0.52 own-bucket-seeded, 0.72 with the
-    // probe seeding below; the gate's exact-oracle twin of this number
-    // is the row itself). Per-query entry work is ≤ GraphEntryBound +
-    // GraphBuildCap·(P+1) rows — corpus-size-independent.
+    // even at L = P = 13 rounds, 0.52 own-bucket-seeded, 0.72 with
+    // 1-bit probe seeding; the gate's exact-oracle twin of this number
+    // is the row itself). The seed probes are the 2-bit [[probes2N]]
+    // family (per-query work affords O(P²) — see its scaladoc); entry
+    // work per query is ≤ GraphEntryBound + GraphBuildCap·|probes| —
+    // corpus-size-independent.
     val eb = e.withColumn("bkt", bucketN(col("v"), pl))
-    val capped = eb
-      .withColumn("brk", row_number().over(
-        Window.partitionBy("bkt").orderBy(col("vec_id").asc)))
-      .filter(col("brk") <= GraphBuildCap)
     val seed = eb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"),
-        explode(probes1N(col("bkt"), p)).as("bkt"))
-      .join(capped.select(col("vec_id"), col("bkt")), Seq("bkt"))
+        explode(probes2N(col("bkt"), p)).as("bkt"))
+      .join(cappedBucketIds(eb), Seq("bkt"))
       .select("query_id", "vec_id")
     // materialize the edge table ONCE: every checkpointed beam round
     // references `edges`, and an un-materialized build would re-execute
@@ -1585,7 +1636,14 @@ object Similarity {
     * ids per query. Exact oracle: bounds re-derived in DuckDB (min/max
     * of the same doubles are the same doubles), identical quantize /
     * dequantize arithmetic, the same left-to-right dot fold both
-    * engines already agree on, 6-dp-rounded rank keys. */
+    * engines already agree on, 6-dp-rounded rank keys.
+    *
+    * NOTE: this gate variant is the ORACLE form — it scans the full
+    * float64 vectors AND reconstructs per row (both engines must see
+    * exact doubles), which costs ~3x the brute-force scan. The
+    * production operator is [[annSq8Packed]]: identical rows, but the
+    * scan reads the ~72 B/vector write-time layout through the fused
+    * `sq8_dot` codegen kernel — reach for that one. */
   def annSq8(s: SparkSession, d: String): DataFrame = {
     reg(s)
     val e = Tables.embeddings(s, d)
@@ -1696,6 +1754,121 @@ object Similarity {
       scored.withColumn("d2r", -round(col("ascore"), 6)), 64)
     val rerank = broadcast(short)
       .join(e.withColumn("n", sqrt(dot(col("v"), col("v"))))
+        .select("vec_id", "v", "n"), Seq("vec_id"))
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+      .select("query_id", "vec_id", "cos")
+    rankedTopK(rerank, 5)
+  }
+
+  // ---- IVF × SQ8 composition (r11 verdict #4) -----------------------------
+
+  /** Write-time IVF,SQ8 layout — FAISS's canonical production index
+    * family ("IVF,SQ8"): the corpus stored as (vec_id, norm, 64 packed
+    * SQ8 code bytes) PARTITIONED BY its coarse-quantizer cell, with the
+    * k-means codebook and the global per-dimension bounds as one-file
+    * sidecars. The two halves' savings MULTIPLY: a probe reads
+    * ~nprobe/k of the corpus ([[buildIvfLayout]]'s partition pruning)
+    * and each row it reads is ~72 B instead of 512 ([[buildSq8Layout]]'s
+    * byte cut) — at nprobe/k = 6/32 that is ~2.6% of the brute-force
+    * scan bytes. Same mtime staleness rules as every layout. */
+  def buildIvfSq8Layout(s: SparkSession, d: String): java.io.File = {
+    reg(s)
+    val src = new java.io.File(d).getCanonicalFile
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    val layout = new java.io.File(
+      s"target/ann_ivfsq8_${src.getName}_$fp").getAbsoluteFile
+    val srcFile = new java.io.File(src, "embeddings.parquet")
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
+    val marker = new java.io.File(layout, "_SUCCESS")
+    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = trainCodebook(e)
+      import s.implicits._
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_codebook")
+      sq8Bounds(e).coalesce(1).write.mode("overwrite")
+        .parquet(s"${layout}_bounds")
+      val bounds = s.read.parquet(s"${layout}_bounds")
+      e.crossJoin(broadcast(bounds))
+        .select(col("vec_id"),
+          sqrt(dot(col("v"), col("v"))).as("n"),
+          call_function("sq8_encode", col("v"), col("lo"), col("hi"))
+            .as("code"),
+          nearestCell(cents)(col("v")).as("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(layout.getPath)
+    }
+    layout
+  }
+
+  /** `ann_ivf_sq8` gate entry: IVF cell pruning × SQ8 packed bytes over
+    * the write-time layout. The scan reads ONLY the probed cells'
+    * packed-code rows (the probed-cell list is a driver-computed
+    * LITERAL isin filter — static partition pruning, the
+    * [[annIvfPqBucketed]] convention) and scores them with the fused
+    * `sq8_dot` decode-dot kernel; the 64-id shortlist is the bounded
+    * [[TopKOrdered]] aggregate and only those ids touch the
+    * full-precision base table for the exact re-rank. Exact oracle:
+    * codebook + bounds interpolated (the [[trainedCodebooks]]
+    * convention), DuckDB replays cell assignment, nprobe probing, the
+    * identical quantize/dequantize arithmetic, and both rankings. */
+  def annIvfSq8(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val layout = buildIvfSq8Layout(s, d)
+    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    trainedCodebooks.put("ann_ivf_sq8", cents)
+    val bounds = s.read.parquet(s"${layout.getPath}_bounds")
+    val eBase = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // query vectors: a bounded collect (10 ids) so the probed-cell list
+    // becomes a LITERAL isin filter -> partition pruning at the scan
+    val qVecs: Array[(Long, Array[Double])] =
+      eBase.filter(col("vec_id").isin(queryIds: _*)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def nearestCells(v: Array[Double]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        var d2 = 0.0; var k = 0
+        while (k < v.length) { val t = v(k) - c(k); d2 += t * t; k += 1 }
+        (d2, i)
+      }.sortBy(p => (p._1, p._2)).take(IvfNProbe).map(_._2).toSeq
+    val probed: Map[Long, Seq[Int]] =
+      qVecs.map { case (id, v) => id -> nearestCells(v) }.toMap
+    val allCells = probed.values.flatten.toSeq.distinct.sorted
+    // query side: reconstructed query (the symmetric estimator annSq8
+    // uses) x its nprobe cells — <= 60 rows, broadcast
+    val q = eBase.filter(col("vec_id").isin(queryIds: _*))
+      .crossJoin(broadcast(bounds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        sqrt(dot(col("v"), col("v"))).as("qn"),
+        call_function("sq8_recon", col("v"), col("lo"), col("hi"))
+          .as("qdq"))
+    import s.implicits._
+    val qCells = probed.toSeq
+      .flatMap { case (id, cs) => cs.map(c => (id, c)) }
+      .toDF("query_id", "cell")
+    val qq = q.select("query_id", "qn", "qdq")
+      .join(broadcast(qCells), Seq("query_id"))
+    // packed scan of the probed cells only; codes stay packed through
+    // the scan and decode inside the fused kernel (annSq8Packed note)
+    val enc = s.read.parquet(layout.getPath)
+      .filter(col("cell").isin(allCells: _*))
+      .crossJoin(broadcast(bounds))
+    val scored = enc.join(broadcast(qq), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ascore",
+        call_function("sq8_dot", col("code"), col("lo"), col("hi"),
+          col("qdq")) / (col("n") * col("qn")))
+    val short = shortlistTopK(
+      scored.withColumn("d2r", -round(col("ascore"), 6)), 64)
+    val rerank = broadcast(short)
+      .join(eBase.withColumn("n", sqrt(dot(col("v"), col("v"))))
         .select("vec_id", "v", "n"), Seq("vec_id"))
       .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
@@ -1864,6 +2037,7 @@ object Similarity {
     "ann_hnsw" -> (annHnsw _),
     "ann_sq8" -> (annSq8 _),
     "ann_sq8_packed" -> (annSq8Packed _),
+    "ann_ivf_sq8" -> (annIvfSq8 _),
     "emb_kcenter" -> (embKcenter _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pagerank" -> (embPagerank _),
@@ -1968,6 +2142,77 @@ object Similarity {
            row_number() OVER (PARTITION BY query_id
              ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
          FROM scored)
+       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB replay of [[annIvfSq8]]: the codebook rides along as a
+    * VALUES literal ([[ivfOracleSelect]]'s cell assignment + nprobe
+    * probing), bounds re-derived (exact min/max), identical
+    * quantize/dequantize arithmetic ([[sq8Oracle]]'s), candidates
+    * restricted to cell matches, (round(ascore, 6) desc, id asc)
+    * 64-shortlist, exact-cosine re-rank. */
+  private def ivfSq8OracleSelect(cents: Array[Array[Double]]): String = {
+    val vals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
+      .mkString(",\n")
+    s"""WITH cells(cell, c) AS (VALUES $vals),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       bounds AS (
+         SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+         FROM (SELECT pos, min(x) AS lo, max(x) AS hi FROM (
+                 SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
+                 FROM emb) GROUP BY pos)),
+       dist AS (
+         SELECT e.vec_id, e.v, cl.cell,
+           list_sum(list_transform(generate_series(1, len(cl.c)),
+             i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
+         FROM emb e CROSS JOIN cells cl),
+       crk AS MATERIALIZED (
+         SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+         FROM dist),
+       enc0 AS (
+         SELECT r.vec_id, r.v, r.cell,
+           sqrt(list_dot_product(r.v, r.v)) AS n, lo, hi,
+           list_transform(generate_series(1, len(r.v)), i ->
+             CASE WHEN hi[i] > lo[i] THEN
+               greatest(0, least(255, CAST(floor((r.v[i] - lo[i])
+                 / (hi[i] - lo[i]) * 255.0 + 0.5) AS INTEGER)))
+             ELSE 0 END) AS q
+         FROM crk r CROSS JOIN bounds WHERE r.rk = 1),
+       enc AS MATERIALIZED (
+         SELECT vec_id, v, cell, n,
+           list_transform(generate_series(1, len(q)), i ->
+             lo[i] + CAST(q[i] AS DOUBLE) * (hi[i] - lo[i]) / 255.0) AS dq
+         FROM enc0),
+       qs AS (
+         SELECT e.vec_id AS query_id, e.v AS qv, e.n AS qn, e.dq AS qdq,
+           r.cell
+         FROM enc e JOIN crk r ON r.vec_id = e.vec_id
+           AND r.rk <= $IvfNProbe
+         WHERE e.vec_id IN (${queryIds.mkString(", ")})),
+       scored AS (
+         SELECT qs.query_id, e.vec_id,
+           list_dot_product(e.dq, qs.qdq) / (e.n * qs.qn) AS ascore
+         FROM enc e JOIN qs ON e.cell = qs.cell
+           AND e.vec_id <> qs.query_id),
+       short AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(ascore, 6) DESC, vec_id ASC) AS rk
+           FROM scored) WHERE rk <= 64),
+       rerank AS (
+         SELECT s.query_id, s.vec_id AS neighbor_id,
+           list_dot_product(e.v, qe.v) / (e.n * qe.n) AS cos
+         FROM short s
+         JOIN enc e ON e.vec_id = s.vec_id
+         JOIN enc qe ON qe.vec_id = s.query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+         FROM rerank)
        SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
@@ -2277,6 +2522,9 @@ object Similarity {
   private def graphScaledOracle(p: Int): String = {
     val probes1 =
       "[bkt, " + (0 until p).map(i => s"xor(bkt,${1 << i})").mkString(", ") + "]"
+    // seed probes are the 2-bit family (query-side only — see probes2N)
+    val probes2s =
+      "[bkt, " + masks2N(p).map(m => s"xor(bkt,$m)").mkString(", ") + "]"
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
          b AS MATERIALIZED (
@@ -2291,7 +2539,7 @@ object Similarity {
          ${graphEdgeCtes("bc")},
          ${beamSearchSqlTail(GraphL, Some(
            s"""SELECT qb.query_id, bc.vec_id
-               FROM (SELECT vec_id AS query_id, unnest($probes1) AS bkt
+               FROM (SELECT vec_id AS query_id, unnest($probes2s) AS bkt
                      FROM b
                      WHERE vec_id IN (${queryIds.mkString(", ")})) qb
                JOIN bc USING (bkt)"""))}"""
@@ -2409,8 +2657,10 @@ object Similarity {
   }
 
   /** DuckDB replay of [[annSq8]]: bounds re-derived (exact min/max),
-    * identical quantization arithmetic, integer symmetric scores,
-    * (iscore desc, id asc) shortlist, exact-cosine re-rank. */
+    * identical quantize/dequantize arithmetic, candidates ranked by the
+    * dequantized-reconstruction cosine ((round(ascore, 6) desc, id asc)
+    * shortlist — the raw integer dot ranks wrong, see [[annSq8]]),
+    * exact-cosine re-rank of the 64-id shortlist. */
   private val sq8Oracle: String =
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
@@ -2681,7 +2931,15 @@ object Similarity {
          SELECT vec_id, cid AS cluster, dist FROM a3 WHERE rn = 1
          ORDER BY vec_id"""
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesFor(None)
+
+  /** Oracle map threaded with the dataset dir being dumped: the
+    * scaled-graph entries interpolate the plane family recorded for
+    * THAT dir ([[scaledGraphP]] already keys per dir), so a session
+    * that runs against two dirs and dumps for the first cannot pick up
+    * the second dir's family. The no-arg form falls back to the
+    * last-run dir (ad-hoc use only; [[Verify]] always threads). */
+  def oraclesFor(dumpDir: Option[String]): Map[String, String] = Map(
     "emb_kcenter" -> kcenterOracle,
     "emb_kmeans" -> kmeansOracle,
     // approximate LSH queries, EXACT oracles: DuckDB runs the identical
@@ -2790,6 +3048,8 @@ object Similarity {
     Seq("ann_ivf", "ann_ivf_bucketed").flatMap { k =>
       Option(trainedCodebooks.get(k)).map(c => k -> ivfOracleSelect(c))
     }.toMap ++
+    Option(trainedCodebooks.get("ann_ivf_sq8"))
+      .map(c => "ann_ivf_sq8" -> ivfSq8OracleSelect(c)).toMap ++
     Option(trainedPq.get("ann_pq"))
       .map(c => "ann_pq" -> pqOracleSelect(c)).toMap ++
     Seq("ann_ivfpq", "ann_ivfpq_bucketed").flatMap { k =>
@@ -2802,8 +3062,9 @@ object Similarity {
       .map(c => "dedup_semantic" -> semDedupOracle(c)).toMap ++
     // scaled-graph entries: plane count recorded from the corpus count
     // at query time (omitted when the queries haven't run — the
-    // IVF-codebook convention)
-    Option(lastScaledDir).flatMap(d => Option(scaledGraphP.get(d))).toSeq
+    // IVF-codebook convention), keyed by the dir being dumped
+    dumpDir.orElse(Option(lastScaledDir))
+      .flatMap(d => Option(scaledGraphP.get(d))).toSeq
       .flatMap(p => Seq(
         "ann_graph_scaled" -> graphScaledOracle(p),
         "ann_graph_scaled_stats" -> graphScaledStatsOracle(p))).toMap

@@ -131,6 +131,38 @@ class CrsRegistrySpec extends AnyFunSuite {
       math.abs(north + 1050538.63) < 0.05, s"EN=($east,$north)")
   }
 
+  test("LV95 (EPSG 2056) is LV03 shifted to the (2.6M, 1.2M) false origin") {
+    // same Bessel kernel and Bern origin, so the projection-only grids
+    // differ by exactly (+2 000 000, +1 000 000)
+    for ((lon, lat) <- Seq((7.438, 46.952), (8.731, 46.041), (6.14, 46.2))) {
+      val (x03, y03) = projOnly(21781).forward(lon, lat)
+      val (x95, y95) = projOnly(2056).forward(lon, lat)
+      assert(math.abs(x95 - x03 - 2000000.0) < 1e-9 &&
+        math.abs(y95 - y03 - 1000000.0) < 1e-9,
+        s"LV03=($x03,$y03) LV95=($x95,$y95)")
+    }
+  }
+
+  test("HOM variant A r12 tier — Alaska zone 1 and GDM2000 RSO pinned") {
+    // Reference values computed independently with the Snyder/GN7-2
+    // HOM-A algebra (the same transcription that reproduces the GN7-2
+    // Timbalai worked example to the cm above), pinning the published
+    // EPSG parameters: Alaska 1's azimuth is the published sexagesimal
+    // -36°52'11.6315" (NOT atan(-3/4) — differs in the 8th decimal),
+    // Peninsular RSO's azimuth and rectified angle differ from each
+    // other, East Malaysia BRSO carries no false offsets.
+    val cases = Seq(
+      (26931, -134.42, 58.30, 774499.8598, 720111.0763),  // Juneau
+      (26931, -133.0, 56.0, 860271.1282, 463960.2627),
+      (3375, 101.69, 3.14, 410417.7985, 347499.3792),     // Kuala Lumpur
+      (3376, 110.35, 1.56, 73919.8123, 172493.3786))      // Kuching
+    for ((srid, lon, lat, ex, ey) <- cases) {
+      val (x, y) = projOnly(srid).forward(lon, lat)
+      assert(math.abs(x - ex) < 0.02 && math.abs(y - ey) < 0.02,
+        s"$srid ($lon,$lat)=($x,$y) expected=($ex,$ey)")
+    }
+  }
+
   test("HOM variant A — NAD83 / Michigan GeoRef (EPSG 3078) round-trips") {
     // no GN7-2 numeric example for the variant-A code: pin the method by
     // invariants — in-state coordinates land in the published grid range
@@ -154,7 +186,9 @@ class CrsRegistrySpec extends AnyFunSuite {
       4149, 4156, 4298, 4237, 21781, 23700, 29873, 3078, 5513, 5514,
       // r11 tier: WGS84 UTM N/S, GDA2020 MGA, NAD83 state plane
       32601, 32617, 32660, 32701, 32733, 32760, 7846, 7855, 7858,
-      26943, 26954, 26986, 32118, 26948, 26949, 26950)
+      26943, 26954, 26986, 32118, 26948, 26949, 26950,
+      // r12 HOM tier: LV95, Alaska zone 1, GDM2000 RSO grids
+      2056, 26931, 3375, 3376)
     for (srid <- codes) {
       val crs = R.lookup(srid).getOrElse(fail(s"missing $srid"))
       val (olon, olat) = crs.proj.origin
@@ -259,6 +293,23 @@ class CrsRegistrySpec extends AnyFunSuite {
     val (sx, sy) = R.forward(26943, -122.42, 37.77).get
     assert(sx > 1780000 && sx < 1880000 && sy > 590000 && sy < 690000,
       s"SF CA3=($sx,$sy)")
+  }
+
+  test("Arizona West k0 = 1:15000 pinned away from the central meridian") {
+    // The false-origin identity above holds for ANY k0 (at the natural
+    // origin the scale factor cancels), so the zone-specific scale
+    // reductions need an off-meridian pin: reference values computed
+    // independently with the Snyder (1987) 6th-order TM series on GRS80
+    // (sub-mm of the Karney kernel at <=1.25 deg from the CM). The wrong
+    // k0 = 0.9999 (Arizona East/Central's 1:10000) would miss by 4-8 m.
+    val cases = Seq(
+      (-112.5, 33.0, 330172.5302, 222452.9955),  // 1.25 deg east of CM
+      (-114.75, 32.5, 119387.4724, 166753.2689)) // 1.00 deg west of CM
+    for ((lon, lat, ex, ey) <- cases) {
+      val (x, y) = projOnly(26950).forward(lon, lat)
+      assert(math.abs(x - ex) < 0.02 && math.abs(y - ey) < 0.02,
+        s"AZ West ($lon,$lat)=($x,$y) expected=($ex,$ey)")
+    }
   }
 
   test("ED50 UTM differs from WGS84 UTM by the expected ~50-300 m shift") {

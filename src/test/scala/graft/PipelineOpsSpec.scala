@@ -1201,6 +1201,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.75, s"graph-search recall@5 $recall below floor")
   }
 
+  test("ann_graph_scaled: quantizer-seeded recall@5 holds the NSW floor " +
+       "and the build plan carries no window over bkt") {
+    import graft.operators.Similarity
+    // recall pin (r11 verdict #2): the production variant's recall was
+    // evidenced only in an archived 500k probe — pin the gate-SF floor
+    // so a seeding or cap regression fails the suite
+    val g = Similarity.annGraphScaled(spark, d).collect()
+    val t = Similarity.annTopK(spark, d).collect()
+    val byQ = g.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0))
+    }
+    val gs = g.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ts = t.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (gs & ts).size.toDouble / ts.size
+    assert(recall >= 0.75, s"scaled-graph recall@5 $recall below floor")
+    // skew-proof cap (r11 verdict #1): the bucket cap must be the
+    // bounded min-k id AGGREGATE, not a window — a window over bkt
+    // sorts every member of a bucket (vectors included) in one task
+    val plan = Similarity.graphEdgesScaled(spark, d)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty,
+      s"scaled build plan contains ${windows.size} window node(s)")
+  }
+
   test("ann_hnsw: hierarchical descent holds the NSW recall floor with " +
        "FEWER distinct scored candidates at equal layer-0 beam width") {
     import graft.operators.Similarity
@@ -1243,6 +1272,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = exact.keys.toSeq
       .map(q => (exact(q) & got(q)).size / 5.0).sum / exact.size
     assert(recall >= 0.95, s"sq8 recall@5 $recall")
+  }
+
+  test("ann_ivf_sq8: recall matches coarse pruning's bound; equals the " +
+       "ivf candidate restriction with sq8's in-cell fidelity") {
+    // the composition's recall is bounded by the IVF half (nprobe 6 of
+    // 32 cells — measured 0.64 for ivf/ivfpq at this SF); the SQ8 half
+    // loses essentially nothing within probed cells (0.95+ standalone),
+    // so the composed recall should sit AT the coarse bound
+    val exact = graft.operators.Similarity.annTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val c = graft.operators.Similarity.annIvfSq8(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    c.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to 5), s"query $q ranks")
+    }
+    val got = c.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & got(q)).size / 5.0).sum / exact.size
+    assert(recall >= 0.5, s"ivf_sq8 recall@5 $recall")
+    // within the probed cells the result equals the IVF query's top-5
+    // wherever SQ8's 64-deep shortlist retained them: pin agreement
+    // with plain IVF (same codebook by determinism)
+    val ivf = graft.operators.Similarity.annIvf(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val agree = ivf.keys.toSeq
+      .map(q => (ivf(q) & got(q)).size / 5.0).sum / ivf.size
+    assert(agree >= 0.9, s"ivf vs ivf_sq8 agreement $agree")
   }
 
   test("text_pmi: equals a pure-Scala PMI computation, ranked top-40") {

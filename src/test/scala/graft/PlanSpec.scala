@@ -493,6 +493,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ann_ivf_sq8: cell-pruned packed scan, fused kernel, no SMJ/window") {
+    import graft.operators.Similarity
+    val f = formatted(Similarity.annIvfSq8(spark, d))
+    // IVF half: the packed-code scan reads only the probed cells
+    // (driver-computed literal list -> static partition pruning)
+    assert(f.contains("PartitionFilters: [cell") ||
+      f.contains("PartitionFilters: [isnotnull(cell"), f.take(2000))
+    // SQ8 half: scoring decodes inside the fused sq8_dot kernel — the
+    // scan must NOT read or reconstruct full float64 vectors
+    assert(f.contains("sq8_dot"), f.take(4000))
+    // shortlist is the bounded partial+final aggregate; the rerank is a
+    // broadcast join of 64 ids/query — no corpus-wide sort-merge join,
+    // no row_number window anywhere on the path
+    assert(f.contains("ObjectHashAggregate"), f.take(4000))
+    assert(!f.contains("SortMergeJoin"), f.take(4000))
+    assert(!f.contains("Window"), f.take(4000))
+  }
+
   test("day-partitioned events layout prunes partitions for a time range") {
     // the classic time-series ingestion layout: events written
     // partitioned by day, so a time-range query touches only its day
@@ -529,15 +547,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // never corpus-shaped (the r10 text_multilingual finding). This
     // audit pins the per-file call-site counts; adding a .collect()
     // anywhere fails here until the new site is audited as bounded and
-    // the allowlist updated. Audited r11:
+    // the allowlist updated. Audited r12:
     //   StreamGate: 3 scalar max() rows + 1 single-row array agg
     //   MobSql: 1-row bounds aggregate; BerlinMod: two 1-row aggregates
-    //   Similarity: codebook/query-id/kcenter collects (k- or 10-bounded)
+    //   Similarity: codebook/query-id/kcenter collects (k- or 10-bounded);
+    //     +2 in r12 for annIvfSq8 (32-row codebook load + 10 query ids)
     //   TextAnalysis: vocab-bounded LM table + top-40 PMI rows
     //   Quality/Multilingual: fixed 2000-doc training samples
     //   Sketches: 512-word bloom vocabulary; Dedup: 20-row CDC sample
     val expected = Map(
-      "operators/Similarity.scala" -> 10,
+      "operators/Similarity.scala" -> 12,
       "streaming/StreamGate.scala" -> 4,
       "operators/TextAnalysis.scala" -> 2,
       "berlinmod/BerlinMod.scala" -> 2,
