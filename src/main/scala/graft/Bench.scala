@@ -52,6 +52,7 @@ object Bench {
       graft.operators.Similarity.buildGraphLayout(spark, sfDir)
       graft.operators.Similarity.buildHnswLayout(spark, sfDir)
       graft.operators.Similarity.buildSq8Layout(spark, sfDir)
+      graft.operators.Similarity.buildIvfSq8Layout(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // fixed order + cache isolation so one query's cached/cached-adjacent

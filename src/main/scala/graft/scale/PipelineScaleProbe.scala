@@ -117,6 +117,11 @@ object PipelineScaleProbe {
     // scan pair; the _packed variant reads the write-time byte layout
     // (the measured scan-byte cut), its encode untimed load phase
     "ann_sq8", "ann_sq8_packed",
+    // IVF x SQ8 composition (r11 verdict #4): partition pruning cuts
+    // the scanned ROWS to ~nprobe/k and the packed codes cut the BYTES
+    // per row ~7x — the decade rows measure the multiplied savings
+    // against ann_topk / ann_sq8_packed / ann_ivf_bucketed
+    "ann_ivf_sq8",
     "dedup_paragraph")
 
   /** Load-phase builds for [[annProbeQueries]] over `dir`. The in-memory
@@ -129,6 +134,7 @@ object PipelineScaleProbe {
     graft.operators.Similarity.buildSq8Layout(spark, dir)
     graft.operators.Similarity.buildIvfLayout(spark, dir)
     graft.operators.Similarity.buildIvfPqLayout(spark, dir)
+    graft.operators.Similarity.buildIvfSq8Layout(spark, dir)
     // NOT the graph layout: ann_graph_search is auditAtBase (fixed
     // 8-plane build — see the auditAtBase note), so the synth decade
     // dirs never need it and at 10x+ the fixed family would be
@@ -203,6 +209,8 @@ object PipelineScaleProbe {
       graft.operators.Similarity.buildHnswLayout(spark, dir)
     if (selQs.contains("ann_sq8_packed"))
       graft.operators.Similarity.buildSq8Layout(spark, dir)
+    if (selQs.contains("ann_ivf_sq8"))
+      graft.operators.Similarity.buildIvfSq8Layout(spark, dir)
     // same per-query task-metric attribution as the bench: the probe's
     // scale claims need spill/shuffle evidence, not just wall-clock
     val metrics = new graft.util.BenchMetricsListener

@@ -26,6 +26,9 @@ object MobSql {
   private val createIndexRe =
     """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+TRTREE\s*\(\s*(\w+)\s*\)\s*(ZORDER|HILBERT)?\s*;?\s*$""".r
 
+  private val describeRe =
+    """(?is)^\s*DESCRIBE\s+TRTREE\s+(\w+)\s*;?\s*$""".r
+
   /** Layout bookkeeping for the maintenance surface: the clustered dir
     * plus any un-clustered append tails currently read alongside it
     * (the immutable-files answer to the reference R-tree's
@@ -44,8 +47,54 @@ object MobSql {
       createTrtreeLayout(spark, idxName, table, boxCol,
         if (curve == null) "range" else curve.toLowerCase)
       spark.emptyDataFrame // DDL yields no rows, like the reference
+    case describeRe(table) =>
+      describeLayout(spark, table)
     case other =>
       spark.sql(SqlRewriter.rewrite(other))
+  }
+
+  /** `DESCRIBE TRTREE <table>` — the observability surface the
+    * reference drafted and left disabled (`pragma_rtree_index_info` /
+    * `rtree_vacuum_index`, ref src/index/rtree_pragmas.cpp:214-220,
+    * registration commented out in HEAD): one row per (part, file,
+    * clustering coordinate) of the bound layout, with the file's row
+    * count and the coordinate's [lo, hi] extent — the write-time twin
+    * of the R-tree pragma's per-page bounding boxes. `part` is the
+    * clustered layout or an un-compacted append tail; `curve` records
+    * the cluster key kind (range | zorder | hilbert). The extents are
+    * computed with a column-pruned scan of ONLY the box-min coordinates
+    * grouped by `input_file_name()` (KBs per file at any table size —
+    * footer-statistics-shaped work, one task per file), so describing a
+    * 100 TB layout costs a metadata-sized scan, not a table read. */
+  def describeLayout(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, count, explode, expr,
+      input_file_name, max => smax, regexp_extract, struct}
+    val st = layouts.get(table)
+    require(st != null, s"$table has no TRTREE layout to describe")
+    val boxSt = spark.read.parquet(st.layoutDir).schema(st.boxCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val coords = Seq("xmin", "ymin", "zmin", "tmin", "lower")
+      .filter(boxSt.fieldNames.contains)
+    def part(role: String, dir: String): DataFrame = {
+      val base = spark.read.parquet(dir).select(
+        coords.map(c => col(s"${st.boxCol}.$c").cast("double").as(c)) :+
+          input_file_name().as("file"): _*)
+      val aggs = count(lit(1)).as("n_rows") +:
+        coords.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
+          smax(col(c)).as(s"hi_$c")))
+      base.groupBy("file").agg(aggs.head, aggs.tail: _*)
+        .select(col("file"), col("n_rows"),
+          explode(array(coords.map(c => struct(lit(c).as("coord"),
+            col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"))): _*)).as("e"))
+        .select(lit(role).as("part"), lit(st.curve).as("curve"),
+          regexp_extract(col("file"), "([^/]+)$", 1).as("file"),
+          col("n_rows"), col("e.coord").as("coord"),
+          col("e.lo").as("lo"), col("e.hi").as("hi"))
+    }
+    (part("layout", st.layoutDir) +:
+      st.tailDirs.zipWithIndex.map { case (t, i) => part(s"tail-$i", t) })
+      .reduce(_ unionByName _)
+      .orderBy("part", "file", "coord")
   }
 
   /** Leading cluster keys: spatial min if the box has one, then time. */

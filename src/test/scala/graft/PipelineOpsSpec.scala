@@ -1230,6 +1230,68 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scaled build plan contains ${windows.size} window node(s)")
   }
 
+  test("ann_graph_append: batch-shaped edges for arriving vectors, " +
+       "disjoint splits, windowless plan, top-1 agrees with exact") {
+    import graft.operators.Similarity
+    val g = Similarity.annGraphAppend(spark, d).collect()
+    // every query is a batch (vec_id % 10 == 7) vector, every neighbor
+    // a base vector — the splits never cross
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(0) % 10 == 7, s"query ${r.getLong(0)} not in batch")
+      assert(r.getLong(2) % 10 != 7, s"neighbor ${r.getLong(2)} in batch")
+    }
+    // well-formed contiguous ranks per query (M = graph out-degree)
+    g.groupBy(_.getLong(0)).values.foreach { rows =>
+      val rk = rows.map(_.getInt(1)).sorted
+      assert(rk.sameElements(1 to rk.length), rk.mkString(","))
+    }
+    // quality: each new vector's rank-1 edge must land in its true
+    // exact top-10 among base vectors (measured 1.0 at both gate SFs).
+    // Exact-top-1 EQUALITY is the wrong pin: it is bounded ~0.6 by the
+    // bucket cap itself (the true NN is often not among a bucket's 32
+    // lowest-id representatives — the same bound the build's own edges
+    // operate under); what an append must guarantee is that the new
+    // vector ties into its near NEIGHBORHOOD, which this pins.
+    val e = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val base = e.filter(_._1 % 10 != 7)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { s += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      s / math.sqrt(na * nb)
+    }
+    val byId = e.toMap
+    val top1 = g.filter(_.getInt(1) == 1).map(r => (r.getLong(0), r.getLong(2)))
+    val hits = top1.count { case (q, nbr) =>
+      val qv = byId(q)
+      val exact10 = base.map { case (id, v) =>
+        (math.rint(cos(qv, v) * 1e6), -id, id) }
+        .sortBy(t => (-t._1, -t._2)).take(10).map(_._3).toSet
+      exact10(nbr)
+    }
+    assert(hits.toDouble / top1.length >= 0.9,
+      s"append top-1-in-exact-top-10 ${hits.toDouble / top1.length}")
+    // batch-shaped plan: the cap is the bounded id aggregate, no window
+    val plan = Similarity.annGraphAppend(spark, d)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, s"append plan has ${windows.size} window(s)")
+  }
+
+  test("describeAnnLayout: bkt-keyed LSH layout histogram covers the corpus") {
+    import graft.operators.Similarity
+    val layout = Similarity.buildLshLayout(spark, d)
+    val rows = Similarity.describeAnnLayout(spark, layout.toString).collect()
+    assert(rows.map(_.getLong(1)).sum == 500, "histogram must cover all rows")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+      assert(r.getLong(3) <= r.getLong(4), "vec_id extent inverted")
+    }
+  }
+
   test("ann_hnsw: hierarchical descent holds the NSW recall floor with " +
        "FEWER distinct scored candidates at equal layer-0 beam width") {
     import graft.operators.Similarity

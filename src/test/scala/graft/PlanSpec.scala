@@ -551,12 +551,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //   StreamGate: 3 scalar max() rows + 1 single-row array agg
     //   MobSql: 1-row bounds aggregate; BerlinMod: two 1-row aggregates
     //   Similarity: codebook/query-id/kcenter collects (k- or 10-bounded);
-    //     +2 in r12 for annIvfSq8 (32-row codebook load + 10 query ids)
+    //     +2 in r12 for annIvfSq8 (32-row codebook load + 10 query ids),
+    //     +1 for layoutDescribeGate (32-row codebook load)
     //   TextAnalysis: vocab-bounded LM table + top-40 PMI rows
     //   Quality/Multilingual: fixed 2000-doc training samples
     //   Sketches: 512-word bloom vocabulary; Dedup: 20-row CDC sample
     val expected = Map(
-      "operators/Similarity.scala" -> 12,
+      "operators/Similarity.scala" -> 13,
       "streaming/StreamGate.scala" -> 4,
       "operators/TextAnalysis.scala" -> 2,
       "berlinmod/BerlinMod.scala" -> 2,

@@ -82,4 +82,42 @@ class RewriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     MobSql.compactLayout(spark, "maint_t")
     assert(spark.table("maint_t").count() == 120)
   }
+
+  test("DESCRIBE TRTREE: per-file extents cover every row, range files " +
+       "are xmin-disjoint, tails surface and compact away") {
+    def mk(ids: Seq[Int]) = spark
+      .createDataFrame(ids.map(i => (i, i * 1.0, i * 1.0 + 1)))
+      .toDF("id", "xmin", "xmax")
+      .selectExpr("id", "named_struct('xmin', xmin, 'xmax', xmax) AS box")
+    mk(1 to 200).createOrReplaceTempView("desc_t")
+    MobSql.run(spark, "CREATE INDEX d1 ON desc_t USING TRTREE(box)")
+    MobSql.appendToLayout(spark, "desc_t", mk(201 to 210))
+    val rows = MobSql.run(spark, "DESCRIBE TRTREE desc_t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getDouble(5), r.getDouble(6)))
+    // both parts surface; curve recorded; every extent well-formed
+    val parts = rows.map(_._1).distinct.sorted
+    assert(parts.sameElements(Seq("layout", "tail-0")), parts.mkString(","))
+    assert(rows.forall(_._2 == "range"))
+    assert(rows.forall(r => r._6 <= r._7), "lo > hi somewhere")
+    // self-consistency: per-part row counts (each file contributes its
+    // n_rows once per coordinate — here one coord, xmin) sum to the
+    // bound view's split sizes
+    val perPart = rows.filter(_._5 == "xmin").groupBy(_._1)
+      .view.mapValues(_.map(_._4).sum).toMap
+    assert(perPart("layout") == 200 && perPart("tail-0") == 10, perPart)
+    // the pruning story itself: a range layout's files must be DISJOINT
+    // on the leading coordinate (touching boundaries allowed), else the
+    // min/max statistics could not prune a box predicate to few files
+    val ex = rows.filter(r => r._1 == "layout" && r._5 == "xmin")
+      .map(r => (r._6, r._7)).sortBy(_._1)
+    for (w <- ex.toSeq.sliding(2) if w.length == 2)
+      assert(w(1)._1 >= w(0)._2,
+        s"overlapping file extents: ${ex.mkString(",")}")
+    // compact folds the tail back into the clustered layout
+    MobSql.compactLayout(spark, "desc_t")
+    val after = MobSql.run(spark, "DESCRIBE TRTREE desc_t").collect()
+    assert(after.forall(_.getString(0) == "layout"))
+    assert(after.filter(_.getString(4) == "xmin").map(_.getLong(3)).sum == 210)
+  }
 }
