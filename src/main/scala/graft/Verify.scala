@@ -31,6 +31,13 @@ object Verify {
       // stages are compute-heavy on byte-tiny rows, so coalescing to one
       // partition serializes them — keep the requested parallelism
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // k-bounded TopKOrdered aggregates (the ANN family) must HASH, not
+      // sort-fall-back, when grouping by n vectors: the default 128-key
+      // fallback threshold turns the graph build's bounded partial agg
+      // into a full-stream sort (2.7 GB spill at 50k vectors, disk-death
+      // at 5M) where the hash map costs ~400 B per group
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()

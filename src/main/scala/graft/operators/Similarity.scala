@@ -693,7 +693,20 @@ object Similarity {
     * neighbor_id, round(cos, 5)) — via [[TopKOrdered]] instead of a
     * row_number window. Row-identical to the window form (same ordering
     * and tie-break); the per-partition partial keeps k rows per query,
-    * so at 50M vectors the exchange carries KBs, not the scored set. */
+    * so at 50M vectors the exchange carries KBs, not the scored set.
+    *
+    * FALLBACK CAVEAT (r12 probe forensics): ObjectHashAggregate falls
+    * back to SORT-based aggregation past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) distinct keys per partition — for the n-GROUP uses
+    * (the graph BUILD's per-vector top-M; queries group by 10 ids and
+    * never hit this) the fallback SORTS the whole scored stream per
+    * partition (measured: 2.7 GB of sorter spill at a 50k-vector build,
+    * ~full-stream disk at 500k). Because TopKOrdered's state is
+    * k-BOUNDED, the hash map costs only ~400 B x groups-per-partition,
+    * so the session mains raise the threshold to 1M (~400 MB/task worst
+    * case) and the build streams through the map with zero sort — a
+    * production deployment should carry the same setting on build jobs. */
   private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
     val agg = udaf(new TopKOrdered(k),
       org.apache.spark.sql.catalyst.encoders
@@ -1450,15 +1463,15 @@ object Similarity {
     (0 until p).map(1 << _) ++
       (for (i <- 0 until p; j <- i + 1 until p) yield (1 << i) | (1 << j))
 
-  /** Query-side SEED probe set for the scaled graph: bucket + 1-bit +
-    * 2-bit flips. The BUILD stays on the (P+1)-probe 1-bit family (that
-    * side is corpus-shaped — n·(P+1) rows); seeding is per-QUERY work,
-    * so it can afford the O(P²) set: 1+P+P(P-1)/2 probes ≈ 211 at the
-    * 50M-vector P = 20, times the [[GraphBuildCap]] bucket cap ≈ 6.7k
-    * seed rows per query — still corpus-size-independent. Measured at
-    * gate SFs (with the P = 3 floor family): recall@5 0.86 at sf0.001
-    * / 0.94 at sf0.01, vs 0.60 / 0.74 with 1-bit seeds over the old
-    * 8-plane-floor family. */
+  /** Bucket + 1-bit + 2-bit flip probe set for a P-plane family —
+    * used by [[annGraphAppend]]'s candidate generation (per-BATCH-
+    * VECTOR work, O(P²) probes affordable; appended edges persist, so
+    * candidate quality is graph quality). NOT used for search SEEDING:
+    * measured at 500k vectors, 2-bit seeds REGRESSED recall@5 0.72 →
+    * 0.58 — the broad low-precision entry pool dilutes the W=16 beam
+    * with high-cos-but-poorly-connected entries — while at the gate
+    * SFs the P = 3 floor alone already lifts recall to 0.84 / 0.92.
+    * The shipped seeding stays 1-bit ([[probes1N]]). */
   private def probes2N(b: Column, p: Int): Column =
     array(b +: masks2N(p).map(m => b.bitwiseXOR(lit(m))): _*)
 
@@ -1516,7 +1529,11 @@ object Similarity {
     * volume per vector ≈ T·(P+1) stays ~constant-per-vector across
     * decades (measured rows in SURVEY §8), where the fixed family's
     * grows linearly. */
-  private[graft] def graphEdgesScaled(s: SparkSession, d: String): DataFrame = {
+  /** The forward (directed) half of the scaled build as a PURE plan —
+    * split out so the window-free plan assertion can inspect the whole
+    * candidate-scoring subtree (the eager materialization in
+    * [[graphEdgesScaled]] would otherwise execute and hide it). */
+  private[graft] def graphFwdEdgesScaled(s: SparkSession, d: String): DataFrame = {
     val p = scaledPFor(s, d)
     val pl = planesN(p)
     val e = Tables.embeddings(s, d)
@@ -1533,12 +1550,27 @@ object Similarity {
       .drop("capped_id")
     val qside = eb.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("n").as("qn"), explode(probes1N(col("bkt"), p)).as("bkt"))
-    val fwd = rankedTopK(
-      capped.join(qside, Seq("bkt"))
+    // SHUFFLE_HASH on the capped side: the planner's default here is a
+    // sort-merge join, which SORTS the n·(P+1)-row vector-carrying probe
+    // stream (hundreds of MB of sorter spill per decade for rows the
+    // join could stream); hashing the ≤cap·2^P capped side per
+    // partition costs MBs and the probe stream is never sorted. The
+    // scored output feeds the bounded TopKOrdered partial aggregate
+    // map-side (see [[rankedTopK]]'s fallback note on the r12 probes).
+    rankedTopK(
+      capped.hint("shuffle_hash").join(qside, Seq("bkt"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn"))),
       GraphM)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+  }
+
+  /** Undirected closure of [[graphFwdEdgesScaled]]. The forward edges
+    * feed the union TWICE (fwd ∪ reverse); without the eager
+    * materialization the whole candidate-scoring subtree executes
+    * twice — measured as a full 2x on every build metric (r12 probe). */
+  private[graft] def graphEdgesScaled(s: SparkSession, d: String): DataFrame = {
+    val fwd = graphFwdEdgesScaled(s, d).localCheckpoint(true)
     fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
@@ -1569,14 +1601,16 @@ object Similarity {
     // recall@5 at 500k vectors: 0.34 unseeded at L = 4, 0.36 unseeded
     // even at L = P = 13 rounds, 0.52 own-bucket-seeded, 0.72 with
     // 1-bit probe seeding; the gate's exact-oracle twin of this number
-    // is the row itself). The seed probes are the 2-bit [[probes2N]]
-    // family (per-query work affords O(P²) — see its scaladoc); entry
-    // work per query is ≤ GraphEntryBound + GraphBuildCap·|probes| —
+    // is the row itself). The seed probes stay 1-BIT: the denser 2-bit
+    // set was tried in r12 and REGRESSED 500k recall to 0.58 (see
+    // [[probes2N]]'s scaladoc) — precision of the entry pool matters
+    // more than its breadth once the graph is navigable. Entry work
+    // per query is ≤ GraphEntryBound + GraphBuildCap·(P+1) rows —
     // corpus-size-independent.
     val eb = e.withColumn("bkt", bucketN(col("v"), pl))
     val seed = eb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"),
-        explode(probes2N(col("bkt"), p)).as("bkt"))
+        explode(probes1N(col("bkt"), p)).as("bkt"))
       .join(cappedBucketIds(eb), Seq("bkt"))
       .select("query_id", "vec_id")
     // materialize the edge table ONCE: every checkpointed beam round
@@ -1880,8 +1914,9 @@ object Similarity {
     val qside = batch.select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("n").as("qn"),
       explode(probes2N(bucketN(col("v"), pl), p)).as("bkt"))
-    // base and batch are disjoint splits, so no self-match filter needed
-    val scored = capped.join(qside, Seq("bkt"))
+    // base and batch are disjoint splits, so no self-match filter needed;
+    // shuffle_hash keeps the probe stream unsorted (graphFwdEdgesScaled)
+    val scored = capped.hint("shuffle_hash").join(qside, Seq("bkt"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
     rankedTopK(scored, GraphM)
   }
@@ -2649,9 +2684,6 @@ object Similarity {
   private def graphScaledOracle(p: Int): String = {
     val probes1 =
       "[bkt, " + (0 until p).map(i => s"xor(bkt,${1 << i})").mkString(", ") + "]"
-    // seed probes are the 2-bit family (query-side only — see probes2N)
-    val probes2s =
-      "[bkt, " + masks2N(p).map(m => s"xor(bkt,$m)").mkString(", ") + "]"
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
          b AS MATERIALIZED (
@@ -2666,7 +2698,7 @@ object Similarity {
          ${graphEdgeCtes("bc")},
          ${beamSearchSqlTail(GraphL, Some(
            s"""SELECT qb.query_id, bc.vec_id
-               FROM (SELECT vec_id AS query_id, unnest($probes2s) AS bkt
+               FROM (SELECT vec_id AS query_id, unnest($probes1) AS bkt
                      FROM b
                      WHERE vec_id IN (${queryIds.mkString(", ")})) qb
                JOIN bc USING (bkt)"""))}"""

@@ -159,8 +159,12 @@ object PipelineScaleProbe {
     // puts per-task working sets back inside memory (sorts go
     // in-memory, spill ~0) at the same total shuffle bytes — exactly
     // how a real cluster absorbs a decade: more tasks, not bigger ones.
+    // From 100x the same rule keeps the graph build's per-task GROUP
+    // count (distinct query_ids per bkt-partition, ~n·(P+1)/parts)
+    // inside the 1M hash-aggregate threshold — at 32 partitions the 5M
+    // build's ~2.8M groups/task would fall back to the full-stream sort.
     val shufParts =
-      if (mult >= 1000) (cpus.toInt * 4).toString else cpus
+      if (mult >= 100) (cpus.toInt * 4).toString else cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
@@ -168,6 +172,13 @@ object PipelineScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // k-bounded TopKOrdered aggregates (the ANN family) must HASH, not
+      // sort-fall-back, when grouping by n vectors: the default 128-key
+      // fallback threshold turns the graph build's bounded partial agg
+      // into a full-stream sort (2.7 GB spill at 50k vectors, disk-death
+      // at 5M) where the hash map costs ~400 B per group
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       // zstd shuffle/spill compression: the third-decade (1000x) probe
       // keeps ~50 GB of live shuffle on one box; zstd halves that vs
       // lz4 for these repetitive token/hash payloads — and it is the

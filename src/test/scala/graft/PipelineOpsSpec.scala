@@ -1221,8 +1221,10 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.75, s"scaled-graph recall@5 $recall below floor")
     // skew-proof cap (r11 verdict #1): the bucket cap must be the
     // bounded min-k id AGGREGATE, not a window — a window over bkt
-    // sorts every member of a bucket (vectors included) in one task
-    val plan = Similarity.graphEdgesScaled(spark, d)
+    // sorts every member of a bucket (vectors included) in one task.
+    // Assert on the PURE forward-edge plan (graphEdgesScaled eagerly
+    // materializes, which would hide the subtree behind a LogicalRDD)
+    val plan = Similarity.graphFwdEdgesScaled(spark, d)
       .queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
