@@ -54,6 +54,7 @@ object SparkEntry {
       graft.berlinmod.BerlinMod.e2eReport(s)),
   ) ++ MobilityOps.queries ++ Dedup.queries ++ Similarity.queries ++
     TextAnalysis.queries ++ Multimodal.queries ++
+    graft.operators.Retrieval.queries ++
     Quality.queries ++ Sketches.queries ++
     graft.operators.Multilingual.queries ++
     graft.sources.RoundTrip.queries ++
@@ -362,6 +363,7 @@ object SparkEntry {
          GROUP BY win_id ORDER BY win_id""",
   ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oraclesFor(dir) ++
     TextAnalysis.oracles ++ Multimodal.oracles ++
+    graft.operators.Retrieval.oracles ++
     Quality.oracles ++ Sketches.oracles ++
     graft.operators.Multilingual.oraclesFor(dir) ++
     graft.sources.RoundTrip.oracles ++

@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Retrieval-stack operators for an LLM data/serving pipeline: hybrid
+  * lexical+vector search with reciprocal-rank fusion, diversity
+  * re-ranking (maximal marginal relevance), and offline rank-quality
+  * evaluation (nDCG) — the layer between the index operators
+  * ([[Similarity]]'s ANN family, [[Quality.bm25]]'s posting-list shape)
+  * and a serving application. Reference counterpart: mobilityduck has no
+  * retrieval surface; these extend the pipeline family the same way the
+  * dedup/ANN operators do (builder brief: training-data pipeline ops are
+  * first-class). Everything here is deterministic and fully
+  * SQL-expressible, so every entry is an exact-hash gate row with a
+  * STATIC DuckDB oracle — no trained-artifact interpolation needed.
+  *
+  * Scale design (100 TB): each leg is the already-scaled operator it
+  * composes — the BM25 leg's explode filters to the query terms AT THE
+  * SCAN (the posting-list fetch; at scale it reads an inverted index,
+  * [[TextAnalysis]]'s `text_inverted_index` layout), the vector leg is
+  * a map-only cosine scan (at scale: any [[Similarity]] ANN index —
+  * the legs only need a (doc_id, rank ≤ K) list). Everything AFTER the
+  * legs — fusion, MMR, nDCG — operates on K-bounded per-query lists
+  * (K ≤ 20 here), so fusion cost is O(queries · K) regardless of corpus
+  * size: broadcast joins of rank lists, never a corpus-shaped shuffle.
+  */
+object Retrieval {
+
+  private def reg(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
+
+  /** Native codegen dot product ([[graft.functions.VectorExprs]]). */
+  private def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  /** The fixed keyword query — identical to [[Quality.bm25]]'s, so the
+    * lexical leg is the SAME ranking a user of `text_bm25` sees. */
+  private val QueryTerms = Seq("spark", "table", "join")
+
+  /** RRF smoothing constant (Cormack et al. 2009's k = 60). */
+  private val RrfK = 60
+
+  /** Legs keep their top [[LegK]]; fusion emits the top [[FusedK]]. */
+  private val LegK = 20
+  private val FusedK = 10
+
+  /** BM25 scores for [[QueryTerms]] over `documents` — the exact
+    * arithmetic of [[Quality.bm25]] (k1 = 1.2, b = 0.75, idf and the
+    * length norm quantized to 6 decimals BEFORE the product). Kept in
+    * sync by RetrievalSpec, which pins this leg's top-20 equal to
+    * `text_bm25`'s rows. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = dl.agg(
+      round(avg("dl"), 6).as("avgdl"),
+      count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
+          .as("idf"))
+    tf.join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("norm",
+        round(lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("idf") * col("tf") * lit(2.2) / (col("tf") + col("norm")))
+        .as("score"))
+      .select(col("doc_id"), round(col("score"), 4).as("r4"))
+  }
+
+  /** Rank a scored frame's top-`k`: `rank = 1..k` by (`by` desc, id
+    * asc). The global window runs AFTER an orderBy().limit(k), so the
+    * single-partition exchange it forces holds ≤ k rows — a bounded
+    * tail, same defense as the repo's TakeOrdered tails. */
+  private def rankTopK(df: DataFrame, id: String, by: String, k: Int,
+                       rankName: String): DataFrame =
+    df.orderBy(col(by).desc, col(id).asc).limit(k)
+      .withColumn(rankName,
+        row_number().over(Window.orderBy(col(by).desc, col(id).asc)))
+      .select(col(id), col(rankName))
+
+  /** The lexical leg: BM25 top-20 as (doc_id, lex_rank). */
+  private def lexLeg(s: SparkSession, d: String): DataFrame =
+    rankTopK(bm25Scores(s, d), "doc_id", "r4", LegK, "lex_rank")
+
+  /** Embeddings as (vec_id, v float64). */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** The pseudo-relevance query vector: per-dimension mean (rounded to
+    * 6 decimals) of the lexical top-3 docs' embeddings — Rocchio-style
+    * feedback standing in for a text encoder (none can ship in this
+    * container; production swaps this one-row frame for the encoder's
+    * output). One row, broadcast everywhere it is used. */
+  private def prfVector(s: SparkSession, d: String,
+                        lex: DataFrame): DataFrame = {
+    val seed = lex.filter(col("lex_rank") <= 3)
+      .select(col("doc_id").as("vec_id"))
+    emb(s, d).join(broadcast(seed), "vec_id")
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(avg("x"), 6).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+        " p -> p.m)").as("qv"))
+  }
+
+  /** The vector leg: cosine-to-`qv` top-20 as (doc_id, vec_rank). */
+  private def vecLeg(s: SparkSession, d: String, qv: DataFrame): DataFrame = {
+    val scored = emb(s, d).crossJoin(broadcast(qv))
+      .withColumn("r6", round(
+        dot(col("v"), col("qv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))),
+        6))
+      .select(col("vec_id").as("doc_id"), col("r6"))
+    rankTopK(scored, "doc_id", "r6", LegK, "vec_rank")
+  }
+
+  /** Hybrid search: the BM25 leg and the vector leg fused with
+    * reciprocal-rank fusion — `rrf = Σ_legs 1/(60 + rank)`, a leg a doc
+    * is absent from contributing 0 (Cormack/Clarke/Buettcher 2009; the
+    * fusion every production hybrid store ships because it needs no
+    * score calibration between BM25's unbounded scores and cosine's
+    * [-1, 1]). Output: fused top-10 as (doc_id, lex_rank, vec_rank,
+    * rrf), ranks NULL where a leg didn't retrieve the doc.
+    *
+    * Plan shape: two bounded rank lists (≤ 20 rows each) full-outer
+    * joined — at any corpus size the fusion stage touches 2·K rows per
+    * query; the corpus is only read inside the legs, each of which is
+    * index-served at scale (inverted index / ANN layout). */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val lex = lexLeg(s, d)
+    val vec = vecLeg(s, d, prfVector(s, d, lex))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(FusedK)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+  }
+
+  /** MMR balance: `mmr = λ·relevance − (1−λ)·max-sim-to-selected`. */
+  private val MmrLambda = 0.7
+  private val MmrQueryId = 42L
+  private val MmrK = 5
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick 5 of the query's top-20 cosine candidates, each round
+    * choosing the candidate maximizing λ·rel − (1−λ)·max(sim to already
+    * selected) — the diversity re-rank that keeps a RAG context window
+    * from filling with near-duplicates of one passage. Query = vec_id
+    * 42's embedding; rel and pairwise sims are cosines rounded to 6
+    * decimals, so the greedy argmax (ties to lowest vec_id) replays
+    * identically in DuckDB — the oracle unrolls the 5 rounds as chained
+    * CTEs (the ann_hnsw beam convention). Output: (pick 1..5, vec_id,
+    * rel, mmr) where round 1's mmr is λ·rel (empty selected set).
+    *
+    * Plan shape: ONE corpus-shaped stage (the top-20 candidate scan —
+    * at scale, any ANN index); everything after operates on the 20-row
+    * candidate frame (20×19 pairwise sims, 5 driver-scheduled bounded
+    * rounds — k and K are constants, so the loop is O(1) tiny-frame
+    * jobs, no collect, no corpus work). */
+  def retrievalMmr(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === MmrQueryId)
+      .select(col("v").as("qv"), sqrt(dot(col("v"), col("v"))).as("qn"))
+    val cand = e.filter(col("vec_id") =!= MmrQueryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", round(
+        dot(col("v"), col("qv")) / (sqrt(dot(col("v"), col("v"))) * col("qn")),
+        6))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(LegK)
+      .select(col("vec_id"), col("v"), col("rel"))
+      // the 20-row candidate frame feeds 5 rounds of joins + a pairwise
+      // self-join; localCheckpoint keeps the corpus scan from
+      // re-executing once per round (bounded: 20 rows)
+      .localCheckpoint(true)
+    val sims = cand.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(broadcast(cand.select(col("vec_id").as("id_b"), col("v").as("vb"))),
+        col("id_a") =!= col("id_b"))
+      .withColumn("sim", round(
+        dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))),
+        6))
+      .select("id_a", "id_b", "sim")
+      .localCheckpoint(true)
+    val first = cand
+      .withColumn("mmr", round(lit(MmrLambda) * col("rel"), 6))
+      .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+      .select(lit(1).as("pick"), col("vec_id"), col("rel"), col("mmr"))
+    var selected = first
+    for (r <- 2 to MmrK) {
+      val next = cand
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(sims, col("vec_id") === col("id_a"))
+        .join(broadcast(selected.select(col("vec_id").as("id_b"))), Seq("id_b"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+        .withColumn("mmr", round(
+          lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("msim"), 6))
+        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+        .select(lit(r).as("pick"), col("vec_id"), col("rel"), col("mmr"))
+      selected = selected.unionByName(next)
+    }
+    selected.orderBy("pick")
+  }
+
+  /** Offline rank-quality evaluation: nDCG@10 of the three rankings
+    * [[hybridRrf]] produces (lexical leg, vector leg, fused) against a
+    * graded-relevance standard — the metric a training-data/RAG team
+    * actually tracks when tuning a retriever mix. Relevance anchor: the
+    * exact-cosine ranking to the LEXICAL TOP-1 doc's embedding (grade =
+    * 11 − exact_rank for the exact top-10, else 0) — independent of
+    * both legs' ranking functions (BM25 ranks by terms; the vector leg
+    * ranks against the top-3 MEAN), so no leg is trivially perfect.
+    * DCG = Σ (2^grade − 1)/log2(pos + 1); IDCG is the same sum over
+    * grades 10..1 (grades are distinct by construction), making the
+    * normalizer a shared constant. Output: (leg, ndcg) — 3 rows.
+    *
+    * Plan shape: the grade table is one more bounded rank list (exact
+    * top-10), the metric a 3-leg × ≤20-row broadcast join + one
+    * 3-group aggregate — nothing corpus-shaped beyond the legs. */
+  def retrievalNdcg(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val lex = lexLeg(s, d)
+    val vec = vecLeg(s, d, prfVector(s, d, lex))
+    val fused = hybridRrf(s, d)
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("fused_rank"))
+    // relevance anchor: exact cosine to the lexical top-1's embedding
+    val anchor = lex.filter(col("lex_rank") === 1)
+      .select(col("doc_id").as("vec_id"))
+    val av = emb(s, d).join(broadcast(anchor), "vec_id")
+      .select(col("v").as("qv"), sqrt(dot(col("v"), col("v"))).as("qn"))
+    val graded = emb(s, d).crossJoin(broadcast(av))
+      .withColumn("r6", round(
+        dot(col("v"), col("qv")) / (sqrt(dot(col("v"), col("v"))) * col("qn")),
+        6))
+      .select(col("vec_id").as("doc_id"), col("r6"))
+    val grades = rankTopK(graded, "doc_id", "r6", FusedK, "grank")
+      .select(col("doc_id"), (lit(11) - col("grank")).cast("double").as("grade"))
+    // IDCG over the distinct grades 10..1 — a closed-form constant
+    val idcg = (1 to FusedK)
+      .map(i => (math.pow(2.0, 11.0 - i) - 1.0) / (math.log(i + 1.0) / math.log(2.0)))
+      .sum
+    def legNdcg(leg: DataFrame, rankCol: String, name: String): DataFrame =
+      leg.filter(col(rankCol) <= FusedK)
+        .join(broadcast(grades), Seq("doc_id"), "left_outer")
+        .withColumn("g", coalesce(col("grade"), lit(0.0)))
+        .agg(round(
+          sum((pow(lit(2.0), col("g")) - 1.0) /
+            (log(col(rankCol) + 1.0) / log(lit(2.0)))) / lit(idcg), 6)
+          .as("ndcg"))
+        .select(lit(name).as("leg"), col("ndcg"))
+    legNdcg(lex, "lex_rank", "lex")
+      .unionByName(legNdcg(vec, "vec_rank", "vec"))
+      .unionByName(legNdcg(fused, "fused_rank", "fused"))
+      .orderBy("leg")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_rrf" -> (hybridRrf _),
+    "retrieval_mmr" -> (retrievalMmr _),
+    "retrieval_ndcg" -> (retrievalNdcg _))
+
+  // ---- DuckDB oracles (static — no trained artifacts) --------------------
+
+  /** The shared leg CTEs: BM25 scores (text_bm25's SQL), lexical top-20
+    * ranks, the PRF mean vector, and the vector-leg top-20 ranks. */
+  private val legCtes: String =
+    s"""d AS (
+       SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+     stats AS (SELECT round(avg(dl), 6) AS avgdl, count(*) AS n FROM dl),
+     tf AS (
+       SELECT doc_id, tok AS term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+       WHERE tok IN ('spark', 'table', 'join') GROUP BY 1, 2),
+     dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+     idf AS (
+       SELECT term,
+         round(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+       FROM dfq CROSS JOIN stats),
+     sc AS (
+       SELECT tf.doc_id,
+         round(sum(idf.idf * tf.tf * 2.2 / (tf.tf
+           + round(1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl), 6))), 4) AS r4
+       FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats
+       GROUP BY 1),
+     lex AS (
+       SELECT doc_id, row_number() OVER (ORDER BY r4 DESC, doc_id) AS lex_rank
+       FROM sc ORDER BY r4 DESC, doc_id LIMIT $LegK),
+     emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     qv AS (
+       SELECT list(m ORDER BY pos) AS qv FROM (
+         SELECT pos, round(avg(x), 6) AS m FROM (
+           SELECT generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+           FROM emb e JOIN lex ON e.vec_id = lex.doc_id
+           WHERE lex.lex_rank <= 3)
+         GROUP BY pos)),
+     vsc AS (
+       SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.v, qv.qv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(qv.qv, qv.qv))), 6) AS r6
+       FROM emb e CROSS JOIN qv),
+     vec AS (
+       SELECT doc_id, row_number() OVER (ORDER BY r6 DESC, doc_id) AS vec_rank
+       FROM vsc ORDER BY r6 DESC, doc_id LIMIT $LegK)"""
+
+  private val hybridOracle: String =
+    s"""WITH $legCtes,
+     fused AS (
+       SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         lex.lex_rank, vec.vec_rank,
+         round(coalesce(1.0 / ($RrfK + lex.lex_rank), 0.0)
+             + coalesce(1.0 / ($RrfK + vec.vec_rank), 0.0), 6) AS rrf
+       FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+     SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+     ORDER BY rrf DESC, doc_id LIMIT $FusedK"""
+
+  /** The 5 MMR rounds unrolled as chained CTEs (the ann_hnsw beam
+    * convention: bounded driver-round loops replay as CTE chains). */
+  private val mmrOracle: String = {
+    val lam = MmrLambda
+    val oneMinus = 1.0 - MmrLambda
+    val rounds = (2 to MmrK).map { r =>
+      s"""s$r AS (
+       SELECT $r AS pick, c.vec_id, c.rel,
+         round($lam * c.rel - $oneMinus * max(s.sim), 6) AS mmr
+       FROM cand c
+       JOIN sim s ON s.id_a = c.vec_id
+       JOIN sel${r - 1} t ON s.id_b = t.vec_id
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+       GROUP BY c.vec_id, c.rel
+       ORDER BY mmr DESC, c.vec_id LIMIT 1),
+     sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+    }.mkString(",\n     ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+           FROM emb WHERE vec_id = $MmrQueryId),
+     cand AS (
+       SELECT e.vec_id, e.v,
+         round(list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * q.qn), 6) AS rel
+       FROM emb e CROSS JOIN q WHERE e.vec_id <> $MmrQueryId
+       ORDER BY rel DESC, e.vec_id LIMIT $LegK),
+     sim AS (
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+       FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+     sel1 AS (
+       SELECT 1 AS pick, vec_id, rel, round($lam * rel, 6) AS mmr
+       FROM cand ORDER BY round($lam * rel, 6) DESC, vec_id LIMIT 1),
+     $rounds
+     SELECT pick, vec_id, rel, mmr FROM sel$MmrK ORDER BY pick"""
+  }
+
+  private val ndcgOracle: String = {
+    val idcg = (1 to FusedK)
+      .map(i => (math.pow(2.0, 11.0 - i) - 1.0) / (math.log(i + 1.0) / math.log(2.0)))
+      .sum
+    s"""WITH $legCtes,
+     fused0 AS (
+       SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         round(coalesce(1.0 / ($RrfK + lex.lex_rank), 0.0)
+             + coalesce(1.0 / ($RrfK + vec.vec_rank), 0.0), 6) AS rrf
+       FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+     fused AS (
+       SELECT doc_id,
+         row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+       FROM fused0 ORDER BY rrf DESC, doc_id LIMIT $FusedK),
+     av AS (
+       SELECT e.v AS qv, sqrt(list_dot_product(e.v, e.v)) AS qn
+       FROM emb e JOIN lex ON e.vec_id = lex.doc_id
+       WHERE lex.lex_rank = 1),
+     gsc AS (
+       SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.v, av.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * av.qn), 6) AS r6
+       FROM emb e CROSS JOIN av),
+     grades AS (
+       SELECT doc_id, CAST(11 - grank AS DOUBLE) AS grade FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY r6 DESC, doc_id) AS grank
+         FROM gsc ORDER BY r6 DESC, doc_id LIMIT $FusedK)),
+     legs AS (
+       SELECT 'lex' AS leg, doc_id, lex_rank AS rnk FROM lex
+         WHERE lex_rank <= $FusedK
+       UNION ALL
+       SELECT 'vec' AS leg, doc_id, vec_rank AS rnk FROM vec
+         WHERE vec_rank <= $FusedK
+       UNION ALL
+       SELECT 'fused' AS leg, doc_id, fused_rank AS rnk FROM fused)
+     SELECT l.leg,
+       round(sum((pow(2.0, coalesce(g.grade, 0.0)) - 1.0)
+         / (ln(l.rnk + 1.0) / ln(2.0))) / $idcg, 6) AS ndcg
+     FROM legs l LEFT JOIN grades g USING (doc_id)
+     GROUP BY l.leg ORDER BY l.leg"""
+  }
+
+  def oracles: Map[String, String] = Map(
+    "hybrid_rrf" -> hybridOracle,
+    "retrieval_mmr" -> mmrOracle,
+    "retrieval_ndcg" -> ndcgOracle)
+}

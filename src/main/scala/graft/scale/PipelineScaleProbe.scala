@@ -122,6 +122,16 @@ object PipelineScaleProbe {
     // per row ~7x — the decade rows measure the multiplied savings
     // against ann_topk / ann_sq8_packed / ann_ivf_bucketed
     "ann_ivf_sq8",
+    // metadata-filtered ANN (r12): the pre-filter thins the candidate
+    // stream ~3x while the widened probe set (nprobe 16 vs 6) holds
+    // recall — the decade rows measure the filter+probe trade against
+    // ann_ivf_bucketed's unfiltered rows
+    "ann_filtered",
+    // hybrid BM25+vector RRF fusion (r12): both corpus-shaped legs
+    // (posting fetch, cosine scan) plus the K-bounded fusion — the
+    // decade rows prove fusion cost stays flat while the legs scale
+    // like text_bm25 / ann_topk
+    "hybrid_rrf",
     "dedup_paragraph")
 
   /** Load-phase builds for [[annProbeQueries]] over `dir`. The in-memory

@@ -169,23 +169,42 @@ object MobSql {
     }
   }
 
-  /** Write `df` clustered for pruning: range keys or a curve key. */
+  /** Write `df` clustered for pruning: range keys or a curve key.
+    *
+    * Range bounds must be a deterministic function of the DATA:
+    * `repartitionByRange`'s RangePartitioner seeds its reservoir sample
+    * from `rdd.id` — a session-history artifact — so two builds of the
+    * SAME table could otherwise land rows in different files and prune
+    * differently (observed: the Hilbert-vs-Z-order scan-row comparison
+    * flipping with which tests ran earlier in the JVM). Scoping the
+    * sample size to 1M rows/partition makes the reservoir keep EVERY
+    * row at any build this side of ~32M rows per input partition —
+    * exact quantile bounds, no randomness left. An index build is the
+    * one place that sample cost is right: it is a one-time write-path
+    * job, and a 100 TB build would cap input partitions well below the
+    * ~16 MB/partition driver sketch this implies. */
   private def clusterWrite(spark: SparkSession, df: DataFrame,
                            boxCol: String, curve: String,
-                           dir: String): Unit =
-    if (curve == "zorder" || curve == "hilbert") {
-      graft.functions.GraftFunctions.register(spark)
-      df.withColumn("__ckey", curveKey(df, boxCol, curve))
-        .repartitionByRange(col("__ckey"))
-        .sortWithinPartitions("__ckey")
-        .drop("__ckey")
-        .write.mode("overwrite").parquet(dir)
-    } else {
-      val keys = clusterKeys(df, boxCol)
-      df.repartitionByRange(keys: _*)
-        .sortWithinPartitions(keys: _*)
-        .write.mode("overwrite").parquet(dir)
-    }
+                           dir: String): Unit = {
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.get(sampleKey)
+    spark.conf.set(sampleKey, (1 << 20).toString)
+    try {
+      if (curve == "zorder" || curve == "hilbert") {
+        graft.functions.GraftFunctions.register(spark)
+        df.withColumn("__ckey", curveKey(df, boxCol, curve))
+          .repartitionByRange(col("__ckey"))
+          .sortWithinPartitions("__ckey")
+          .drop("__ckey")
+          .write.mode("overwrite").parquet(dir)
+      } else {
+        val keys = clusterKeys(df, boxCol)
+        df.repartitionByRange(keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .write.mode("overwrite").parquet(dir)
+      }
+    } finally spark.conf.set(sampleKey, prev)
+  }
 
   /** Re-bind the table view to the layout plus its append tails. */
   private def bind(spark: SparkSession, table: String,

@@ -695,6 +695,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!f.contains("SortMergeJoin"), f.take(2000))
   }
 
+  test("ann_filtered plan: predicate evaluates BELOW the broadcast cell " +
+       "join (pre-filter), no corpus shuffle, bounded top-k aggregate") {
+    import graft.operators.Similarity
+    val df = Similarity.annFiltered(spark, d)
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides the
+    // unexecuted inner tree from TreeNode.collect
+    val exec = df.queryExecution.sparkPlan
+    // the candidate-side subtree of the cell join must carry the label
+    // predicate — filtering AFTER the join would be the post-filter
+    // shape the operator exists to avoid
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, exec.toString.take(2000))
+    val candSide = joins.map { j =>
+      // the streamed (non-broadcast) side is the candidate scan
+      if (j.buildSide.toString.contains("Right")) j.left else j.right
+    }
+    assert(candSide.exists(_.toString.contains("% 3) = 0")),
+      "label % 3 = 0 not found below the cell join:\n" +
+        exec.toString.take(3000))
+    val f = formatted(df)
+    assert(!f.contains("SortMergeJoin"), f.take(2000))
+    assert(!f.contains("CartesianProduct"), f.take(2000))
+    assert(f.contains("ObjectHashAggregate"), f.take(2000))
+  }
+
+  test("hybrid_rrf / retrieval_mmr plans: query-vector joins broadcast " +
+       "(no cartesian on data rows), native vec_dot kernel on the scan") {
+    import graft.operators.Retrieval
+    val ph = Retrieval.hybridRrf(spark, d).queryExecution.sparkPlan.toString
+    assert(!ph.contains("CartesianProduct"), ph.take(2000))
+    assert(ph.contains("vec_dot"), ph.take(2000))
+    // the MMR plan reads its localCheckpointed 20-row candidate/sim
+    // frames (the cosine kernel ran at checkpoint time), so only the
+    // no-cartesian shape is visible in the final plan
+    val pm = Retrieval.retrievalMmr(spark, d).queryExecution.sparkPlan.toString
+    assert(!pm.contains("CartesianProduct"), pm.take(2000))
+  }
+
   test("text_chunk plan: scan + generate only, no hash exchange") {
     // the window expand must stay map-side; the only exchange allowed
     // is the presentation ORDER BY's range partitioning
