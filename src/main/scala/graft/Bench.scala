@@ -32,10 +32,17 @@ object Bench {
       // k-bounded TopKOrdered aggregates (the ANN family) must HASH, not
       // sort-fall-back, when grouping by n vectors: the default 128-key
       // fallback threshold turns the graph build's bounded partial agg
-      // into a full-stream sort (2.7 GB spill at 50k vectors, disk-death
-      // at 5M) where the hash map costs ~400 B per group
+      // into a full-stream sort. 64k, NOT the probe main's 1M: at bench
+      // scale the k-bounded rows group by at most a few thousand keys
+      // per task, while the VOCABULARY-shaped aggregates (text_tfidf at
+      // 100x: ~millions of distinct Heaps-law terms) held ~2-3 GB of
+      // object-hash state per wave under a 1M threshold and OOM'd the
+      // 8g bench heap mid-run (r12 forensics) — those rows are exactly
+      // the ones that SHOULD fall back to sort-based aggregation. The
+      // 1M setting belongs to the 5M-vector build probe, whose main
+      // also scales partition counts to keep groups/task inside it.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
+        "65536")
       // same shuffle/cache codec stack as PipelineScaleProbe — the
       // config a shuffle-heavy 100 TB deployment runs, and the one the
       // r9 dedup rework (serialized shingle caches + raw-stream
@@ -60,6 +67,7 @@ object Bench {
       graft.operators.Similarity.buildHnswLayout(spark, sfDir)
       graft.operators.Similarity.buildSq8Layout(spark, sfDir)
       graft.operators.Similarity.buildIvfSq8Layout(spark, sfDir)
+      graft.operators.Retrieval.buildPostingLayout(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // fixed order + cache isolation so one query's cached/cached-adjacent

@@ -91,9 +91,96 @@ object Retrieval {
         row_number().over(Window.orderBy(col(by).desc, col(id).asc)))
       .select(col(id), col(rankName))
 
-  /** The lexical leg: BM25 top-20 as (doc_id, lex_rank). */
+  /** The lexical leg: BM25 top-20 as (doc_id, lex_rank). Eagerly
+    * localCheckpointed (bounded: 20 rows) because every consumer reuses
+    * it at least twice — as the PRF seed AND in the fusion join (nDCG
+    * adds a third use; the IVF twin's qv collect a separate job) — and
+    * without the checkpoint each reuse re-executes the corpus-shaped
+    * BM25 pipeline (measured: the IVF twin reading the PRUNED layout
+    * benched SLOWER than the brute-force hybrid at 100x because it paid
+    * BM25 twice). */
   private def lexLeg(s: SparkSession, d: String): DataFrame =
     rankTopK(bm25Scores(s, d), "doc_id", "r4", LegK, "lex_rank")
+      .localCheckpoint(true)
+
+  /** Postings are hashed into [[PostingBuckets]] term buckets — the
+    * partition key a query's posting fetch prunes on. */
+  private val PostingBuckets = 64
+
+  /** Write-time INVERTED-INDEX layout: the full (term, doc_id, tf)
+    * posting table partitioned by `tb = xxhash64(term) % 64`, with the
+    * document length DENORMALIZED onto each posting row (so scoring
+    * needs no corpus-sized dl join) and the corpus stats (avgdl, n) in
+    * a 1-row sidecar. The parity twin of [[Similarity.buildIvfLayout]]
+    * for the lexical leg: a k-term query reads ≤ k of 64 bucket
+    * directories — at 100 TB the posting fetch is partition-pruned I/O
+    * proportional to the query terms' document frequency, where
+    * [[bm25Scores]] explodes EVERY document's tokens per query batch
+    * (the measured 1000x wall: the explode leg shuffles 144 MB and
+    * dominates both hybrid entries). Same staleness rule as the ANN
+    * layouts: rebuilt when the source parquet is newer than the
+    * layout's _SUCCESS marker. */
+  def buildPostingLayout(s: SparkSession, d: String): java.io.File = {
+    val src = new java.io.File(d).getCanonicalFile
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
+    val layout = new java.io.File(
+      s"target/postings_${src.getName}_$fp").getAbsoluteFile
+    val srcFile = new java.io.File(src, "documents.parquet")
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
+    val marker = new java.io.File(layout, "_SUCCESS")
+    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+      dl.agg(round(avg("dl"), 6).as("avgdl"), count(lit(1)).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_stats")
+      docs.select(col("doc_id"), explode(toks).as("term"), size(toks).as("dl"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(PostingBuckets)))
+        .write.partitionBy("tb").mode("overwrite").parquet(layout.toString)
+    }
+    layout
+  }
+
+  /** [[lexLeg]] served from the posting layout — identical ranks (same
+    * tf/df/dl/stats, same quantized arithmetic, proven by the unchanged
+    * exact-hash oracle), but the scan reads only the query terms'
+    * bucket directories: partition pruning on `tb` plus an ordinary
+    * pushed `term IN (...)` filter inside them. The term→bucket hashes
+    * come from a 3-row bounded collect (Spark's own xxhash64, so driver
+    * and layout agree by construction). */
+  private[graft] def postingScores(s: SparkSession, d: String): DataFrame = {
+    val layout = buildPostingLayout(s, d)
+    import s.implicits._
+    val buckets: Seq[Long] = QueryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(PostingBuckets)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val stats = s.read.parquet(s"${layout}_stats")
+    val tf = s.read.parquet(layout.toString)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(QueryTerms: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
+          .as("idf"))
+    tf.join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("norm",
+        round(lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("idf") * col("tf") * lit(2.2) / (col("tf") + col("norm")))
+        .as("score"))
+      .select(col("doc_id"), round(col("score"), 4).as("r4"))
+  }
+
+  private def lexLegIndexed(s: SparkSession, d: String): DataFrame =
+    rankTopK(postingScores(s, d), "doc_id", "r4", LegK, "lex_rank")
+      .localCheckpoint(true)
 
   /** Embeddings as (vec_id, v float64). */
   private def emb(s: SparkSession, d: String): DataFrame =
@@ -143,6 +230,33 @@ object Retrieval {
     reg(s)
     val lex = lexLeg(s, d)
     val vec = vecLeg(s, d, prfVector(s, d, lex))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(FusedK)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+  }
+
+  /** [[hybridRrf]] with BOTH legs served by write-time layouts — the
+    * PRODUCTION hybrid. The lexical leg reads the inverted-index
+    * posting layout ([[lexLegIndexed]]: partition-pruned to the query
+    * terms' ≤3 of 64 buckets — identical ranks to [[lexLeg]], so this
+    * substitution leaves the oracle untouched); the vector leg reads
+    * ~nprobe/k of the corpus through the IVF layout's static partition
+    * pruning ([[Similarity.ivfVectorLeg]]); fusion is unchanged
+    * (two ≤20-row rank lists). A separate gate entry rather than a twin
+    * because the IVF-pruned top-20 is a different (approximate) leg
+    * ranking, so the fused rows differ from [[hybridRrf]]'s —
+    * RetrievalSpec pins the overlap floor between the two fused lists,
+    * the exact-hash oracle (codebook interpolated, the IVF convention)
+    * pins engine parity. */
+  def hybridRrfIvf(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val lex = lexLegIndexed(s, d)
+    val scored = Similarity.ivfVectorLeg(s, d, prfVector(s, d, lex))
+    val vec = rankTopK(scored, "doc_id", "r6", LegK, "vec_rank")
     lex.join(vec, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
@@ -275,6 +389,7 @@ object Retrieval {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_rrf" -> (hybridRrf _),
+    "hybrid_rrf_ivf" -> (hybridRrfIvf _),
     "retrieval_mmr" -> (retrievalMmr _),
     "retrieval_ndcg" -> (retrievalNdcg _))
 
@@ -416,8 +531,60 @@ object Retrieval {
      GROUP BY l.leg ORDER BY l.leg"""
   }
 
+  /** DuckDB replay of [[hybridRrfIvf]]: the leg CTEs (BM25 ranks + PRF
+    * vector), then the IVF codebook as a VALUES literal — cell
+    * assignment (sequential (v−c)² sum, ties to lowest cell), the qv's
+    * nprobe nearest cells, cosine over candidates in probed cells, and
+    * the identical RRF fusion. */
+  private def hybridIvfOracle(cents: Array[Array[Double]]): String = {
+    val vals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
+      .mkString(",\n")
+    val np = 6 // Similarity.IvfNProbe — shared constant pinned by the gate
+    s"""WITH $legCtes,
+     cells(cell, c) AS (VALUES $vals),
+     dist AS (
+       SELECT e.vec_id, e.v, cl.cell,
+         list_sum(list_transform(generate_series(1, len(cl.c)),
+           i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
+       FROM emb e CROSS JOIN cells cl),
+     rk AS (
+       SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+       FROM dist),
+     assigned AS (
+       SELECT r.vec_id, r.v, sqrt(list_dot_product(r.v, r.v)) AS n, r.cell
+       FROM rk r WHERE r.rk = 1),
+     qcells AS (
+       SELECT cl.cell
+       FROM cells cl CROSS JOIN qv
+       ORDER BY list_sum(list_transform(generate_series(1, len(cl.c)),
+         i -> (qv.qv[i] - cl.c[i]) * (qv.qv[i] - cl.c[i]))), cl.cell
+       LIMIT $np),
+     vsc2 AS (
+       SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.v, qv.qv)
+           / (e.n * sqrt(list_dot_product(qv.qv, qv.qv))), 6) AS r6
+       FROM assigned e JOIN qcells USING (cell) CROSS JOIN qv),
+     vec2 AS (
+       SELECT doc_id, row_number() OVER (ORDER BY r6 DESC, doc_id) AS vec_rank
+       FROM vsc2 ORDER BY r6 DESC, doc_id LIMIT $LegK),
+     fused AS (
+       SELECT coalesce(lex.doc_id, vec2.doc_id) AS doc_id,
+         lex.lex_rank, vec2.vec_rank,
+         round(coalesce(1.0 / ($RrfK + lex.lex_rank), 0.0)
+             + coalesce(1.0 / ($RrfK + vec2.vec_rank), 0.0), 6) AS rrf
+       FROM lex FULL OUTER JOIN vec2 ON lex.doc_id = vec2.doc_id)
+     SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+     ORDER BY rrf DESC, doc_id LIMIT $FusedK"""
+  }
+
   def oracles: Map[String, String] = Map(
     "hybrid_rrf" -> hybridOracle,
     "retrieval_mmr" -> mmrOracle,
-    "retrieval_ndcg" -> ndcgOracle)
+    "retrieval_ndcg" -> ndcgOracle) ++
+    // IVF-leg hybrid: codebook interpolated when the query has run
+    // (the IVF-codebook convention — omitted otherwise, rows-only)
+    Similarity.codebookFor("hybrid_rrf_ivf")
+      .map(c => "hybrid_rrf_ivf" -> hybridIvfOracle(c)).toMap
 }

@@ -2095,6 +2095,44 @@ object Similarity {
     rankedTopK(scored, 5)
   }
 
+  /** IVF-served vector leg for the hybrid retrieval stack
+    * ([[Retrieval.hybridRrfIvf]]): cosine scores to the 1-row query-
+    * vector frame, restricted to the query's nprobe nearest cells of
+    * the write-time IVF layout — at 100 TB the leg reads ~nprobe/k of
+    * the corpus via partition pruning where [[Retrieval.hybridRrf]]'s
+    * in-memory leg scans it all. The query vector is ONE row (the PRF
+    * mean), so the bounded collect turns the probed-cell list into a
+    * literal isin → static partition pruning at the scan (the
+    * [[annIvfSq8]] convention). Returns (doc_id, r6) scored candidates;
+    * the caller ranks and fuses. Codebook stashed under the gate key so
+    * the oracle replays cell assignment + probing exactly. */
+  private[operators] def ivfVectorLeg(s: SparkSession, d: String,
+                                      qvDf: DataFrame): DataFrame = {
+    reg(s)
+    val layout = buildIvfLayout(s, d)
+    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    trainedCodebooks.put("hybrid_rrf_ivf", cents)
+    val qv: Array[Double] = qvDf.collect()(0).getSeq[Double](0).toArray
+    val probed: Seq[Int] = cents.zipWithIndex.map { case (c, i) =>
+      var d2 = 0.0; var j = 0
+      while (j < qv.length) { val t = qv(j) - c(j); d2 += t * t; j += 1 }
+      (d2, i)
+    }.sortBy(p => (p._1, p._2)).take(IvfNProbe).map(_._2).toSeq
+    // qn: sequential 64-term sum — the same IEEE result the oracle's
+    // list_dot_product produces, so the literal folds identically
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    s.read.parquet(layout.toString)
+      .filter(col("cell").isin(probed: _*))
+      .withColumn("v", col("v").cast("array<double>"))
+      .withColumn("r6", round(
+        dot(col("v"), typedLit(qv.toSeq)) / (col("n") * lit(qn)), 6))
+      .select(col("vec_id").as("doc_id"), col("r6"))
+  }
+
+  private[operators] def codebookFor(key: String): Option[Array[Array[Double]]] =
+    Option(trainedCodebooks.get(key))
+
   // ---- deterministic hierarchical HNSW (r10 verdict #3) ------------------
 
   /** Layer cap, upper-layer beam width, and rounds-per-upper-layer. */

@@ -130,8 +130,9 @@ object PipelineScaleProbe {
     // hybrid BM25+vector RRF fusion (r12): both corpus-shaped legs
     // (posting fetch, cosine scan) plus the K-bounded fusion — the
     // decade rows prove fusion cost stays flat while the legs scale
-    // like text_bm25 / ann_topk
-    "hybrid_rrf",
+    // like text_bm25 / ann_topk; the _ivf twin's vector leg reads only
+    // the PRF vector's nprobe cell partitions of the write-time layout
+    "hybrid_rrf", "hybrid_rrf_ivf",
     "dedup_paragraph")
 
   /** Load-phase builds for [[annProbeQueries]] over `dir`. The in-memory
@@ -145,6 +146,7 @@ object PipelineScaleProbe {
     graft.operators.Similarity.buildIvfLayout(spark, dir)
     graft.operators.Similarity.buildIvfPqLayout(spark, dir)
     graft.operators.Similarity.buildIvfSq8Layout(spark, dir)
+    graft.operators.Retrieval.buildPostingLayout(spark, dir)
     // NOT the graph layout: ann_graph_search is auditAtBase (fixed
     // 8-plane build — see the auditAtBase note), so the synth decade
     // dirs never need it and at 10x+ the fixed family would be
@@ -220,8 +222,11 @@ object PipelineScaleProbe {
     // load-phase layout builds, but only for the ANN paths being probed
     if (selQs.contains("ann_lsh_bucketed"))
       graft.operators.Similarity.buildLshLayout(spark, dir)
-    if (selQs.contains("ann_ivf_bucketed"))
+    if (selQs.contains("ann_ivf_bucketed") ||
+        selQs.contains("hybrid_rrf_ivf"))
       graft.operators.Similarity.buildIvfLayout(spark, dir)
+    if (selQs.contains("hybrid_rrf_ivf"))
+      graft.operators.Retrieval.buildPostingLayout(spark, dir)
     if (selQs.contains("ann_ivfpq_bucketed"))
       graft.operators.Similarity.buildIvfPqLayout(spark, dir)
     if (selQs.contains("ann_graph_search"))

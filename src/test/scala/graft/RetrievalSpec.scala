@@ -125,6 +125,36 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "RRF top hit should be a both-legs doc here")
   }
 
+  test("hybrid_rrf_ivf: the IVF-served leg prunes cell partitions at the " +
+       "scan and the fused top-10 overlaps the brute-force hybrid's") {
+    val ivf = Retrieval.hybridRrfIvf(spark, d)
+    val rows = ivf.collect()
+    assert(rows.length === 10)
+    // the approximate leg may rank differently, but the fused lists
+    // should agree on most of the top-10 (the lexical leg is identical
+    // and the IVF leg holds most of the exact leg's top-20)
+    val exact = Retrieval.hybridRrf(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    val overlap = rows.map(_.getLong(0)).count(exact.contains)
+    info(s"fused top-10 overlap: $overlap/10")
+    assert(overlap >= 6, s"only $overlap of 10 fused docs shared")
+    // the vector leg's scan must be partition-pruned to the PRF
+    // vector's nprobe cells (static literal pruning, not a full scan)
+    val f = Retrieval.hybridRrfIvf(spark, d).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(f.contains("PartitionFilters: [cell") ||
+      f.contains("PartitionFilters: [isnotnull(cell"), f.take(3000))
+    // the lexical leg's posting fetch must be partition-pruned to the
+    // query terms' buckets (its plan is inspected pre-checkpoint — the
+    // fused plan reads the 20-row checkpointed rank list)
+    val fl = Retrieval.postingScores(spark, d).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(fl.contains("PartitionFilters: [tb") ||
+      fl.contains("PartitionFilters: [isnotnull(tb"), fl.take(3000))
+  }
+
   test("retrieval_mmr: 5 distinct picks, greedy scores monotone " +
        "non-increasing, and diversity beats the plain top-5 (lower max " +
        "pairwise similarity)") {
