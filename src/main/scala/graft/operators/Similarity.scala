@@ -292,10 +292,14 @@ object Similarity {
     val src = new java.io.File(d).getCanonicalFile
     val fp = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(src.getPath))
-    // `_f32` schema generation — see [[buildLshLayout]]: vectors stored
-    // as the source float32 (lossless), norms/cells computed in float64
+    // `_f32l` schema generation — see [[buildLshLayout]] for the f32
+    // vector convention (stored as source float32, norms/cells in
+    // float64); the `l` marks the metadata (label) column carried since
+    // r12 so FILTERED searches can evaluate their predicate at the
+    // pruned scan ([[annFilteredBucketed]]) — the tag keeps a pre-r12
+    // on-disk layout from being misread
     val layout = new java.io.File(
-      s"target/ann_ivf_f32_${src.getName}_$fp").getAbsoluteFile
+      s"target/ann_ivf_f32l_${src.getName}_$fp").getAbsoluteFile
     val srcFile = new java.io.File(src, "embeddings.parquet")
     def newestMtime(f: java.io.File): Long =
       if (f.isDirectory) (f.lastModified() +:
@@ -312,7 +316,7 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"${layout}_codebook")
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"),
-          col("embedding").as("v"))
+          col("embedding").as("v"), col("label"))
         .withColumn("cell", nearestCell(cents)(col("vd")))
         .withColumn("n", sqrt(dot(col("vd"), col("vd"))))
         .drop("vd")
@@ -1978,6 +1982,18 @@ object Similarity {
     * codebook + bounds interpolated (the [[trainedCodebooks]]
     * convention), DuckDB replays cell assignment, nprobe probing, the
     * identical quantize/dequantize arithmetic, and both rankings. */
+  /** Driver-side replica of the `vec_probe_cells` kernel: the `nprobe`
+    * nearest centroids of `v`, ties (d2 asc, cell asc) — used wherever
+    * a probed-cell list must become a pruning LITERAL (bounded driver
+    * work: k×dim distance sums for one query vector). */
+  private def nearestCellsLocal(cents: Array[Array[Double]],
+                                v: Array[Double], nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      var d2 = 0.0; var k = 0
+      while (k < v.length) { val t = v(k) - c(k); d2 += t * t; k += 1 }
+      (d2, i)
+    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+
   def annIvfSq8(s: SparkSession, d: String): DataFrame = {
     reg(s)
     val layout = buildIvfSq8Layout(s, d)
@@ -1992,14 +2008,9 @@ object Similarity {
     val qVecs: Array[(Long, Array[Double])] =
       eBase.filter(col("vec_id").isin(queryIds: _*)).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def nearestCells(v: Array[Double]): Seq[Int] =
-      cents.zipWithIndex.map { case (c, i) =>
-        var d2 = 0.0; var k = 0
-        while (k < v.length) { val t = v(k) - c(k); d2 += t * t; k += 1 }
-        (d2, i)
-      }.sortBy(p => (p._1, p._2)).take(IvfNProbe).map(_._2).toSeq
     val probed: Map[Long, Seq[Int]] =
-      qVecs.map { case (id, v) => id -> nearestCells(v) }.toMap
+      qVecs.map { case (id, v) =>
+        id -> nearestCellsLocal(cents, v, IvfNProbe) }.toMap
     val allCells = probed.values.flatten.toSeq.distinct.sorted
     // query side: reconstructed query (the symmetric estimator annSq8
     // uses) x its nprobe cells — <= 60 rows, broadcast
@@ -2114,11 +2125,7 @@ object Similarity {
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
     trainedCodebooks.put("hybrid_rrf_ivf", cents)
     val qv: Array[Double] = qvDf.collect()(0).getSeq[Double](0).toArray
-    val probed: Seq[Int] = cents.zipWithIndex.map { case (c, i) =>
-      var d2 = 0.0; var j = 0
-      while (j < qv.length) { val t = qv(j) - c(j); d2 += t * t; j += 1 }
-      (d2, i)
-    }.sortBy(p => (p._1, p._2)).take(IvfNProbe).map(_._2).toSeq
+    val probed: Seq[Int] = nearestCellsLocal(cents, qv, IvfNProbe)
     // qn: sequential 64-term sum — the same IEEE result the oracle's
     // list_dot_product produces, so the literal folds identically
     val qn = math.sqrt(qv.map(x => x * x).sum)
@@ -2132,6 +2139,51 @@ object Similarity {
 
   private[operators] def codebookFor(key: String): Option[Array[Array[Double]]] =
     Option(trainedCodebooks.get(key))
+
+  /** [[annFiltered]] over the write-time IVF layout — IDENTICAL rows
+    * (same deterministic codebook, widened probe set, predicate,
+    * scoring, ranking), but the scale claim is realized at the scan:
+    * the layout carries the metadata column (`_f32l` schema), so the
+    * label predicate evaluates inside the ≤16 PRUNED cell directories —
+    * partition pruning cuts the rows to nprobe/k and the predicate cuts
+    * them again by its selectivity before any join or shuffle
+    * (plan-asserted: cell PartitionFilters + the predicate in the
+    * streamed join side). Query vectors are a bounded 10-row collect so
+    * the probed-cell union becomes the pruning literal (the
+    * [[annIvfSq8]] convention). Same oracle form as [[annFiltered]]
+    * with the layout-loaded codebook. */
+  def annFilteredBucketed(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val layout = buildIvfLayout(s, d)
+    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    trainedCodebooks.put("ann_filtered_bucketed", cents)
+    val eBase = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qVecs: Array[(Long, Array[Double])] =
+      eBase.filter(col("vec_id").isin(queryIds: _*)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    import s.implicits._
+    val qCells = qVecs.toSeq
+      .flatMap { case (id, v) =>
+        nearestCellsLocal(cents, v, FilteredNProbe).map(c => (id, c)) }
+      .toDF("query_id", "cell")
+    val allCells = qVecs
+      .flatMap { case (_, v) => nearestCellsLocal(cents, v, FilteredNProbe) }
+      .distinct.sorted.toSeq
+    val q = eBase.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        sqrt(dot(col("v"), col("v"))).as("qn"))
+      .join(broadcast(qCells), Seq("query_id"))
+    val e = s.read.parquet(layout.toString)
+      .filter(col("cell").isin(allCells: _*))
+      .filter(filterPred(col("label")))
+      .withColumn("v", col("v").cast("array<double>"))
+    val scored = e.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+    rankedTopK(scored, 5)
+  }
 
   // ---- deterministic hierarchical HNSW (r10 verdict #3) ------------------
 
@@ -2298,6 +2350,7 @@ object Similarity {
     "ann_sq8_packed" -> (annSq8Packed _),
     "ann_ivf_sq8" -> (annIvfSq8 _),
     "ann_filtered" -> (annFiltered _),
+    "ann_filtered_bucketed" -> (annFilteredBucketed _),
     "emb_kcenter" -> (embKcenter _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pagerank" -> (embPagerank _),
@@ -3344,9 +3397,10 @@ object Similarity {
     }.toMap ++
     // filtered ANN: same codebook replay, candidates restricted by the
     // metadata predicate (the Spark side pushes it below the cell join)
-    Option(trainedCodebooks.get("ann_filtered"))
-      .map(c => "ann_filtered" ->
-        ivfOracleSelect(c, "WHERE e.label % 3 = 0", FilteredNProbe)).toMap ++
+    Seq("ann_filtered", "ann_filtered_bucketed").flatMap { k =>
+      Option(trainedCodebooks.get(k)).map(c => k ->
+        ivfOracleSelect(c, "WHERE e.label % 3 = 0", FilteredNProbe))
+    }.toMap ++
     Option(trainedCodebooks.get("ann_ivf_sq8"))
       .map(c => "ann_ivf_sq8" -> ivfSq8OracleSelect(c)).toMap ++
     Option(trainedCodebooks.get("layout_describe"))

@@ -125,8 +125,9 @@ object PipelineScaleProbe {
     // metadata-filtered ANN (r12): the pre-filter thins the candidate
     // stream ~3x while the widened probe set (nprobe 16 vs 6) holds
     // recall — the decade rows measure the filter+probe trade against
-    // ann_ivf_bucketed's unfiltered rows
-    "ann_filtered",
+    // ann_ivf_bucketed's unfiltered rows; the _bucketed twin evaluates
+    // the predicate inside the pruned cell partitions of the layout
+    "ann_filtered", "ann_filtered_bucketed",
     // hybrid BM25+vector RRF fusion (r12): both corpus-shaped legs
     // (posting fetch, cosine scan) plus the K-bounded fusion — the
     // decade rows prove fusion cost stays flat while the legs scale
@@ -223,6 +224,7 @@ object PipelineScaleProbe {
     if (selQs.contains("ann_lsh_bucketed"))
       graft.operators.Similarity.buildLshLayout(spark, dir)
     if (selQs.contains("ann_ivf_bucketed") ||
+        selQs.contains("ann_filtered_bucketed") ||
         selQs.contains("hybrid_rrf_ivf"))
       graft.operators.Similarity.buildIvfLayout(spark, dir)
     if (selQs.contains("hybrid_rrf_ivf"))

@@ -554,14 +554,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //     +2 in r12 for annIvfSq8 (32-row codebook load + 10 query ids),
     //     +1 for layoutDescribeGate (32-row codebook load),
     //     +2 for ivfVectorLeg (32-row codebook load + the 1-row PRF
-    //      query vector whose probed cells become the pruning literal)
+    //      query vector whose probed cells become the pruning literal),
+    //     +2 for annFilteredBucketed (32-row codebook + 10 query vecs)
     //   Retrieval: 3-row term→bucket hashes (the posting-scan pruning
     //     literal — Spark's own xxhash64 so driver and layout agree)
     //   TextAnalysis: vocab-bounded LM table + top-40 PMI rows
     //   Quality/Multilingual: fixed 2000-doc training samples
     //   Sketches: 512-word bloom vocabulary; Dedup: 20-row CDC sample
     val expected = Map(
-      "operators/Similarity.scala" -> 15,
+      "operators/Similarity.scala" -> 17,
       "operators/Retrieval.scala" -> 1,
       "streaming/StreamGate.scala" -> 4,
       "operators/TextAnalysis.scala" -> 2,

@@ -84,6 +84,31 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.75)
   }
 
+  test("ann_filtered_bucketed: identical rows to ann_filtered, with the " +
+       "predicate evaluated inside the cell-pruned layout scan") {
+    val mem = Similarity.annFiltered(spark, d).collect().map(_.toString)
+    val bkt = Similarity.annFilteredBucketed(spark, d).collect()
+      .map(_.toString)
+    assert(bkt.sameElements(mem),
+      s"layout-served filtered ANN diverged: ${bkt.length} vs ${mem.length}")
+    val df = Similarity.annFilteredBucketed(spark, d)
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(f.contains("PartitionFilters: [cell") ||
+      f.contains("PartitionFilters: [isnotnull(cell"), f.take(3000))
+    // the label predicate sits in the streamed (scan) side of the join
+    val exec = df.queryExecution.sparkPlan
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    val candSide = joins.map { j =>
+      if (j.buildSide.toString.contains("Right")) j.left else j.right
+    }
+    assert(candSide.exists(_.toString.contains("% 3) = 0")),
+      exec.toString.take(3000))
+  }
+
   test("post-filtering an UNFILTERED top-5 under-delivers: at least one " +
        "query keeps < 5 rows — the failure mode the pre-filter design avoids") {
     val unfiltered = Similarity.annTopK(spark, d).collect()
