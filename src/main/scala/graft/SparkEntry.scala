@@ -363,7 +363,7 @@ object SparkEntry {
          GROUP BY win_id ORDER BY win_id""",
   ) ++ MobilityOps.oracles ++ Dedup.oracles ++ Similarity.oraclesFor(dir) ++
     TextAnalysis.oracles ++ Multimodal.oracles ++
-    graft.operators.Retrieval.oracles ++
+    graft.operators.Retrieval.oraclesFor(dir) ++
     Quality.oracles ++ Sketches.oracles ++
     graft.operators.Multilingual.oraclesFor(dir) ++
     graft.sources.RoundTrip.oracles ++

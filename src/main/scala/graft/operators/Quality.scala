@@ -152,32 +152,53 @@ object Quality {
     * term-count-sized and broadcast, and the final top-20 is a
     * TakeOrdered, not a global sort. */
   def bm25(s: SparkSession, d: String): DataFrame = {
-    val terms = Seq("spark", "table", "join")
-    val docs = Tables.documents(s, d)
+    val (tf, stats) =
+      bm25TfDl(Tables.documents(s, d), Seq("spark", "table", "join"))
+    bm25Score(tf, stats)
+      .select(col("doc_id"), col("r4").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** The brute (explode-the-corpus) tf derivation for [[bm25Score]]:
+    * per-(doc, term) counts carrying the doc length, plus the 1-row
+    * corpus stats frame. Shared with [[Retrieval]]'s hybrid lexical
+    * leg; the posting-layout leg derives the same-schema tf frame from
+    * its pruned scan instead. */
+  private[operators] def bm25TfDl(docs: DataFrame,
+                                  terms: Seq[String]): (DataFrame, DataFrame) = {
     val dl = docs.select(col("doc_id"), size(toks).as("dl"))
     val stats = dl.agg(
       round(avg("dl"), 6).as("avgdl"),
       count(lit(1)).as("n"))
     val tf = docs
-      .select(col("doc_id"), explode(toks).as("term"))
+      .select(col("doc_id"), explode(toks).as("term"), size(toks).as("dl"))
       .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    (tf, stats)
+  }
+
+  /** THE quantized BM25 arithmetic — one copy serving `text_bm25`, the
+    * hybrid brute leg, and the posting-layout leg. `tfdl` rows:
+    * (doc_id, term, tf, dl); `stats`: 1 row (avgdl, n). idf and the
+    * length norm are rounded to 6 decimals BEFORE the product so the
+    * score doubles fold identically across engines; output (doc_id,
+    * r4) with the score rounded to 4. */
+  private[operators] def bm25Score(tfdl: DataFrame,
+                                   stats: DataFrame): DataFrame = {
+    val dfreq = tfdl.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(stats))
       .select(col("term"),
         round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
           .as("idf"))
-    tf.join(broadcast(idf), "term")
-      .join(dl, "doc_id")
+    tfdl.join(broadcast(idf), "term")
       .crossJoin(broadcast(stats))
       .withColumn("norm",
         round(lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")), 6))
       .groupBy("doc_id")
       .agg(sum(col("idf") * col("tf") * lit(2.2) / (col("tf") + col("norm")))
         .as("score"))
-      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
-      .orderBy(round(col("score"), 4).desc, col("doc_id").asc)
-      .limit(20)
+      .select(col("doc_id"), round(col("score"), 4).as("r4"))
   }
 
   /** GPT-style sequence packing: documents are concatenated in

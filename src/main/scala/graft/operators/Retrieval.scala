@@ -48,36 +48,14 @@ object Retrieval {
   private val LegK = 20
   private val FusedK = 10
 
-  /** BM25 scores for [[QueryTerms]] over `documents` — the exact
-    * arithmetic of [[Quality.bm25]] (k1 = 1.2, b = 0.75, idf and the
-    * length norm quantized to 6 decimals BEFORE the product). Kept in
-    * sync by RetrievalSpec, which pins this leg's top-20 equal to
-    * `text_bm25`'s rows. */
+  /** BM25 scores for [[QueryTerms]] over `documents` — the ONE
+    * quantized scorer [[Quality.bm25Score]] over the brute tf
+    * derivation, so the lexical leg is the SAME ranking a `text_bm25`
+    * user sees by construction (RetrievalSpec additionally pins the
+    * rank agreement). */
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val toks = split(col("text"), " ")
-    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
-    val stats = dl.agg(
-      round(avg("dl"), 6).as("avgdl"),
-      count(lit(1)).as("n"))
-    val tf = docs
-      .select(col("doc_id"), explode(toks).as("term"))
-      .filter(col("term").isin(QueryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = dfreq.crossJoin(broadcast(stats))
-      .select(col("term"),
-        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
-          .as("idf"))
-    tf.join(broadcast(idf), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("norm",
-        round(lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")), 6))
-      .groupBy("doc_id")
-      .agg(sum(col("idf") * col("tf") * lit(2.2) / (col("tf") + col("norm")))
-        .as("score"))
-      .select(col("doc_id"), round(col("score"), 4).as("r4"))
+    val (tf, stats) = Quality.bm25TfDl(Tables.documents(s, d), QueryTerms)
+    Quality.bm25Score(tf, stats)
   }
 
   /** Rank a scored frame's top-`k`: `rank = 1..k` by (`by` desc, id
@@ -121,18 +99,8 @@ object Retrieval {
     * layouts: rebuilt when the source parquet is newer than the
     * layout's _SUCCESS marker. */
   def buildPostingLayout(s: SparkSession, d: String): java.io.File = {
-    val src = new java.io.File(d).getCanonicalFile
-    val fp = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
-    val layout = new java.io.File(
-      s"target/postings_${src.getName}_$fp").getAbsoluteFile
-    val srcFile = new java.io.File(src, "documents.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified() +:
-        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
-      else f.lastModified()
-    val marker = new java.io.File(layout, "_SUCCESS")
-    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+    val layout = graft.util.Layouts.dir("postings", d)
+    if (graft.util.Layouts.stale(layout, d, "documents")) {
       val docs = Tables.documents(s, d)
       val toks = split(col("text"), " ")
       val dl = docs.select(col("doc_id"), size(toks).as("dl"))
@@ -160,22 +128,13 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(PostingBuckets)))
       .collect().map(_.getLong(0)).distinct.toSeq
     val stats = s.read.parquet(s"${layout}_stats")
+    // the pruned posting fetch yields the same (doc_id, term, tf, dl)
+    // schema the brute derivation produces — one shared scorer
     val tf = s.read.parquet(layout.toString)
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(QueryTerms: _*))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = dfreq.crossJoin(broadcast(stats))
-      .select(col("term"),
-        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
-          .as("idf"))
-    tf.join(broadcast(idf), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("norm",
-        round(lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")), 6))
-      .groupBy("doc_id")
-      .agg(sum(col("idf") * col("tf") * lit(2.2) / (col("tf") + col("norm")))
-        .as("score"))
-      .select(col("doc_id"), round(col("score"), 4).as("r4"))
+      .select("doc_id", "term", "tf", "dl")
+    Quality.bm25Score(tf, stats)
   }
 
   private def lexLegIndexed(s: SparkSession, d: String): DataFrame =
@@ -226,10 +185,10 @@ object Retrieval {
     * joined — at any corpus size the fusion stage touches 2·K rows per
     * query; the corpus is only read inside the legs, each of which is
     * index-served at scale (inverted index / ANN layout). */
-  def hybridRrf(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val lex = lexLeg(s, d)
-    val vec = vecLeg(s, d, prfVector(s, d, lex))
+  /** THE RRF fusion — one copy serving both hybrid entries and nDCG:
+    * full-outer join of two (doc_id, *_rank) lists, rrf = Σ 1/(60 +
+    * rank) with an absent leg contributing 0, fused top-[[FusedK]]. */
+  private def fuseRrf(lex: DataFrame, vec: DataFrame): DataFrame =
     lex.join(vec, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
@@ -237,6 +196,11 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("doc_id").asc).limit(FusedK)
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val lex = lexLeg(s, d)
+    fuseRrf(lex, vecLeg(s, d, prfVector(s, d, lex)))
   }
 
   /** [[hybridRrf]] with BOTH legs served by write-time layouts — the
@@ -256,14 +220,7 @@ object Retrieval {
     reg(s)
     val lex = lexLegIndexed(s, d)
     val scored = Similarity.ivfVectorLeg(s, d, prfVector(s, d, lex))
-    val vec = rankTopK(scored, "doc_id", "r6", LegK, "vec_rank")
-    lex.join(vec, Seq("doc_id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
-      .orderBy(col("rrf").desc, col("doc_id").asc).limit(FusedK)
-      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fuseRrf(lex, rankTopK(scored, "doc_id", "r6", LegK, "vec_rank"))
   }
 
   /** MMR balance: `mmr = λ·relevance − (1−λ)·max-sim-to-selected`. */
@@ -352,7 +309,9 @@ object Retrieval {
     reg(s)
     val lex = lexLeg(s, d)
     val vec = vecLeg(s, d, prfVector(s, d, lex))
-    val fused = hybridRrf(s, d)
+    // fuse the legs already in hand — calling hybridRrf here would
+    // re-execute both corpus-shaped legs a second time
+    val fused = fuseRrf(lex, vec)
       .withColumn("fused_rank",
         row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
       .select(col("doc_id"), col("fused_rank"))
@@ -540,7 +499,7 @@ object Retrieval {
     val vals = cents.zipWithIndex
       .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
       .mkString(",\n")
-    val np = 6 // Similarity.IvfNProbe — shared constant pinned by the gate
+    val np = Similarity.IvfNProbe
     s"""WITH $legCtes,
      cells(cell, c) AS (VALUES $vals),
      dist AS (
@@ -579,12 +538,17 @@ object Retrieval {
      ORDER BY rrf DESC, doc_id LIMIT $FusedK"""
   }
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesFor(None)
+
+  /** Oracles with the dataset dir being dumped threaded through (the
+    * [[Similarity.oraclesFor]] convention) so the IVF-leg codebook is
+    * THAT dir's, not whichever dir last ran. */
+  def oraclesFor(dumpDir: Option[String]): Map[String, String] = Map(
     "hybrid_rrf" -> hybridOracle,
     "retrieval_mmr" -> mmrOracle,
     "retrieval_ndcg" -> ndcgOracle) ++
     // IVF-leg hybrid: codebook interpolated when the query has run
     // (the IVF-codebook convention — omitted otherwise, rows-only)
-    Similarity.codebookFor("hybrid_rrf_ivf")
+    Similarity.codebookFor("hybrid_rrf_ivf", dumpDir)
       .map(c => "hybrid_rrf_ivf" -> hybridIvfOracle(c)).toMap
 }

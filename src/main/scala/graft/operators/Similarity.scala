@@ -125,9 +125,6 @@ object Similarity {
     * regenerated dataset cannot silently keep serving a stale index. */
   def buildLshLayout(s: SparkSession, d: String): java.io.File = {
     reg(s)
-    val src = new java.io.File(d).getCanonicalFile
-    val fp = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
     // `_f32` names the layout SCHEMA generation: vectors are stored as
     // the source's own float32 (the r8 layout widened them to float64
     // before writing — 2x the scan bytes for zero information, and the
@@ -136,15 +133,8 @@ object Similarity {
     // value IS a float32 the cast reproduces the r8 doubles bit-for-bit
     // — same cosines, same oracle. The schema tag in the path keeps a
     // pre-upgrade on-disk layout from being misread.
-    val layout = new java.io.File(
-      s"target/ann_bucketed_f32_${src.getName}_$fp").getAbsoluteFile
-    val srcFile = new java.io.File(src, "embeddings.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified() +:
-        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
-      else f.lastModified()
-    val marker = new java.io.File(layout, "_SUCCESS")
-    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+    val layout = graft.util.Layouts.dir("ann_bucketed_f32", d)
+    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
       val dbl = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"),
           col("embedding").as("v"))
@@ -208,7 +198,7 @@ object Similarity {
     * so a probe reads ~nprobe/k of the data. Rows-only check (recall vs
     * [[annTopK]] is the quality measure; k-means is not SQL-expressible). */
   private val IvfK = 32
-  private val IvfNProbe = 6
+  private[operators] val IvfNProbe = 6
 
   /** Codebooks stashed PER QUERY KEY ("ann_ivf" = freshly trained,
     * "ann_ivf_bucketed" = loaded from the on-disk layout). The codebook
@@ -224,6 +214,33 @@ object Similarity {
     * simply omitted (rows-only, as before). */
   private val trainedCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Trained artifacts are keyed by (query, dataset dir) — the r12
+    * generalization of the r11 lang-ID/plane-family fix: a session that
+    * runs a codebook query against TWO dirs must not dump dir A's
+    * oracle with dir B's codebook. [[Verify]] always threads the dir it
+    * dumps for; `lastStashDir` is only the no-arg ad-hoc fallback. */
+  @volatile private var lastStashDir: String = null
+  private def stashKey(name: String, d: String): String =
+    name + "@" + new java.io.File(d).getCanonicalPath
+  private def stashCodebook(name: String, d: String,
+                            c: Array[Array[Double]]): Unit = {
+    trainedCodebooks.put(stashKey(name, d), c)
+    lastStashDir = d
+  }
+  private[operators] def codebookFor(name: String, dumpDir: Option[String])
+      : Option[Array[Array[Double]]] =
+    dumpDir.orElse(Option(lastStashDir))
+      .flatMap(d => Option(trainedCodebooks.get(stashKey(name, d))))
+  private def stashPq(name: String, d: String,
+                      c: Array[Array[Array[Double]]]): Unit = {
+    trainedPq.put(stashKey(name, d), c)
+    lastStashDir = d
+  }
+  private def pqFor(name: String, dumpDir: Option[String])
+      : Option[Array[Array[Array[Double]]]] =
+    dumpDir.orElse(Option(lastStashDir))
+      .flatMap(d => Option(trainedPq.get(stashKey(name, d))))
 
   /** Deterministic k-means codebook: trained on a BOUNDED sample (k x 100
     * vectors with smallest xxhash64(vec_id) — a few MB at any corpus
@@ -269,7 +286,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = trainCodebook(e)
-    trainedCodebooks.put("ann_ivf", cents)
+    stashCodebook("ann_ivf", d, cents)
     val withCell = e
       .withColumn("cell", nearestCell(cents)(col("v")))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -289,24 +306,14 @@ object Similarity {
     * corpus at any scale. Same staleness rules as the LSH layout. */
   def buildIvfLayout(s: SparkSession, d: String): java.io.File = {
     reg(s)
-    val src = new java.io.File(d).getCanonicalFile
-    val fp = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
     // `_f32l` schema generation — see [[buildLshLayout]] for the f32
     // vector convention (stored as source float32, norms/cells in
     // float64); the `l` marks the metadata (label) column carried since
     // r12 so FILTERED searches can evaluate their predicate at the
     // pruned scan ([[annFilteredBucketed]]) — the tag keeps a pre-r12
     // on-disk layout from being misread
-    val layout = new java.io.File(
-      s"target/ann_ivf_f32l_${src.getName}_$fp").getAbsoluteFile
-    val srcFile = new java.io.File(src, "embeddings.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified() +:
-        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
-      else f.lastModified()
-    val marker = new java.io.File(layout, "_SUCCESS")
-    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+    val layout = graft.util.Layouts.dir("ann_ivf_f32l", d)
+    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val cents = trainCodebook(e)
@@ -334,7 +341,7 @@ object Similarity {
     val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    trainedCodebooks.put("ann_ivf_bucketed", cents)
+    stashCodebook("ann_ivf_bucketed", d, cents)
     // float32 layout scan, widened before any arithmetic (bit-identical
     // scoring — see [[buildLshLayout]])
     val e = s.read.parquet(layout.toString)
@@ -438,7 +445,7 @@ object Similarity {
       .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
       .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
     val cbs = trainPqCodebooks(e)
-    trainedPq.put("ann_pq", cbs)
+    stashPq("ann_pq", d, cbs)
     // corpus -> (vec_id, j, code): one nearest-cell kernel per subspace
     val codeCols = (0 until PqM).map { j =>
       struct(lit(j).as("j"),
@@ -510,7 +517,7 @@ object Similarity {
       .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
       .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
     val cents = trainCodebook(e)
-    trainedCodebooks.put("ann_ivfpq", cents)
+    stashCodebook("ann_ivfpq", d, cents)
     val cellsDf = cents.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c")
     // residual encode: r = v - centroid(cell)
@@ -519,7 +526,7 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
     val cbs = trainPqCodebooks(res.select(col("vec_id"), col("r")))
-    trainedPq.put("ann_ivfpq", cbs)
+    stashPq("ann_ivfpq", d, cbs)
     val codeCols = (0 until PqM).map { j =>
       struct(lit(j).as("j"),
         call_function("vec_nearest_cell",
@@ -582,20 +589,10 @@ object Similarity {
   def buildIvfPqLayout(s: SparkSession, d: String): java.io.File = {
     reg(s)
     import s.implicits._
-    val src = new java.io.File(d).getCanonicalFile
-    val fp = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
     // "2" = packed-codes schema; a stale r7 (vec_id, j, code) layout dir
     // can linger without ever being read
-    val layout = new java.io.File(
-      s"target/ann_ivfpq2_${src.getName}_$fp").getAbsoluteFile
-    val srcFile = new java.io.File(src, "embeddings.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified() +:
-        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
-      else f.lastModified()
-    val marker = new java.io.File(layout, "_SUCCESS")
-    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+    val layout = graft.util.Layouts.dir("ann_ivfpq2", d)
+    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
         .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
@@ -758,8 +755,8 @@ object Similarity {
       Array.tabulate(PqM)(j => rows.filter(_.getInt(0) == j)
         .map(_.getSeq[Double](2).toArray))
     }
-    trainedCodebooks.put("ann_ivfpq_bucketed", cents)
-    trainedPq.put("ann_ivfpq_bucketed", cbs)
+    stashCodebook("ann_ivfpq_bucketed", d, cents)
+    stashPq("ann_ivfpq_bucketed", d, cbs)
     // query vectors: a bounded collect (10 ids) so the probed-cell list
     // becomes a LITERAL isin filter -> partition pruning at the scan
     val e = Tables.embeddings(s, d)
@@ -898,7 +895,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = trainCodebook(e)
-    trainedCodebooks.put("dedup_semantic", cents)
+    stashCodebook("dedup_semantic", d, cents)
     import s.implicits._
     val cells = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "c")
@@ -1318,18 +1315,8 @@ object Similarity {
     * untimed load phase; a cold call falls back to building inline). */
   def buildGraphLayout(s: SparkSession, d: String): java.io.File = {
     reg(s)
-    val src = new java.io.File(d).getCanonicalFile
-    val fp = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
-    val layout = new java.io.File(
-      s"target/ann_graph_${src.getName}_$fp").getAbsoluteFile
-    val srcFile = new java.io.File(src, "embeddings.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified() +:
-        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
-      else f.lastModified()
-    val marker = new java.io.File(layout, "_SUCCESS")
-    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+    val layout = graft.util.Layouts.dir("ann_graph", d)
+    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
       graphEdges(s, d, GraphM)
         .write.mode("overwrite").parquet(layout.getPath)
     }
@@ -1513,6 +1500,10 @@ object Similarity {
   private val scaledGraphP =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
   @volatile private var lastScaledDir: String = null
+  // the append entry keeps its OWN last-dir slot: sharing lastScaledDir
+  // would let a cross-dir append evict the scaled entries' fallback key
+  // and silently drop their oracles from a no-arg dump (r12 review)
+  @volatile private var lastAppendDir: String = null
 
   private def scaledPFor(s: SparkSession, d: String): Int = {
     val p = scaledGraphP.computeIfAbsent(d,
@@ -1731,18 +1722,8 @@ object Similarity {
     * ingest work, cached by the standard mtime marker. */
   def buildSq8Layout(s: SparkSession, d: String): java.io.File = {
     reg(s)
-    val src = new java.io.File(d).getCanonicalFile
-    val fp = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
-    val layout = new java.io.File(
-      s"target/ann_sq8_${src.getName}_$fp").getAbsoluteFile
-    val srcFile = new java.io.File(src, "embeddings.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified() +:
-        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
-      else f.lastModified()
-    val marker = new java.io.File(layout, "_SUCCESS")
-    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+    val layout = graft.util.Layouts.dir("ann_sq8", d)
+    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       sq8Bounds(e).coalesce(1).write.mode("overwrite")
@@ -1836,7 +1817,7 @@ object Similarity {
     val layout = buildIvfSq8Layout(s, d)
     val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    trainedCodebooks.put("layout_describe", cents)
+    stashCodebook("layout_describe", d, cents)
     describeAnnLayout(s, layout.getPath)
       .select("part_key", "n_rows", "min_vec_id", "max_vec_id")
   }
@@ -1899,7 +1880,7 @@ object Similarity {
     val batch = e.filter(pmod(col("vec_id"), lit(10)) === 7)
     val p = appendGraphP.computeIfAbsent(d,
       _ => scaledPlaneCount(base.count()))
-    lastScaledDir = d
+    lastAppendDir = d
     val pl = planesN(p)
     val eb = base.withColumn("bkt", bucketN(col("v"), pl))
     val capped = base.join(
@@ -1938,18 +1919,8 @@ object Similarity {
     * scan bytes. Same mtime staleness rules as every layout. */
   def buildIvfSq8Layout(s: SparkSession, d: String): java.io.File = {
     reg(s)
-    val src = new java.io.File(d).getCanonicalFile
-    val fp = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
-    val layout = new java.io.File(
-      s"target/ann_ivfsq8_${src.getName}_$fp").getAbsoluteFile
-    val srcFile = new java.io.File(src, "embeddings.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified() +:
-        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
-      else f.lastModified()
-    val marker = new java.io.File(layout, "_SUCCESS")
-    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+    val layout = graft.util.Layouts.dir("ann_ivfsq8", d)
+    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val cents = trainCodebook(e)
@@ -1999,7 +1970,7 @@ object Similarity {
     val layout = buildIvfSq8Layout(s, d)
     val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    trainedCodebooks.put("ann_ivf_sq8", cents)
+    stashCodebook("ann_ivf_sq8", d, cents)
     val bounds = s.read.parquet(s"${layout.getPath}_bounds")
     val eBase = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -2091,7 +2062,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
     val cents = trainCodebook(e)
-    trainedCodebooks.put("ann_filtered", cents)
+    stashCodebook("ann_filtered", d, cents)
     val withCell = e
       .withColumn("cell", nearestCell(cents)(col("v")))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -2123,7 +2094,7 @@ object Similarity {
     val layout = buildIvfLayout(s, d)
     val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    trainedCodebooks.put("hybrid_rrf_ivf", cents)
+    stashCodebook("hybrid_rrf_ivf", d, cents)
     val qv: Array[Double] = qvDf.collect()(0).getSeq[Double](0).toArray
     val probed: Seq[Int] = nearestCellsLocal(cents, qv, IvfNProbe)
     // qn: sequential 64-term sum — the same IEEE result the oracle's
@@ -2136,9 +2107,6 @@ object Similarity {
         dot(col("v"), typedLit(qv.toSeq)) / (col("n") * lit(qn)), 6))
       .select(col("vec_id").as("doc_id"), col("r6"))
   }
-
-  private[operators] def codebookFor(key: String): Option[Array[Array[Double]]] =
-    Option(trainedCodebooks.get(key))
 
   /** [[annFiltered]] over the write-time IVF layout — IDENTICAL rows
     * (same deterministic codebook, widened probe set, predicate,
@@ -2157,20 +2125,18 @@ object Similarity {
     val layout = buildIvfLayout(s, d)
     val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    trainedCodebooks.put("ann_filtered_bucketed", cents)
+    stashCodebook("ann_filtered_bucketed", d, cents)
     val eBase = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val qVecs: Array[(Long, Array[Double])] =
       eBase.filter(col("vec_id").isin(queryIds: _*)).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     import s.implicits._
-    val qCells = qVecs.toSeq
+    val probedPairs: Seq[(Long, Int)] = qVecs.toSeq
       .flatMap { case (id, v) =>
         nearestCellsLocal(cents, v, FilteredNProbe).map(c => (id, c)) }
-      .toDF("query_id", "cell")
-    val allCells = qVecs
-      .flatMap { case (_, v) => nearestCellsLocal(cents, v, FilteredNProbe) }
-      .distinct.sorted.toSeq
+    val qCells = probedPairs.toDF("query_id", "cell")
+    val allCells = probedPairs.map(_._2).distinct.sorted
     val q = eBase.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         sqrt(dot(col("v"), col("v"))).as("qn"))
@@ -2236,18 +2202,8 @@ object Similarity {
   /** Write-time HNSW layout (ingest work, like [[buildGraphLayout]]). */
   def buildHnswLayout(s: SparkSession, d: String): java.io.File = {
     reg(s)
-    val src = new java.io.File(d).getCanonicalFile
-    val fp = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getPath))
-    val layout = new java.io.File(
-      s"target/ann_hnsw_${src.getName}_$fp").getAbsoluteFile
-    val srcFile = new java.io.File(src, "embeddings.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified() +:
-        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
-      else f.lastModified()
-    val marker = new java.io.File(layout, "_SUCCESS")
-    if (!marker.exists() || marker.lastModified() < newestMtime(srcFile)) {
+    val layout = graft.util.Layouts.dir("ann_hnsw", d)
+    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
       hnswEdges(s, d).write.mode("overwrite").parquet(layout.getPath)
     }
     layout
@@ -2861,10 +2817,10 @@ object Similarity {
 
   /** DuckDB replay of [[annGraphAppend]]: the 90/10 split rule, the
     * base corpus's P-plane family and lowest-ids-per-bucket cap, the
-    * batch's 1-bit probe set, and the top-M ranking. */
+    * batch's 2-bit probe set (the denser family the append deliberately
+    * spends on — see the annGraphAppend body), and the top-M ranking. */
   private def graphAppendOracle(p: Int): String = {
-    // the append probes the 2-bit family (see the annGraphAppend body)
-    val probes1 =
+    val probes2 =
       "[bkt, " + masks2N(p).map(m => s"xor(bkt,$m)").mkString(", ") + "]"
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -2878,7 +2834,7 @@ object Similarity {
          nb0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
                  ${sqlBucketN(p)} AS bkt FROM emb WHERE vec_id % 10 = 7),
          nb AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
-                 unnest($probes1) AS bkt FROM nb0),
+                 unnest($probes2) AS bkt FROM nb0),
          scored AS (
            SELECT nb.query_id, bc.vec_id AS neighbor_id,
              list_dot_product(bc.v, nb.qv) / (bc.n * nb.qn) AS cos
@@ -3393,27 +3349,27 @@ object Similarity {
            ON a.pos = b.pos AND a.lang < b.lang
          GROUP BY 1, 2 ORDER BY 1, 2""") ++
     Seq("ann_ivf", "ann_ivf_bucketed").flatMap { k =>
-      Option(trainedCodebooks.get(k)).map(c => k -> ivfOracleSelect(c))
+      codebookFor(k, dumpDir).map(c => k -> ivfOracleSelect(c))
     }.toMap ++
     // filtered ANN: same codebook replay, candidates restricted by the
     // metadata predicate (the Spark side pushes it below the cell join)
     Seq("ann_filtered", "ann_filtered_bucketed").flatMap { k =>
-      Option(trainedCodebooks.get(k)).map(c => k ->
+      codebookFor(k, dumpDir).map(c => k ->
         ivfOracleSelect(c, "WHERE e.label % 3 = 0", FilteredNProbe))
     }.toMap ++
-    Option(trainedCodebooks.get("ann_ivf_sq8"))
+    codebookFor("ann_ivf_sq8", dumpDir)
       .map(c => "ann_ivf_sq8" -> ivfSq8OracleSelect(c)).toMap ++
-    Option(trainedCodebooks.get("layout_describe"))
+    codebookFor("layout_describe", dumpDir)
       .map(c => "layout_describe" -> layoutDescribeOracle(c)).toMap ++
-    Option(trainedPq.get("ann_pq"))
+    pqFor("ann_pq", dumpDir)
       .map(c => "ann_pq" -> pqOracleSelect(c)).toMap ++
     Seq("ann_ivfpq", "ann_ivfpq_bucketed").flatMap { k =>
       for {
-        cents <- Option(trainedCodebooks.get(k))
-        cbs <- Option(trainedPq.get(k))
+        cents <- codebookFor(k, dumpDir)
+        cbs <- pqFor(k, dumpDir)
       } yield k -> ivfPqOracleSelect(cents, cbs)
     }.toMap ++
-    Option(trainedCodebooks.get("dedup_semantic"))
+    codebookFor("dedup_semantic", dumpDir)
       .map(c => "dedup_semantic" -> semDedupOracle(c)).toMap ++
     // scaled-graph entries: plane count recorded from the corpus count
     // at query time (omitted when the queries haven't run — the
@@ -3424,7 +3380,7 @@ object Similarity {
         "ann_graph_scaled" -> graphScaledOracle(p),
         "ann_graph_scaled_stats" -> graphScaledStatsOracle(p))).toMap ++
     // append entry: BASE-split plane count, recorded at query time
-    dumpDir.orElse(Option(lastScaledDir))
+    dumpDir.orElse(Option(lastAppendDir))
       .flatMap(d => Option(appendGraphP.get(d)))
       .map(p => "ann_graph_append" -> graphAppendOracle(p)).toMap
 }
