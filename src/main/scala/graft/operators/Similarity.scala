@@ -29,7 +29,7 @@ object Similarity {
   private def reg(s: SparkSession): Unit =
     graft.functions.GraftFunctions.register(s)
 
-  private val queryIds = Seq(1L, 7L, 42L, 99L, 123L, 200L, 256L, 300L, 404L, 499L)
+  private[graft] val queryIds = Seq(1L, 7L, 42L, 99L, 123L, 200L, 256L, 300L, 404L, 499L)
 
   /** Exact brute-force cosine top-5 per query vector (the correctness
     * baseline an ANN index is judged against). */
@@ -3242,16 +3242,13 @@ object Similarity {
     * that runs against two dirs and dumps for the first cannot pick up
     * the second dir's family. The no-arg form falls back to the
     * last-run dir (ad-hoc use only; [[Verify]] always threads). */
-  def oraclesFor(dumpDir: Option[String]): Map[String, String] = Map(
-    "emb_kcenter" -> kcenterOracle,
-    "emb_kmeans" -> kmeansOracle,
-    // approximate LSH queries, EXACT oracles: DuckDB runs the identical
-    // deterministic hash family (planes interpolated as literals)
-    "ann_lsh" -> lshOracleSelect,
-    "ann_lsh_bucketed" -> lshOracleSelect,
-    "dedup_emb_lsh" -> lshPairsOracle,
-    "ann_topk" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The exact brute-force top-5 oracle — shared with the streaming
+    * twin `stream_ann_topk_sink` (graft.streaming.StreamGate), whose
+    * per-batch-top-5-then-global-top-5 composition returns the
+    * identical rows (cosine top-k distributes over any partition of
+    * the corpus). */
+  private[graft] val annTopkOracleSql: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM emb
                WHERE vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
          scored AS (
@@ -3264,7 +3261,17 @@ object Similarity {
                ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  def oraclesFor(dumpDir: Option[String]): Map[String, String] = Map(
+    "emb_kcenter" -> kcenterOracle,
+    "emb_kmeans" -> kmeansOracle,
+    // approximate LSH queries, EXACT oracles: DuckDB runs the identical
+    // deterministic hash family (planes interpolated as literals)
+    "ann_lsh" -> lshOracleSelect,
+    "ann_lsh_bucketed" -> lshOracleSelect,
+    "dedup_emb_lsh" -> lshPairsOracle,
+    "ann_topk" -> annTopkOracleSql,
     "ann_knn_graph" ->
       s"""WITH $knnGraphCtes
          SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos

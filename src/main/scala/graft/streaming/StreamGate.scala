@@ -507,8 +507,79 @@ object StreamGate {
       .orderBy("user_id")
   }
 
+  /** `stream_ann_topk_sink` gate entry — CONTINUOUS ANN serving: the
+    * embeddings corpus replayed as a 4-file stream
+    * (maxFilesPerTrigger=1 → 4 real micro-batches of ingest); each
+    * micro-batch scores its ARRIVALS against the 10 fixed query
+    * vectors (a broadcast 10-row frame) and sinks only the batch's
+    * per-query top-5; the final read takes the global top-5 of the
+    * ≤ 4·5 sunk winners per query. Correctness argument: cosine top-k
+    * DISTRIBUTES over any partition of the corpus (each true global
+    * winner is within its own batch's top-5), so the output rows equal
+    * `ann_topk` EXACTLY — the entry shares its oracle
+    * ([[graft.operators.Similarity.annTopkOracleSql]]), regardless of
+    * how the stream splits.
+    *
+    * Scale design: per-batch work is BATCH-sized (a map-side score of
+    * the arrivals + a per-query bounded rank), no streaming state at
+    * all — the sunk winners table IS the state, and it grows by
+    * 5·|queries| rows per batch independent of corpus size. This is
+    * the append-ingest serving shape: a corpus that grows by stream
+    * keeps an always-current exact top-k without ever re-scanning old
+    * data ([[graft.operators.Similarity.annGraphAppend]] is the
+    * index-maintenance sibling for the approximate indexes). */
+  def streamAnnTopkSink(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_").toString
+    val staging = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val e0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e0.repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(staging)
+    val q = e0
+      .filter(col("vec_id").isin(graft.operators.Similarity.queryIds: _*))
+      .withColumn("qn", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    val sinkBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      batch
+        .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          call_function("vec_dot", col("v"), col("qv"))
+            / (col("n") * col("qn")))
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)))
+        .filter(col("rk") <= 5)
+        .select("query_id", "vec_id", "cos")
+        .write.mode("append").parquet(out)
+      ()
+    }
+    val q0 = stream.writeStream.foreachBatch(sinkBatch)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q0.awaitTermination()
+    // global top-5 of the sunk per-batch winners — the serving read
+    s.read.parquet(out)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 5).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("stream_neardup_sink" -> (streamNearDupSink _),
+        "stream_ann_topk_sink" -> (streamAnnTopkSink _),
         "stream_sessions_sink" -> (streamSessionsSink _),
         "stream_hll_sink" -> (streamHllSink _),
         "stream_countmin_sink" -> (streamCountMinSink _),
@@ -519,7 +590,12 @@ object StreamGate {
     * registers make the streamed and batch-replayed state identical. */
   val oracles: Map[String, String] = {
     val Hll = graft.operators.Hll
-    Map("stream_countmin_sink" ->
+    Map(
+      // identical rows to ann_topk (per-batch-top-5 → global-top-5
+      // composes to the exact answer) — the SAME oracle text
+      "stream_ann_topk_sink" ->
+        graft.operators.Similarity.annTopkOracleSql,
+      "stream_countmin_sink" ->
       """WITH e AS (
            SELECT date_trunc('day', ts) AS day, user_id FROM events),
          h AS (
