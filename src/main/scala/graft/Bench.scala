@@ -29,18 +29,19 @@ object Bench {
       // stages are compute-heavy on byte-tiny rows, so coalescing to one
       // partition serializes them — keep the requested parallelism
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // k-bounded TopKOrdered aggregates (the ANN family) must HASH, not
-      // sort-fall-back, when grouping by n vectors: the default 128-key
-      // fallback threshold turns the graph build's bounded partial agg
-      // into a full-stream sort. 64k, NOT the probe main's 1M: at bench
-      // scale the k-bounded rows group by at most a few thousand keys
-      // per task, while the VOCABULARY-shaped aggregates (text_tfidf at
-      // 100x: ~millions of distinct Heaps-law terms) held ~2-3 GB of
-      // object-hash state per wave under a 1M threshold and OOM'd the
-      // 8g bench heap mid-run (r12 forensics) — those rows are exactly
-      // the ones that SHOULD fall back to sort-based aggregation. The
-      // 1M setting belongs to the 5M-vector build probe, whose main
-      // also scales partition counts to keep groups/task inside it.
+      // SESSION default for the UNTIMED warm-up layout builds below
+      // (graph/HNSW builds group by n vectors with k-bounded TopKOrdered
+      // state — under the 128 default they sort-fall-back into
+      // full-stream sorter spill, SURVEY item 15). The TIMED queries do
+      // NOT inherit this: r12 measured a one-size 64k session threshold
+      // regressing the BerlinMOD collect_list-of-instants decade rows
+      // 30-50% (many groups x fat array states belong in the sort path),
+      // while a 1M threshold OOM'd text_tfidf_100x (~millions of
+      // Heaps-law terms held as object-hash state). timed() therefore
+      // scopes the threshold PER QUERY SHAPE (aggThreshold below): 64k
+      // only for the k-bounded ANN/TopKOrdered rows, Spark default for
+      // everything else. The 1M setting belongs to the 5M-vector build
+      // probe, whose main also scales partition counts to match.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       // same shuffle/cache codec stack as PipelineScaleProbe — the
@@ -101,10 +102,24 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // per-query-shape hash-aggregate fallback threshold (r12 verdict #1):
+    // 64k ONLY for the ANN/retrieval family, whose TopKOrdered states are
+    // k-bounded (~400 B/group) and whose n-group builds must hash; Spark
+    // default (128) for everything else, so the BerlinMOD
+    // collect_list-of-instants aggregates and the vocabulary-shaped text
+    // rows take the sort path their fat/many-group states need.
+    val FallbackKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    def aggThreshold(name: String): String =
+      if (name.startsWith("ann_") || name.startsWith("hybrid_") ||
+          name.startsWith("retrieval_") || name.startsWith("stream_ann"))
+        "65536"
+      else "128"
     def timed(work: Seq[(String, () => Unit)], clear: Boolean = true,
               passes: Int = 2): Seq[(String, Double, Option[String])] =
       for (pass <- 0 until passes; (name, run) <- work) yield {
         metrics.reset(name)
+        spark.conf.set(FallbackKey, aggThreshold(name))
         spark.sparkContext.setJobGroup(name, name,
           interruptOnCancel = false)
         val (u0, s0) = cpuStat(); val g0 = gcMs
@@ -151,6 +166,8 @@ object Bench {
       // as ~1.3x drift on these rows with no code change
       spark.catalog.clearCache()
       System.gc()
+      // the trip-building collect_list aggregates want the sort path
+      spark.conf.set(FallbackKey, "128")
       // the load itself is timed once as its own row: BASELINE.md
       // records the reference's brussels load (07_trips) at 15.9 s
       val tL0 = System.nanoTime()
@@ -180,6 +197,7 @@ object Bench {
     // untimed, like the 1x block.
     val bm10Times = try {
       spark.catalog.clearCache() // drop the 1x load artifacts first
+      spark.conf.set(FallbackKey, "128")
       graft.berlinmod.BerlinMod.load(spark, nVehicles = 1410,
         tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120)
       spark.sql("SELECT * FROM Trips").count()
@@ -212,6 +230,7 @@ object Bench {
       // contention); a forced GC plus three passes instead of two gets
       // the in-artifact number within the probe's envelope
       System.gc()
+      spark.conf.set(FallbackKey, "128")
       graft.berlinmod.BerlinMod.load(spark, nVehicles = 14100,
         tripsMin = 9, tripsMax = 14, ptsMin = 30, ptsMax = 120)
       spark.sql("SELECT * FROM Trips").count()
@@ -236,7 +255,9 @@ object Bench {
       (for (mult <- Seq(10, 100)) yield {
         val dir = s"/tmp/graft_synth_${mult}x"
         graft.scale.SynthCorpus.generate(spark, mult, dir)
-        // ANN layouts are load phase (matches the sfDir warm-up builds)
+        // ANN layouts are load phase (matches the sfDir warm-up builds);
+        // their n-group graph builds need the hash path
+        spark.conf.set(FallbackKey, "65536")
         graft.scale.PipelineScaleProbe.buildAnnLayouts(spark, dir)
         // audit-machinery twins (sketch_kmv_grouped's exact-count
         // window) run at base scale only — the production sibling

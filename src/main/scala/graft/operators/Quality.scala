@@ -185,7 +185,18 @@ object Quality {
     * score doubles fold identically across engines; output (doc_id,
     * r4) with the score rounded to 4. */
   private[operators] def bm25Score(tfdl: DataFrame,
-                                   stats: DataFrame): DataFrame = {
+                                   stats: DataFrame): DataFrame =
+    bm25Contrib(tfdl, stats)
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("r4"))
+      .select("doc_id", "r4")
+
+  /** Per-(doc, term) BM25 contribution rows — the one quantized
+    * arithmetic shared by [[bm25Score]] and [[bm25ScoreBatch]]. df is
+    * a per-TERM corpus property (counted once from the union tf frame,
+    * never per query — a term shared by two queries must not double
+    * its document frequency). */
+  private def bm25Contrib(tfdl: DataFrame, stats: DataFrame): DataFrame = {
     val dfreq = tfdl.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(stats))
       .select(col("term"),
@@ -195,11 +206,25 @@ object Quality {
       .crossJoin(broadcast(stats))
       .withColumn("norm",
         round(lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")), 6))
-      .groupBy("doc_id")
-      .agg(sum(col("idf") * col("tf") * lit(2.2) / (col("tf") + col("norm")))
-        .as("score"))
-      .select(col("doc_id"), round(col("score"), 4).as("r4"))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(2.2) / (col("tf") + col("norm")))
+      .select(col("doc_id"), col("term"), col("contrib"))
   }
+
+  /** BM25 per (query, doc) over a query BATCH: `tfdl` is the union term
+    * set's (doc_id, term, tf, dl) frame (posting fetch or brute
+    * derivation), `qterms` the tiny (query_id, term) table. A doc's
+    * score for a query sums only that query's terms' contributions —
+    * the broadcast qterms join fans each contribution row out to the
+    * queries that use its term (O(queries) per row worst case, K-tiny
+    * here), then one (query_id, doc_id) aggregate. */
+  private[operators] def bm25ScoreBatch(tfdl: DataFrame, qterms: DataFrame,
+                                        stats: DataFrame): DataFrame =
+    bm25Contrib(tfdl, stats)
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib")), 4).as("r4"))
+      .select("query_id", "doc_id", "r4")
 
   /** GPT-style sequence packing: documents are concatenated in
     * deterministic (doc_id) order and chunked into 2048-token training

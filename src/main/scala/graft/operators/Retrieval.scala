@@ -162,7 +162,11 @@ object Retrieval {
         " p -> p.m)").as("qv"))
   }
 
-  /** The vector leg: cosine-to-`qv` top-20 as (doc_id, vec_rank). */
+  /** The vector leg: cosine-to-`qv` top-20 as (doc_id, vec_rank).
+    * localCheckpointed (bounded: 20 rows) like [[lexLeg]] — retrievalNdcg
+    * consumes it twice (fusion + per-leg nDCG) and would otherwise
+    * re-execute the corpus-wide cosine scan AND the PRF-vector
+    * derivation behind it (r12 advice). */
   private def vecLeg(s: SparkSession, d: String, qv: DataFrame): DataFrame = {
     val scored = emb(s, d).crossJoin(broadcast(qv))
       .withColumn("r6", round(
@@ -171,6 +175,7 @@ object Retrieval {
         6))
       .select(col("vec_id").as("doc_id"), col("r6"))
     rankTopK(scored, "doc_id", "r6", LegK, "vec_rank")
+      .localCheckpoint(true)
   }
 
   /** Hybrid search: the BM25 leg and the vector leg fused with

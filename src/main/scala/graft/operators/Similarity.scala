@@ -1524,16 +1524,44 @@ object Similarity {
     * volume per vector ≈ T·(P+1) stays ~constant-per-vector across
     * decades (measured rows in SURVEY §8), where the fixed family's
     * grows linearly. */
+  /** Approx-shortlist width of the scaled build's probe stage:
+    * [[GraphM]] exact edges are re-ranked out of 2·M SQ8-shortlisted
+    * candidates per vector. The asymmetric estimator (query quantized,
+    * candidate exact — the [[annSq8Packed]] direction reversed) keeps
+    * per-dim error ≤ range/510, so the exact top-M sits inside the
+    * approx top-2M wherever the rank-M→2M cosine gap exceeds the
+    * accumulated recon error — pinned exactly (edge-set equality vs
+    * the float build) in PipelineOpsSpec at both gate SFs. */
+  private val GraphShortlist = 2 * GraphM
+
   /** The forward (directed) half of the scaled build as a PURE plan —
     * split out so the window-free plan assertion can inspect the whole
     * candidate-scoring subtree (the eager materialization in
-    * [[graphEdgesScaled]] would otherwise execute and hide it). */
+    * [[graphEdgesScaled]] would otherwise execute and hide it).
+    *
+    * SHUFFLE-BYTE DISCIPLINE (r12 verdict #2): the probe stream — the
+    * build's dominant exchange, n·(P+1) rows — carries 64 SQ8 CODE
+    * BYTES per vector instead of the 512-byte float64 array (measured
+    * 43.6 GB of shuffle at the 5M probe with float probes). Scoring
+    * against the code side is the fused `sq8_dot` decode-dot kernel
+    * (candidate side exact floats — the asymmetric estimator, half the
+    * error of code×code); the per-vector approx top-[[GraphShortlist]]
+    * is the bounded [[TopKOrdered]] aggregate, and only those ids
+    * re-join full-precision vectors (two uniform vec_id-keyed
+    * exchanges of the base table) for the exact top-[[GraphM]] rank —
+    * the `ann_sq8` rerank discipline applied to the build itself. */
   private[graft] def graphFwdEdgesScaled(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val p = scaledPFor(s, d)
     val pl = planesN(p)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    // per-dimension SQ8 bounds as plan literals (one 1-row bounded
+    // collect — exact min/max doubles, no FP-order dependence)
+    val bRow = sq8Bounds(e.select(col("vec_id"), col("v"))).collect()(0)
+    val qlo = typedLit(bRow.getSeq[Double](0))
+    val qhi = typedLit(bRow.getSeq[Double](1))
     val eb = e.withColumn("bkt", bucketN(col("v"), pl))
     // candidate side: at most GraphBuildCap lowest-id members per bucket
     // (the skew-proof bound — see the cappedBucketIds scaladoc), vectors
@@ -1543,20 +1571,33 @@ object Similarity {
       cappedBucketIds(eb).select(col("vec_id").as("capped_id"), col("bkt")),
       col("vec_id") === col("capped_id"))
       .drop("capped_id")
-    val qside = eb.select(col("vec_id").as("query_id"), col("v").as("qv"),
+    val qside = eb.select(col("vec_id").as("query_id"),
+      call_function("sq8_encode", col("v"), qlo, qhi).as("qcode"),
       col("n").as("qn"), explode(probes1N(col("bkt"), p)).as("bkt"))
     // SHUFFLE_HASH on the capped side: the planner's default here is a
-    // sort-merge join, which SORTS the n·(P+1)-row vector-carrying probe
-    // stream (hundreds of MB of sorter spill per decade for rows the
-    // join could stream); hashing the ≤cap·2^P capped side per
-    // partition costs MBs and the probe stream is never sorted. The
-    // scored output feeds the bounded TopKOrdered partial aggregate
-    // map-side (see [[rankedTopK]]'s fallback note on the r12 probes).
-    rankedTopK(
+    // sort-merge join, which SORTS the n·(P+1)-row probe stream
+    // (hundreds of MB of sorter spill per decade for rows the join
+    // could stream); hashing the ≤cap·2^P capped side per partition
+    // costs MBs and the probe stream is never sorted. The scored output
+    // feeds the bounded TopKOrdered partial aggregate map-side (see
+    // [[rankedTopK]]'s fallback note on the r12 probes).
+    val short = shortlistTopK(
       capped.hint("shuffle_hash").join(qside, Seq("bkt"))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn"))),
-      GraphM)
+        .withColumn("d2r", -round(
+          call_function("sq8_dot", col("qcode"), qlo, qhi, col("v"))
+            / (col("n") * col("qn")), 6)),
+      GraphShortlist)
+    // exact re-rank of the ids-only shortlist: re-join float vectors
+    // for BOTH ends (n·2M shortlist rows against the uniform-keyed base
+    // table; shuffle_hash — neither side needs a sort)
+    val rerank = short
+      .join(e.hint("shuffle_hash").select("vec_id", "v", "n"), Seq("vec_id"))
+      .join(e.hint("shuffle_hash").select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("n").as("qn")), Seq("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
+      .select("query_id", "vec_id", "cos")
+    rankedTopK(rerank, GraphM)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
   }
 

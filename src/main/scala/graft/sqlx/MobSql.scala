@@ -186,24 +186,44 @@ object MobSql {
   private def clusterWrite(spark: SparkSession, df: DataFrame,
                            boxCol: String, curve: String,
                            dir: String): Unit = {
-    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
-    val prev = spark.conf.get(sampleKey)
-    spark.conf.set(sampleKey, (1 << 20).toString)
-    try {
-      if (curve == "zorder" || curve == "hilbert") {
-        graft.functions.GraftFunctions.register(spark)
-        df.withColumn("__ckey", curveKey(df, boxCol, curve))
-          .repartitionByRange(col("__ckey"))
-          .sortWithinPartitions("__ckey")
-          .drop("__ckey")
-          .write.mode("overwrite").parquet(dir)
-      } else {
-        val keys = clusterKeys(df, boxCol)
-        df.repartitionByRange(keys: _*)
-          .sortWithinPartitions(keys: _*)
-          .write.mode("overwrite").parquet(dir)
-      }
-    } finally spark.conf.set(sampleKey, prev)
+    // the 1M sample size is scoped to an ISOLATED session clone
+    // (fresh SQLConf, shared SparkContext + cache) rather than
+    // set/finally-restored on the caller's conf: a concurrent query on
+    // the shared session (parallel suites) would silently inherit the
+    // temporary value, and two interleaved clusterWrites could leak it
+    // permanently by capturing each other's "prev" (r12 advice). The
+    // analyzed plan is re-bound because temp views are session-scoped.
+    val writer = spark.newSession()
+    writer.conf.set(
+      "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+      (1 << 20).toString)
+    // clones start from the SparkContext conf, not the parent's runtime
+    // conf — pin the partition count so layout bounds can't drift with
+    // how the parent session was built
+    writer.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    // AQE must not coalesce the range exchange: a numPartitions-less
+    // repartitionByRange is coalescing-eligible, and tiny builds would
+    // collapse to ONE file — one min/max envelope, zero row-group
+    // pruning. The layout's file count is part of its determinism
+    // contract, so pin it here rather than inherit the caller's AQE.
+    writer.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    val dfw = org.apache.spark.sql.graft.ColumnBridge.ofRows(
+      writer, df.queryExecution.analyzed)
+    if (curve == "zorder" || curve == "hilbert") {
+      graft.functions.GraftFunctions.register(writer)
+      dfw.withColumn("__ckey", curveKey(dfw, boxCol, curve))
+        .repartitionByRange(col("__ckey"))
+        .sortWithinPartitions("__ckey")
+        .drop("__ckey")
+        .write.mode("overwrite").parquet(dir)
+    } else {
+      val keys = clusterKeys(dfw, boxCol)
+      dfw.repartitionByRange(keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode("overwrite").parquet(dir)
+    }
   }
 
   /** Re-bind the table view to the layout plus its append tails. */

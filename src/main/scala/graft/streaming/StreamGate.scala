@@ -74,6 +74,18 @@ object StreamGate {
     * per-test). Overrides GRAFT_STATE_STORE when set. */
   @volatile private[graft] var providerOverride: Option[String] = None
 
+  /** Best-effort removal of a gate entry's temp root (staging +
+    * checkpoint + sink) once its result is materialized — the dirs are
+    * per-invocation and would otherwise accumulate under /tmp. */
+  private def deleteRecursively(root: String): Unit = try {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+  } catch { case _: java.io.IOException => () }
+
   /** Run `body` (which starts and awaits a streaming query) with the
     * session's state-store provider set per [[stateStoreProvider]],
     * restoring the previous conf after. The provider is bound to a
@@ -548,18 +560,23 @@ object StreamGate {
         org.apache.spark.sql.types.DoubleType))))
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staging)
-    val sinkBatch: (DataFrame, Long) => Unit = { (batch, _) =>
-      batch
-        .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
-        .join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cos",
-          call_function("vec_dot", col("v"), col("qv"))
-            / (col("n") * col("qn")))
-        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
-          .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)))
-        .filter(col("rk") <= 5)
-        .select("query_id", "vec_id", "cos")
-        .write.mode("append").parquet(out)
+    // per-batchId overwrite ([[StreamSink.writeBatch]]) — a replayed or
+    // partially-committed batch rewrites its OWN dir instead of
+    // appending duplicate winners that would evict true top-5 rows in
+    // the final rank (r12 advice)
+    val sinkBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      StreamSink.writeBatch(out)(
+        batch
+          .withColumn("n",
+            sqrt(call_function("vec_dot", col("v"), col("v"))))
+          .join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            call_function("vec_dot", col("v"), col("qv"))
+              / (col("n") * col("qn")))
+          .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)))
+          .filter(col("rk") <= 5)
+          .select("query_id", "vec_id", "cos"), batchId)
       ()
     }
     val q0 = stream.writeStream.foreachBatch(sinkBatch)
@@ -567,14 +584,19 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     q0.awaitTermination()
-    // global top-5 of the sunk per-batch winners — the serving read
-    s.read.parquet(out)
+    // global top-5 of the sunk per-batch winners — the serving read.
+    // Materialized eagerly so the staging/checkpoint dirs can be
+    // deleted before returning (they were previously leaked).
+    val served = s.read.parquet(s"$out/batch=*")
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 5).as("cos"))
       .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    served
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -18,4 +18,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Re-bind an ANALYZED plan to another session — the doorway that
+    * lets a write-path job run under an ISOLATED SQLConf
+    * (`spark.newSession()`) instead of mutating the caller's
+    * session-global conf (which a concurrently-running query would
+    * silently inherit). The plan must already be analyzed: temp-view
+    * references are session-scoped and would not resolve in the clone. */
+  def ofRows(s: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1232,6 +1232,62 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scaled build plan contains ${windows.size} window node(s)")
   }
 
+  test("graphFwdEdgesScaled: the SQ8-shortlisted build emits the EXACT " +
+       "float edge set (shortlist margin holds at the gate SF)") {
+    import graft.operators.Similarity
+    // independent float-exact replay of the forward build — deterministic
+    // splitmix planes, 1-bit probes, 32-per-bucket lowest-id cap, exact
+    // cosine top-8 by (round(cos,6) desc, id asc) — computed in plain
+    // Scala from the raw parquet, no Similarity internals. The build's
+    // SQ8 probe quantization is a pure shuffle-byte optimization ONLY if
+    // the exact top-M survives the approx top-2M shortlist; this pin
+    // fails the suite the moment it doesn't.
+    val rows = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val n = rows.length
+    val p = Similarity.scaledPlaneCount(n)
+    def planes(count: Int): Array[Array[Double]] = Array.tabulate(count) { q =>
+      var x = 0x9E3779B97F4A7C15L * (q + 1)
+      Array.fill(64) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        ((x * 0x2545F4914F6CDD1DL) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+    }
+    val pl = planes(p)
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vmap = rows.toMap
+    val norm = rows.map { case (id, v) => id -> math.sqrt(dotA(v, v)) }.toMap
+    val bkt = rows.map { case (id, v) =>
+      id -> pl.indices.map(i => if (dotA(v, pl(i)) > 0) 1 << i else 0).sum
+    }.toMap
+    val capped: Map[Int, Seq[Long]] =
+      rows.map(_._1).groupBy(bkt).map { case (b, ids) =>
+        b -> ids.sorted.take(32).toSeq
+      }
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = rows.flatMap { case (qid, qv) =>
+      val probeSet: Seq[Int] =
+        bkt(qid) +: (0 until p).map(i => bkt(qid) ^ (1 << i))
+      probeSet.flatMap(b => capped.getOrElse(b, Seq.empty[Long]))
+        .filter(_ != qid)
+        .map(c => (c, r6(dotA(vmap(c), qv) / (norm(c) * norm(qid)))))
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(8)
+        .map { case (c, _) => (qid, c) }
+    }.toSet
+    val actual = Similarity.graphFwdEdgesScaled(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(actual == expected,
+      s"quantized-build edge set diverged from float-exact: " +
+        s"missing=${(expected -- actual).take(5)} " +
+        s"extra=${(actual -- expected).take(5)}")
+  }
+
   test("ann_graph_append: batch-shaped edges for arriving vectors, " +
        "disjoint splits, windowless plan, top-1 agrees with exact") {
     import graft.operators.Similarity

@@ -555,14 +555,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //     +1 for layoutDescribeGate (32-row codebook load),
     //     +2 for ivfVectorLeg (32-row codebook load + the 1-row PRF
     //      query vector whose probed cells become the pruning literal),
-    //     +2 for annFilteredBucketed (32-row codebook + 10 query vecs)
+    //     +2 for annFilteredBucketed (32-row codebook + 10 query vecs),
+    //     +1 in r13 for graphFwdEdgesScaled (1-row SQ8 bounds aggregate
+    //      collected as the probe-quantization plan literals)
     //   Retrieval: 3-row term→bucket hashes (the posting-scan pruning
     //     literal — Spark's own xxhash64 so driver and layout agree)
     //   TextAnalysis: vocab-bounded LM table + top-40 PMI rows
     //   Quality/Multilingual: fixed 2000-doc training samples
     //   Sketches: 512-word bloom vocabulary; Dedup: 20-row CDC sample
     val expected = Map(
-      "operators/Similarity.scala" -> 17,
+      "operators/Similarity.scala" -> 18,
       "operators/Retrieval.scala" -> 1,
       "streaming/StreamGate.scala" -> 4,
       "operators/TextAnalysis.scala" -> 2,
@@ -733,7 +735,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.operators.Retrieval
     val ph = Retrieval.hybridRrf(spark, d).queryExecution.sparkPlan.toString
     assert(!ph.contains("CartesianProduct"), ph.take(2000))
-    assert(ph.contains("vec_dot"), ph.take(2000))
+    // both legs are localCheckpointed 20-row rank lists (r12 advice
+    // added the vector leg's), so the fused plan reads ExistingRDDs;
+    // the vec_dot kernel is asserted on the leg's OWN pre-checkpoint
+    // plan via the filtered-ANN and IVF-leg tests above, and the fusion
+    // plan's job here is the no-cartesian + bounded-join shape only
+    assert(ph.contains("FullOuter"), ph.take(2000))
     // the MMR plan reads its localCheckpointed 20-row candidate/sim
     // frames (the cosine kernel ran at checkpoint time), so only the
     // no-cartesian shape is visible in the final plan
