@@ -2149,6 +2149,57 @@ object Similarity {
       .select(col("vec_id").as("doc_id"), col("r6"))
   }
 
+  /** [[rankedTopK]] exposed to the retrieval stack: per-query top-`k`
+    * of a (query_id, vec_id, cos) scored frame as the bounded
+    * partial+final aggregate — the rank tail a query BATCH needs (a
+    * per-query row_number window would sort each query's full
+    * candidate stream in one task; this keeps k rows per query per
+    * partition and exchanges KBs). */
+  private[operators] def topKPerQuery(scored: DataFrame,
+                                      k: Int): DataFrame =
+    rankedTopK(scored, k)
+
+  /** [[ivfVectorLeg]] generalized to a query BATCH
+    * ([[graft.operators.Retrieval.hybridRrfBatch]]): `qvs` is a small
+    * (query_id, qv) frame (one PRF vector per query). The probed-cell
+    * UNION becomes the layout scan's static pruning literal — the scan
+    * reads ≤ |queries|·nprobe of the cell directories ONCE, shared by
+    * every query — and each query scores only its OWN cells' rows via
+    * the broadcast (query_id, cell) pair table, so candidate volume per
+    * query stays nprobe/k of the corpus exactly as in the single-query
+    * leg. Returns (query_id, doc_id, r6); the caller ranks and fuses.
+    * Codebook stashed under the batch gate key for oracle replay. */
+  private[operators] def ivfVectorLegBatch(s: SparkSession, d: String,
+                                           qvs: DataFrame): DataFrame = {
+    reg(s)
+    val layout = buildIvfLayout(s, d)
+    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    stashCodebook("hybrid_rrf_batch", d, cents)
+    // bounded collect: |queries| rows (the annFilteredBucketed shape) —
+    // per-query probed cells are computed against the driver-held
+    // 32-row codebook and shipped back as the pruning literal + the
+    // broadcast pair table
+    val qRows: Array[(Long, Array[Double])] = qvs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    import s.implicits._
+    val probedPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { case (id, v) =>
+      nearestCellsLocal(cents, v, IvfNProbe).map(c => (id, c)) }
+    val qCells = probedPairs.toDF("query_id", "cell")
+    val allCells = probedPairs.map(_._2).distinct.sorted
+    val q = qvs
+      .select(col("query_id"), col("qv"),
+        sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .join(broadcast(qCells), Seq("query_id"))
+    s.read.parquet(layout.toString)
+      .filter(col("cell").isin(allCells: _*))
+      .withColumn("v", col("v").cast("array<double>"))
+      .join(broadcast(q), Seq("cell"))
+      .withColumn("r6",
+        round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("r6"))
+  }
+
   /** [[annFiltered]] over the write-time IVF layout — IDENTICAL rows
     * (same deterministic codebook, widened probe set, predicate,
     * scoring, ranking), but the scale claim is realized at the scan:

@@ -134,6 +134,12 @@ object PipelineScaleProbe {
     // like text_bm25 / ann_topk; the _ivf twin's vector leg reads only
     // the PRF vector's nprobe cell partitions of the write-time layout
     "hybrid_rrf", "hybrid_rrf_ivf",
+    // 12-query BATCH hybrid (r12 verdict #3): the decade rows prove the
+    // O(queries·K) fusion claim with a measuring row — leg cost scales
+    // with the unioned terms' document frequency / probed-cell union
+    // (compare against hybrid_rrf_ivf's single-query rows at the same
+    // corpus), while the fusion stage stays 2·K·|queries| rows flat
+    "hybrid_rrf_batch",
     "dedup_paragraph")
 
   /** Load-phase builds for [[annProbeQueries]] over `dir`. The in-memory
@@ -225,9 +231,11 @@ object PipelineScaleProbe {
       graft.operators.Similarity.buildLshLayout(spark, dir)
     if (selQs.contains("ann_ivf_bucketed") ||
         selQs.contains("ann_filtered_bucketed") ||
-        selQs.contains("hybrid_rrf_ivf"))
+        selQs.contains("hybrid_rrf_ivf") ||
+        selQs.contains("hybrid_rrf_batch"))
       graft.operators.Similarity.buildIvfLayout(spark, dir)
-    if (selQs.contains("hybrid_rrf_ivf"))
+    if (selQs.contains("hybrid_rrf_ivf") ||
+        selQs.contains("hybrid_rrf_batch"))
       graft.operators.Retrieval.buildPostingLayout(spark, dir)
     if (selQs.contains("ann_ivfpq_bucketed"))
       graft.operators.Similarity.buildIvfPqLayout(spark, dir)

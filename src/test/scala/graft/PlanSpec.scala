@@ -557,15 +557,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //      query vector whose probed cells become the pruning literal),
     //     +2 for annFilteredBucketed (32-row codebook + 10 query vecs),
     //     +1 in r13 for graphFwdEdgesScaled (1-row SQ8 bounds aggregate
-    //      collected as the probe-quantization plan literals)
+    //      collected as the probe-quantization plan literals),
+    //     +2 in r13 for ivfVectorLegBatch (32-row codebook + the
+    //      |queries|-row PRF-vector frame whose probed-cell union is
+    //      the pruning literal)
+    //   Retrieval +1 in r13: hybridRrfBatch's |terms|-row term→bucket
+    //     hashes (the batch posting-scan pruning literal)
     //   Retrieval: 3-row term→bucket hashes (the posting-scan pruning
     //     literal — Spark's own xxhash64 so driver and layout agree)
     //   TextAnalysis: vocab-bounded LM table + top-40 PMI rows
     //   Quality/Multilingual: fixed 2000-doc training samples
     //   Sketches: 512-word bloom vocabulary; Dedup: 20-row CDC sample
     val expected = Map(
-      "operators/Similarity.scala" -> 18,
-      "operators/Retrieval.scala" -> 1,
+      "operators/Similarity.scala" -> 20,
+      "operators/Retrieval.scala" -> 2,
       "streaming/StreamGate.scala" -> 4,
       "operators/TextAnalysis.scala" -> 2,
       "berlinmod/BerlinMod.scala" -> 2,
