@@ -374,6 +374,7 @@ object SparkEntry {
       .map("stream_neardup_sink" -> _).toMap ++
     MobilityOps.oracles.get("mob_q4_sessions")
       .map("stream_sessions_sink" -> _).toMap ++
-    // per-day register pipeline replayed from raw events (own SQL)
-    graft.streaming.StreamGate.oracles
+    // per-day register pipeline replayed from raw events (own SQL),
+    // plus the streaming graph append's dir-keyed shared oracle
+    graft.streaming.StreamGate.oraclesFor(dir)
 }

@@ -1913,39 +1913,76 @@ object Similarity {
     * oracle: split rule, plane family (recorded per dir), capped-member
     * rule, and both rankings replayed in SQL. */
   def annGraphAppend(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val e = Tables.embeddings(s, d)
+    val (capped, p) = appendFrozenIndex(s, d)
+    val batch = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
-    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .filter(pmod(col("vec_id"), lit(10)) === 7)
+    appendEdgesAgainst(capped, batch, p)
+  }
+
+  /** The FROZEN index side of the append — the base (90%) split's
+    * capped bucket representatives under its recorded plane family.
+    * Split out so [[graft.streaming.StreamGate.streamGraphAppendSink]]
+    * can materialize it ONCE as load phase and probe it per
+    * micro-batch: an index's plane family and capped members are fixed
+    * at build time; arriving data must never re-derive them. */
+  private[graft] def appendFrozenIndex(s: SparkSession,
+                                       d: String): (DataFrame, Int) = {
+    reg(s)
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .filter(pmod(col("vec_id"), lit(10)) =!= 7)
     val p = appendGraphP.computeIfAbsent(d,
       _ => scaledPlaneCount(base.count()))
     lastAppendDir = d
-    val pl = planesN(p)
-    val eb = base.withColumn("bkt", bucketN(col("v"), pl))
+    val eb = base.withColumn("bkt", bucketN(col("v"), planesN(p)))
     val capped = base.join(
       cappedBucketIds(eb).select(col("vec_id").as("capped_id"), col("bkt")),
       col("vec_id") === col("capped_id"))
       .drop("capped_id")
-    // 2-bit probe set: the append is per-BATCH-VECTOR work (the
-    // probes2N budget argument), and appended edges PERSIST — candidate
-    // quality here is graph quality forever after, so the denser set is
-    // the right spend. Measured at the gate SFs: the rank-1 edge lands
-    // in the exact top-10 for 100% of batch vectors (top-5: 0.96-0.98);
-    // exact-top-1 EQUALITY is 0.54-0.66 — bounded by the cap itself
-    // (the true NN is often not among its bucket's 32 lowest-id
-    // representatives), which is the same bound the build and the
-    // seeded search operate under
+    (capped, p)
+  }
+
+  /** Batch-shaped adjacency for `batch` (vec_id, v, n) against the
+    * frozen capped representatives: each arriving vector probes its own
+    * bucket plus the [[probes2N]] 1-/2-bit flips and takes its
+    * top-[[GraphM]] nearest capped candidates. Per-vector work is
+    * independent of every other arriving vector, so ANY partition of
+    * the batch — including a micro-batched stream — emits identical
+    * rows.
+    *
+    * 2-bit probe set: the append is per-BATCH-VECTOR work (the
+    * probes2N budget argument), and appended edges PERSIST — candidate
+    * quality here is graph quality forever after, so the denser set is
+    * the right spend. Measured at the gate SFs: the rank-1 edge lands
+    * in the exact top-10 for 100% of batch vectors (top-5: 0.96-0.98);
+    * exact-top-1 EQUALITY is 0.54-0.66 — bounded by the cap itself
+    * (the true NN is often not among its bucket's 32 lowest-id
+    * representatives), which is the same bound the build and the
+    * seeded search operate under. */
+  private[graft] def appendEdgesAgainst(capped: DataFrame, batch: DataFrame,
+                                        p: Int): DataFrame = {
     val qside = batch.select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("n").as("qn"),
-      explode(probes2N(bucketN(col("v"), pl), p)).as("bkt"))
+      explode(probes2N(bucketN(col("v"), planesN(p)), p)).as("bkt"))
     // base and batch are disjoint splits, so no self-match filter needed;
     // shuffle_hash keeps the probe stream unsorted (graphFwdEdgesScaled)
     val scored = capped.hint("shuffle_hash").join(qside, Seq("bkt"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
     rankedTopK(scored, GraphM)
   }
+
+  /** The [[annGraphAppend]] oracle keyed to a dump dir (the plane
+    * family is recorded at query time) — shared verbatim by the
+    * streaming twin, whose micro-batched union provably equals the
+    * batch append's rows. */
+  private[graft] def graphAppendOracleFor(dumpDir: Option[String])
+      : Option[String] =
+    dumpDir.orElse(Option(lastAppendDir))
+      .flatMap(d => Option(appendGraphP.get(d)))
+      .map(p => graphAppendOracle(p))
 
   // ---- IVF × SQ8 composition (r11 verdict #4) -----------------------------
 
@@ -3479,7 +3516,6 @@ object Similarity {
         "ann_graph_scaled" -> graphScaledOracle(p),
         "ann_graph_scaled_stats" -> graphScaledStatsOracle(p))).toMap ++
     // append entry: BASE-split plane count, recorded at query time
-    dumpDir.orElse(Option(lastAppendDir))
-      .flatMap(d => Option(appendGraphP.get(d)))
-      .map(p => "ann_graph_append" -> graphAppendOracle(p)).toMap
+    graphAppendOracleFor(dumpDir)
+      .map(sql => "ann_graph_append" -> sql).toMap
 }

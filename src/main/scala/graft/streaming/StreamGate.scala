@@ -599,13 +599,87 @@ object StreamGate {
     served
   }
 
+  /** `stream_graph_append_sink` gate entry — STREAMING index
+    * maintenance: the pairing of [[streamAnnTopkSink]] (serving) with
+    * [[graft.operators.Similarity.annGraphAppend]] (batch maintenance).
+    * The 10% arriving split (vec_id % 10 = 7) replays as a 4-file
+    * stream; load phase materializes the FROZEN index side once (the
+    * base split's plane family + capped bucket representatives — an
+    * index must never re-derive its hash family from arriving data);
+    * each micro-batch computes its arrivals' adjacency against that
+    * frozen frame and appends it to the graph layout as an idempotent
+    * per-batchId parquet dir — the TRTREE append-tail discipline
+    * applied to the ANN graph. Correctness: each arriving vector's
+    * adjacency is computed entirely within its own micro-batch against
+    * the frozen base (per-vector work is batch-independent —
+    * [[graft.operators.Similarity.appendEdgesAgainst]]), so the sunk
+    * union EQUALS the batch append's rows exactly and the entry shares
+    * its oracle verbatim.
+    *
+    * Scale design: zero streaming state; per-batch work is
+    * |arrivals|·(1+P+P(P−1)/2) probe rows against the ≤cap·2^P capped
+    * frame — never corpus-shaped; the layout grows by |arrivals|·M edge
+    * rows per batch, and a compaction pass (the TRTREE compact shape)
+    * folds tails into the base layout off the serving path. */
+  def streamGraphAppendSink(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val Sim = graft.operators.Similarity
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_gappend_").toString
+    val staging = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val e0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    e0.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(staging)
+    // frozen index side, materialized once (load phase): micro-batches
+    // re-READ it — recomputing per batch would re-run the base count,
+    // bucketing and cap aggregate 4x
+    val (capped0, p) = Sim.appendFrozenIndex(s, d)
+    capped0.write.mode("overwrite").parquet(s"$tmp/capped")
+    val capped = s.read.parquet(s"$tmp/capped")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      StructField("n", org.apache.spark.sql.types.DoubleType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    val q0 = stream.writeStream.foreachBatch {
+        (batch: DataFrame, batchId: Long) =>
+          StreamSink.writeBatch(out)(
+            Sim.appendEdgesAgainst(capped, batch, p), batchId)
+          ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q0.awaitTermination()
+    val res = s.read.parquet(s"$out/batch=*")
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("stream_neardup_sink" -> (streamNearDupSink _),
         "stream_ann_topk_sink" -> (streamAnnTopkSink _),
+        "stream_graph_append_sink" -> (streamGraphAppendSink _),
         "stream_sessions_sink" -> (streamSessionsSink _),
         "stream_hll_sink" -> (streamHllSink _),
         "stream_countmin_sink" -> (streamCountMinSink _),
         "stream_join_sink" -> (streamJoinSink _))
+
+  /** Dir-keyed oracles ([[graft.operators.Similarity.oraclesFor]]
+    * convention): the static map plus the streaming graph append's
+    * shared batch-append oracle (plane family recorded at query time). */
+  def oraclesFor(dumpDir: Option[String]): Map[String, String] =
+    oracles ++
+      graft.operators.Similarity.graphAppendOracleFor(dumpDir)
+        .map(sql => "stream_graph_append_sink" -> sql).toMap
 
   /** DuckDB replay of the per-day register pipeline ([[streamHllSink]])
     * straight from the raw events parquet — arrival-order-invariant

@@ -225,6 +225,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream ${streamed.length} vs batch ${batch.length}")
   }
 
+  test("stream_graph_append_sink gate entry equals the batch graph " +
+       "append exactly (frozen family, micro-batched union)") {
+    // the index-maintenance twin: arriving vectors micro-batched through
+    // the frozen base index must produce the SAME adjacency rows as the
+    // one-shot batch append — per-vector work is batch-independent, so
+    // the union over 4 micro-batches is row-identical
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamGate
+      .streamGraphAppendSink(spark, d).collect().map(_.toString).sorted
+    val batch = graft.operators.Similarity
+      .annGraphAppend(spark, d).collect().map(_.toString).sorted
+    assert(streamed.length > 0, "no appended edges surfaced")
+    assert(streamed.sameElements(batch),
+      s"stream ${streamed.length} vs batch ${batch.length}")
+  }
+
   test("stream_join_sink gate entry equals the batch interval join, " +
        "under both state-store providers") {
     val d = "/root/testdata/sf0.001"
