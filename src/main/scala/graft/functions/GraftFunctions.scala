@@ -110,6 +110,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => Sq8Decode(e(0), e(1), e(2)), "built-in")
     registry.createOrReplaceTempFunction("sq8_dot",
       (e: Seq[Expression]) => Sq8Dot(e(0), e(1), e(2), e(3)), "built-in")
+    registry.createOrReplaceTempFunction("f32_pack",
+      (e: Seq[Expression]) => F32Pack(e(0)), "built-in")
+    registry.createOrReplaceTempFunction("f32_dot",
+      (e: Seq[Expression]) => F32Dot(e(0), e(1)), "built-in")
     // Unicode canonicalization (DuckDB-compatible names/semantics)
     registry.createOrReplaceTempFunction("nfc_normalize",
       (e: Seq[Expression]) => UnicodeNormalize(e(0), "NFC"), "built-in")

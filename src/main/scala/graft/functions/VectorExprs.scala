@@ -259,6 +259,49 @@ object VectorKernels {
     s
   }
 
+  /** LOSSLESS float32 pack of a double array whose values are
+    * float32-representable (the embeddings tables store `float` parquet;
+    * the cast to `array<double>` is exact, and packing back to raw
+    * float bits loses nothing). 4 bytes/dim little-endian — the
+    * shuffle-byte form of a vector that must still score EXACTLY
+    * (unlike SQ8, which is an estimator). Caller invariant: values not
+    * representable as float32 WOULD round — every use site reads the
+    * float-sourced embeddings column. */
+  def f32Pack(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      val bits = java.lang.Float.floatToRawIntBits(v.getDouble(i).toFloat)
+      out(4 * i) = bits.toByte
+      out(4 * i + 1) = (bits >>> 8).toByte
+      out(4 * i + 2) = (bits >>> 16).toByte
+      out(4 * i + 3) = (bits >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Fused decode + dot of two [[f32Pack]]ed vectors: Σ double(a_i) ·
+    * double(b_i), left-to-right — bit-identical to the double-array dot
+    * of the unpacked values (each decoded double equals the original
+    * exactly), with no per-row array allocation. */
+  def f32DotCc(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length) / 4
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val ab = ((a(4 * i) & 0xFF)) | ((a(4 * i + 1) & 0xFF) << 8) |
+        ((a(4 * i + 2) & 0xFF) << 16) | ((a(4 * i + 3) & 0xFF) << 24)
+      val bb = ((b(4 * i) & 0xFF)) | ((b(4 * i + 1) & 0xFF) << 8) |
+        ((b(4 * i + 2) & 0xFF) << 16) | ((b(4 * i + 3) & 0xFF) << 24)
+      s += java.lang.Float.intBitsToFloat(ab).toDouble *
+        java.lang.Float.intBitsToFloat(bb).toDouble
+      i += 1
+    }
+    s
+  }
+
   /** 64-bit SimHash over single-space-separated words (deterministic
     * seeded polynomial word hash; bit b set iff more word hashes have
     * bit b than not). */
@@ -369,6 +412,51 @@ case class Sq8Decode(first: Expression, second: Expression,
 
 /** Fused SQ8 decode + dot (`sq8_dot(code, lo, hi, y)`) — the packed
   * layout's per-candidate scoring kernel. */
+/** Lossless float32 pack ([[VectorKernels.f32Pack]]) — the exact-score
+  * shuffle-byte form of a float-sourced vector column. */
+case class F32Pack(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "f32_pack"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.f32Pack(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.f32Pack($v);")
+
+  override protected def withNewChildInternal(c: Expression): F32Pack =
+    copy(child = c)
+}
+
+/** Fused dot of two [[F32Pack]]ed vectors ([[VectorKernels.f32DotCc]]) —
+  * bit-identical to the unpacked double dot. */
+case class F32Dot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.BinaryType,
+      org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "f32_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.f32DotCc(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.f32DotCc($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): F32Dot =
+    copy(left = l, right = r)
+}
+
 case class Sq8Dot(first: Expression, second: Expression,
                   third: Expression, fourth: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression

@@ -17,16 +17,17 @@ import graft.util.Tables
   * write time so a query touches only matching buckets (partition
   * pruning), with multi-probe for recall.
   */
-object Similarity {
+object Similarity extends SimilarityIvf with SimilarityQuant
+    with SimilarityGraph {
 
   /** Native codegen'd dot product ([[graft.functions.VecDot]], resolved
     * through the session registry) — stays inside whole-stage codegen
     * and reads the unsafe array directly; no UDF invocation or boxing
     * in the per-candidate hot loop. Callers register via [[reg]]. */
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
 
-  private def reg(s: SparkSession): Unit =
+  private[operators] def reg(s: SparkSession): Unit =
     graft.functions.GraftFunctions.register(s)
 
   private[graft] val queryIds = Seq(1L, 7L, 42L, 99L, 123L, 200L, 256L, 300L, 404L, 499L)
@@ -50,7 +51,7 @@ object Similarity {
     * so `planesN(k)` is a PREFIX of `planesN(k')` for k < k' — a scaled
     * family extends the fixed 8-plane gate family rather than replacing
     * it. */
-  private def planesN(count: Int): Array[Array[Double]] =
+  private[operators] def planesN(count: Int): Array[Array[Double]] =
     Array.tabulate(count) { p =>
       var x = 0x9E3779B97F4A7C15L * (p + 1)
       Array.fill(64) {
@@ -60,18 +61,18 @@ object Similarity {
     }
 
   /** The fixed 8-plane gate family (256 buckets). */
-  private val planes: Array[Array[Double]] = planesN(8)
+  private[operators] val planes: Array[Array[Double]] = planesN(8)
 
   /** Sign-LSH bucket id (8-bit) of a vector: 8 plane dot products via the
     * native vec_dot kernel, sign bits OR'd — pure codegen'd expressions,
     * no ScalaUDF (the planes ride along as array literals). */
-  private def bucket(v: Column): Column =
+  private[operators] def bucket(v: Column): Column =
     planes.indices.map { p =>
       when(dot(v, typedLit(planes(p).toSeq)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** A query bucket + its 1-bit flips (multi-probe) — builtin array/xor. */
-  private def probes(b: Column): Column =
+  private[operators] def probes(b: Column): Column =
     array(b +: (0 until 8).map(i => b.bitwiseXOR(lit(1 << i))): _*)
 
   /** Bucket + 1-bit + 2-bit flips (37 distinct probe ids) — the denser
@@ -81,10 +82,11 @@ object Similarity {
     * (measured 0.66 with 1-bit-built edges, r10). Probe ids are
     * distinct, so each (node, candidate) pair still matches at most
     * once. */
-  private val flips2: Seq[Int] =
+  private[operators] val flips2: Seq[Int] =
     (0 until 8).map(1 << _) ++
       (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j))
-  private def probes2(b: Column): Column =
+
+  private[operators] def probes2(b: Column): Column =
     array(b +: flips2.map(m => b.bitwiseXOR(lit(m))): _*)
 
   /** Sign-projection LSH bucketed search: candidates share >= 7 of 8
@@ -174,32 +176,6 @@ object Similarity {
     rankedTopK(scored, 5)
   }
 
-  /** Nearest-centroid assignment against the codebook: the flattened
-    * centroid matrix rides along as an array literal and the argmin runs
-    * in the native vec_nearest_cell kernel — codegen'd, no ScalaUDF.
-    * True L2 (not max-dot) so skewed norms still land in the right cell. */
-  private def nearestCell(cents: Array[Array[Double]])(v: Column): Column =
-    call_function("vec_nearest_cell", v, typedLit(cents.flatten.toSeq))
-
-  /** The `nprobe` nearest centroids of a query vector (native kernel). */
-  private def probeCells(cents: Array[Array[Double]], nprobe: Int)(v: Column): Column =
-    call_function("vec_probe_cells", v, typedLit(cents.flatten.toSeq), lit(nprobe))
-
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer, then per-query
-    * search restricted to the `nprobe` nearest cells.
-    *
-    * Scale design: the quantizer is trained on a BOUNDED deterministic
-    * sample (k x 100 vectors, smallest xxhash64(vec_id) — a few MB no
-    * matter the corpus size, the same regime faiss trains in) with
-    * Lloyd's on the driver; only the k x 64 codebook is broadcast back.
-    * The corpus is scanned once for cell assignment and never shuffled;
-    * search is an equi-join on cell id. At 100 TB the corpus would be
-    * written partitioned by cell (same layout trick as [[annLshBucketed]])
-    * so a probe reads ~nprobe/k of the data. Rows-only check (recall vs
-    * [[annTopK]] is the quality measure; k-means is not SQL-expressible). */
-  private val IvfK = 32
-  private[operators] val IvfNProbe = 6
-
   /** Codebooks stashed PER QUERY KEY ("ann_ivf" = freshly trained,
     * "ann_ivf_bucketed" = loaded from the on-disk layout). The codebook
     * is a deterministic function of the dataset, so once a query has
@@ -221,410 +197,31 @@ object Similarity {
     * oracle with dir B's codebook. [[Verify]] always threads the dir it
     * dumps for; `lastStashDir` is only the no-arg ad-hoc fallback. */
   @volatile private var lastStashDir: String = null
-  private def stashKey(name: String, d: String): String =
+
+  private[operators] def stashKey(name: String, d: String): String =
     name + "@" + new java.io.File(d).getCanonicalPath
-  private def stashCodebook(name: String, d: String,
+
+  private[operators] def stashCodebook(name: String, d: String,
                             c: Array[Array[Double]]): Unit = {
     trainedCodebooks.put(stashKey(name, d), c)
     lastStashDir = d
   }
+
   private[operators] def codebookFor(name: String, dumpDir: Option[String])
       : Option[Array[Array[Double]]] =
     dumpDir.orElse(Option(lastStashDir))
       .flatMap(d => Option(trainedCodebooks.get(stashKey(name, d))))
-  private def stashPq(name: String, d: String,
+
+  private[operators] def stashPq(name: String, d: String,
                       c: Array[Array[Array[Double]]]): Unit = {
     trainedPq.put(stashKey(name, d), c)
     lastStashDir = d
   }
+
   private def pqFor(name: String, dumpDir: Option[String])
       : Option[Array[Array[Array[Double]]]] =
     dumpDir.orElse(Option(lastStashDir))
       .flatMap(d => Option(trainedPq.get(stashKey(name, d))))
-
-  /** Deterministic k-means codebook: trained on a BOUNDED sample (k x 100
-    * vectors with smallest xxhash64(vec_id) — a few MB at any corpus
-    * size, the regime faiss trains in), Lloyd's on the driver, only the
-    * k x dim codebook leaves. Identical data -> identical codebook, so
-    * the in-memory and write-time IVF paths assign identical cells. */
-  private def trainCodebook(e: DataFrame): Array[Array[Double]] = {
-    val k = IvfK
-    val iters = 8
-    val sample: Array[Array[Double]] = e
-      .withColumn("hk", xxhash64(col("vec_id")))
-      .orderBy("hk").limit(k * 100)
-      .collect().map(_.getSeq[Double](1).toArray)
-    var cents = sample.take(k).map(_.clone())
-    for (_ <- 1 to iters) {
-      val sums = Array.fill(k)(new Array[Double](cents(0).length))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          val ct = cents(c)
-          var dist = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - ct(i); dist += t * t; i += 1 }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        val sb = sums(best)
-        var i = 0
-        while (i < v.length) { sb(i) += v(i); i += 1 }
-      }
-      cents = Array.tabulate(k)(c =>
-        if (counts(c) == 0) cents(c)
-        else sums(c).map(_ / counts(c)))
-    }
-    cents
-  }
-
-  def annIvf(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val nprobe = IvfNProbe
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = trainCodebook(e)
-    stashCodebook("ann_ivf", d, cents)
-    val withCell = e
-      .withColumn("cell", nearestCell(cents)(col("v")))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val q = withCell.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"), explode(probeCells(cents, nprobe)(col("v"))).as("cell"))
-    val scored = withCell.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    rankedTopK(scored, 5)
-  }
-
-  /** Write-time IVF layout: the corpus materialized PARTITIONED BY its
-    * coarse-quantizer cell (parity with [[buildLshLayout]]), codebook
-    * persisted beside it — a probe reads only its nprobe cell
-    * directories (partition pruning at the scan), ~nprobe/k of the
-    * corpus at any scale. Same staleness rules as the LSH layout. */
-  def buildIvfLayout(s: SparkSession, d: String): java.io.File = {
-    reg(s)
-    // `_f32l` schema generation — see [[buildLshLayout]] for the f32
-    // vector convention (stored as source float32, norms/cells in
-    // float64); the `l` marks the metadata (label) column carried since
-    // r12 so FILTERED searches can evaluate their predicate at the
-    // pruned scan ([[annFilteredBucketed]]) — the tag keeps a pre-r12
-    // on-disk layout from being misread
-    val layout = graft.util.Layouts.dir("ann_ivf_f32l", d)
-    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cents = trainCodebook(e)
-      import s.implicits._
-      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_codebook")
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"),
-          col("embedding").as("v"), col("label"))
-        .withColumn("cell", nearestCell(cents)(col("vd")))
-        .withColumn("n", sqrt(dot(col("vd"), col("vd"))))
-        .drop("vd")
-        .write.partitionBy("cell").mode("overwrite").parquet(layout.toString)
-    }
-    layout
-  }
-
-  /** IVF search over the write-time layout — identical rows to
-    * [[annIvf]] (same deterministic codebook), but the corpus scan is
-    * partition-pruned to the probed cells instead of reading every row. */
-  def annIvfBucketed(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val layout = buildIvfLayout(s, d)
-    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    stashCodebook("ann_ivf_bucketed", d, cents)
-    // float32 layout scan, widened before any arithmetic (bit-identical
-    // scoring — see [[buildLshLayout]])
-    val e = s.read.parquet(layout.toString)
-      .withColumn("v", col("v").cast("array<double>"))
-    // query side reads the BASE table (single file, isin pushed to the
-    // scan), not the k cell directories
-    val q = Tables.embeddings(s, d)
-      .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"),
-        explode(probeCells(cents, IvfNProbe)(col("v"))).as("cell"))
-    val scored = e.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    rankedTopK(scored, 5)
-  }
-
-  /** Product quantization (Jegou et al. 2011): the 64-dim vector splits
-    * into PqM = 8 subspaces of 8 dims; each subspace gets its own
-    * 256-centroid codebook (8-bit subquantizers — the paper's standard
-    * configuration), so a vector compresses to 8 one-byte codes (64-bit
-    * codes, 64x smaller than the raw doubles). Queries scan the CODES
-    * with an ADC (asymmetric distance computation) lookup table — the
-    * 100 TB argument: the similarity scan reads 8 bytes/vector instead
-    * of 512, and the table of query-to-centroid distances (M x 256
-    * doubles per query) is broadcast, so the scan stays embarrassingly
-    * parallel with no shuffle until the final per-query top-k.
-    *
-    * Shape here: codebooks train like IVF's (bounded deterministic
-    * sample, Lloyd's on the driver); corpus encoding is M
-    * vec_nearest_cell kernel calls (codegen'd); the ADC join explodes
-    * codes to (vec_id, j, code) rows and equi-joins the broadcast
-    * lookup, summing the M quantized subspace distances per
-    * (query, vector) — every stage a scan, broadcast join, or
-    * partial+final agg. The compressed scan only SHORTLISTS (top-64 per
-    * query); the final top-5 is an exact re-rank of the shortlist — the
-    * standard two-stage PQ pipeline (full vectors are fetched for 64
-    * rows per query, a vanishing fraction at scale). Recall@5 vs
-    * [[annTopK]] on the gate's near-random synthetic space (neighbor
-    * gaps ~0.01 cosine — the hard regime) went 0.80 -> 0.98 when the
-    * subquantizers moved from 4-bit to these 8-bit codebooks;
-    * PipelineOpsSpec pins >= 0.8. Exact-oracle checked: the codebooks
-    * interpolate into DuckDB as VALUES literals ([[pqOracleSelect]]),
-    * which replays assignment, lookup, shortlist, and re-rank
-    * bit-for-bit. */
-  private val PqM = 8       // subspaces
-  private val PqSub = 8     // dims per subspace (PqM * PqSub = 64)
-  private val PqK = 256     // centroids per subspace (8-bit codes)
-
-  /** Per-subspace deterministic Lloyd's — same bounded-sample regime as
-    * [[trainCodebook]], one codebook per subspace over its 8-dim slice.
-    * Sample is PqK x 20 = 5 120 rows (driver-side Lloyd's stays ~1 s at
-    * any corpus size — the bounded-collect argument). */
-  private def trainPqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
-    val iters = 8
-    val sample: Array[Array[Double]] = e
-      .withColumn("hk", xxhash64(col("vec_id")))
-      .orderBy("hk").limit(PqK * 20)
-      .collect().map(_.getSeq[Double](1).toArray)
-    Array.tabulate(PqM) { j =>
-      val sub = sample.map(v => v.slice(j * PqSub, (j + 1) * PqSub))
-      var cents = sub.take(PqK).map(_.clone())
-      for (_ <- 1 to iters) {
-        val sums = Array.fill(PqK)(new Array[Double](PqSub))
-        val counts = new Array[Int](PqK)
-        sub.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < PqK) {
-            val ct = cents(c)
-            var dist = 0.0; var i = 0
-            while (i < PqSub) { val t = v(i) - ct(i); dist += t * t; i += 1 }
-            if (dist < bestD) { bestD = dist; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          val sb = sums(best)
-          var i = 0
-          while (i < PqSub) { sb(i) += v(i); i += 1 }
-        }
-        cents = Array.tabulate(PqK)(c =>
-          if (counts(c) == 0) cents(c)
-          else sums(c).map(_ / counts(c)))
-      }
-      cents
-    }
-  }
-
-  private val trainedPq =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
-
-  def annPq(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    // L2-NORMALIZE before encoding: the baseline ranks by cosine, and on
-    // the unit sphere L2 is monotone in cosine (||a-b||^2 = 2 - 2cos),
-    // so the ADC metric and the target metric agree for any input
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-      .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
-      .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
-    val cbs = trainPqCodebooks(e)
-    stashPq("ann_pq", d, cbs)
-    // corpus -> (vec_id, j, code): one nearest-cell kernel per subspace
-    val codeCols = (0 until PqM).map { j =>
-      struct(lit(j).as("j"),
-        call_function("vec_nearest_cell",
-          slice(col("v"), j * PqSub + 1, PqSub),
-          typedLit(cbs(j).flatten.toSeq)).as("code"))
-    }
-    val codes = e
-      .select(col("vec_id"), explode(array(codeCols: _*)).as("jc"))
-      .select(col("vec_id"), col("jc.j").as("j"), col("jc.code").as("code"))
-    // broadcast ADC lookup: query x subspace x centroid -> quantized d
-    import s.implicits._
-    val cells = cbs.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
-    }.toSeq.toDF("j", "code", "c")
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val adc = q.crossJoin(cells)
-      .select(col("query_id"), col("j"), col("code"),
-        round(expr("aggregate(zip_with(slice(qv, j * 8 + 1, 8), c," +
-          " (x, y) -> (x - y) * (x - y)), 0d, (acc, t) -> acc + t)"), 6)
-          .as("dsub"))
-    val scored = codes.join(broadcast(adc), Seq("j", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("dsub").as("d2"))
-    // ADC shortlist (top-64 in the compressed domain; round at 1e-6 =
-    // the dsub quantum so the cut is engine-stable), then EXACT re-rank
-    // of the shortlist only — the standard PQ pipeline: full vectors are
-    // read for 64 rows per query, not the corpus
-    val shortlist = shortlistTopK(
-      scored.select(col("query_id"), round(col("d2"), 6).as("d2r"),
-        col("vec_id")), 64)
-    // the shortlist is 64 ids/query — BROADCAST it so the rerank is a
-    // broadcast-hash-join over the corpus scan: without the hint the
-    // planner (blind to the aggregate's output size) picks a sort-merge
-    // join and shuffles every full vector (measured 2.6 GB at 5M
-    // vectors — the true source of the r7 "2.8 GB ADC shuffle")
-    val rerank = e.join(broadcast(shortlist), "vec_id")
-      .join(broadcast(q.withColumnRenamed("qv", "qv2")), "query_id")
-      .withColumn("cos", dot(col("v"), col("qv2")))
-    rankedTopK(rerank, 5)
-  }
-
-  /** IVF-PQ composite (the faiss IndexIVFPQ shape, Jegou et al. 2011
-    * §V): an IVF coarse quantizer restricts the scan to nprobe cells AND
-    * the in-cell scan reads 8-byte PQ codes of the RESIDUAL (v - cell
-    * centroid) instead of raw vectors — the standard billion-scale
-    * layout (residuals have ~1/k the variance of raw vectors, so the
-    * same 64-bit budget quantizes much finer).
-    *
-    * 100 TB shape: corpus written partitioned by cell with codes beside
-    * ids (8 B + id per vector); a query reads nprobe/k of THAT — the two
-    * reductions multiply (nprobe/k of the corpus x 64x smaller rows).
-    * Both codebooks are bounded driver-side samples (same regime as
-    * [[trainCodebook]]/[[trainPqCodebooks]]); the ADC table
-    * (queries x nprobe x M x 256 rows) is broadcast; scoring is an
-    * equi-join on (cell, j, code) + partial-final sum; the exact re-rank
-    * touches 64 full vectors per query. Exact-oracled:
-    * [[ivfPqOracleSelect]] interpolates BOTH codebooks and replays
-    * assignment, residual encoding, ADC, shortlist, and re-rank. */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    import s.implicits._
-    // normalize first: ADC then ranks by L2 on the unit sphere, which is
-    // monotone in cosine (same argument as annPq)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-      .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
-      .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
-    val cents = trainCodebook(e)
-    stashCodebook("ann_ivfpq", d, cents)
-    val cellsDf = cents.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c")
-    // residual encode: r = v - centroid(cell)
-    val withCell = e.withColumn("cell", nearestCell(cents)(col("v")))
-    val res = withCell.join(broadcast(cellsDf), "cell")
-      .select(col("vec_id"), col("cell"),
-        expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
-    val cbs = trainPqCodebooks(res.select(col("vec_id"), col("r")))
-    stashPq("ann_ivfpq", d, cbs)
-    val codeCols = (0 until PqM).map { j =>
-      struct(lit(j).as("j"),
-        call_function("vec_nearest_cell",
-          slice(col("r"), j * PqSub + 1, PqSub),
-          typedLit(cbs(j).flatten.toSeq)).as("code"))
-    }
-    val codes = res
-      .select(col("vec_id"), col("cell"), explode(array(codeCols: _*)).as("jc"))
-      .select(col("vec_id"), col("cell"), col("jc.j").as("j"),
-        col("jc.code").as("code"))
-    // query ADC: per probed cell, the lookup is against the QUERY residual
-    // in that cell — (query, cell, j, code) -> quantized subspace distance
-    val cbRows = cbs.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
-    }.toSeq.toDF("j", "code", "cc")
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(probeCells(cents, IvfNProbe)(col("v"))).as("cell"))
-      .join(broadcast(cellsDf), "cell")
-      .select(col("query_id"), col("qv"), col("cell"),
-        expr("zip_with(qv, c, (x, y) -> x - y)").as("qr"))
-    val adc = q.crossJoin(cbRows)
-      .select(col("query_id"), col("cell"), col("j"), col("code"),
-        round(expr("aggregate(zip_with(slice(qr, j * 8 + 1, 8), cc," +
-          " (x, y) -> (x - y) * (x - y)), 0d, (acc, t) -> acc + t)"), 6)
-          .as("dsub"))
-    val scored = codes.join(broadcast(adc), Seq("cell", "j", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("dsub").as("d2"))
-    val shortlist = shortlistTopK(
-      scored.select(col("query_id"), round(col("d2"), 6).as("d2r"),
-        col("vec_id")), 64)
-    val qFull = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv2"))
-    // the shortlist is 64 ids/query — BROADCAST it so the rerank is a
-    // broadcast-hash-join over the corpus scan: without the hint the
-    // planner (blind to the aggregate's output size) picks a sort-merge
-    // join and shuffles every full vector (measured 2.6 GB at 5M
-    // vectors — the true source of the r7 "2.8 GB ADC shuffle")
-    val rerank = e.join(broadcast(shortlist), "vec_id")
-      .join(broadcast(qFull), "query_id")
-      .withColumn("cos", dot(col("v"), col("qv2")))
-    rankedTopK(rerank, 5)
-  }
-
-  /** Write-time IVF-PQ layout: PQ ENCODING IS INGEST WORK, NOT QUERY
-    * WORK — the scale probe measured the in-memory [[annIvfPq]] growing
-    * ~3x/decade almost entirely in the per-vector encode (M nearest-of-
-    * 256 kernel calls), which a production system pays once at write
-    * time. This materializes ONE row per vector — (vec_id, codes) with
-    * the M = 8 one-byte codes PACKED into a single BIGINT (code_j in
-    * bits [8j, 8j+8)) — partitioned by coarse cell with both codebooks
-    * beside it. That is the literal PQ storage promise: 8 bytes of code
-    * per vector, and the query path reads ~nprobe/k of THAT without
-    * re-encoding, exploding, or joining per-code rows (the r7 layout
-    * kept 8 (j, code) rows per vector, which forced a corpus-
-    * proportional join+groupBy at query time — 2.8 GB shuffle at 5M
-    * vectors). Same staleness rules as [[buildIvfLayout]]. */
-  def buildIvfPqLayout(s: SparkSession, d: String): java.io.File = {
-    reg(s)
-    import s.implicits._
-    // "2" = packed-codes schema; a stale r7 (vec_id, j, code) layout dir
-    // can linger without ever being read
-    val layout = graft.util.Layouts.dir("ann_ivfpq2", d)
-    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-        .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
-        .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
-      val cents = trainCodebook(e)
-      val cellsDf = cents.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c")
-      val res = e.withColumn("cell", nearestCell(cents)(col("v")))
-        .join(broadcast(cellsDf), "cell")
-        .select(col("vec_id"), col("cell"),
-          expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
-      val cbs = trainPqCodebooks(res.select(col("vec_id"), col("r")))
-      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_coarse")
-      cbs.zipWithIndex.flatMap { case (cb, j) =>
-        cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
-      }.toSeq.toDF("j", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_pq")
-      // pack the M codes into one long: code_j occupies bits [8j, 8j+8)
-      // (each vec_nearest_cell is a codegen'd kernel call; the sum of
-      // disjoint shifted bytes is the bitwise pack)
-      val packed = (0 until PqM).map { j =>
-        shiftleft(call_function("vec_nearest_cell",
-          slice(col("r"), j * PqSub + 1, PqSub),
-          typedLit(cbs(j).flatten.toSeq)).cast("bigint"), 8 * j)
-      }.reduce(_ + _)
-      res.select(col("vec_id"), col("cell"), packed.as("codes"))
-        .write.partitionBy("cell").mode("overwrite").parquet(layout.toString)
-    }
-    layout
-  }
 
   /** Bounded per-group top-k as a MERGEABLE partial+final aggregate —
     * the scale-correct form of
@@ -635,55 +232,62 @@ object Similarity {
     * exchange carries k-bounded partial states (~KBs). Ordering is
     * (key asc, id asc) — callers negate the key for descending; the
     * payload rides along for output (e.g. the unrounded cosine). */
-  private final class TopKOrdered(cap: Int)
+  private[operators] final class TopKOrdered(cap: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        (Double, Long, Double), Array[(Double, Long, Double)],
-        Array[(Long, Double)]] {
-    def zero: Array[(Double, Long, Double)] = Array.empty
-    def reduce(buf: Array[(Double, Long, Double)],
-               x: (Double, Long, Double)): Array[(Double, Long, Double)] = {
-      val n = buf.length
+        (Double, Long, Double), Array[Double], Array[(Long, Double)]] {
+    // Buffer = FLAT primitive Array[Double] of (key, id, payload)
+    // triples, ascending by (key, id) — ~1/3 the boxed-tuple footprint
+    // (r13: the 2M-wide shortlist state at 1M hash-aggregate groups per
+    // task OOM'd the 24g probe heap under the boxed encoding; flat
+    // k=16 costs what boxed k=8 did). Ids ride as doubles — exact for
+    // ids < 2^53, the same representation the sort KEY already used.
+    def zero: Array[Double] = Array.empty
+    def reduce(buf: Array[Double], x: (Double, Long, Double)): Array[Double] = {
+      val n = buf.length / 3
+      val xk = x._1; val xi = x._2.toDouble
       if (n == cap && {
-        val last = buf(n - 1)
-        last._1 < x._1 || (last._1 == x._1 && last._2 <= x._2)
+        val lk = buf(3 * n - 3); val li = buf(3 * n - 2)
+        lk < xk || (lk == xk && li <= xi)
       }) buf
       else {
         var lo = 0; var hi = n
         while (lo < hi) {
           val mid = (lo + hi) >>> 1
-          val m = buf(mid)
-          if (m._1 < x._1 || (m._1 == x._1 && m._2 < x._2)) lo = mid + 1
+          val mk = buf(3 * mid); val mi = buf(3 * mid + 1)
+          if (mk < xk || (mk == xk && mi < xi)) lo = mid + 1
           else hi = mid
         }
         val outN = math.min(n + 1, cap)
-        val out = new Array[(Double, Long, Double)](outN)
-        System.arraycopy(buf, 0, out, 0, lo)
-        out(lo) = x
-        System.arraycopy(buf, lo, out, lo + 1, outN - lo - 1)
+        val out = new Array[Double](outN * 3)
+        System.arraycopy(buf, 0, out, 0, lo * 3)
+        out(lo * 3) = xk; out(lo * 3 + 1) = xi; out(lo * 3 + 2) = x._3
+        System.arraycopy(buf, lo * 3, out, lo * 3 + 3, (outN - lo - 1) * 3)
         out
       }
     }
-    def merge(a: Array[(Double, Long, Double)],
-              b: Array[(Double, Long, Double)]): Array[(Double, Long, Double)] = {
-      val outN = math.min(a.length + b.length, cap)
-      val out = new Array[(Double, Long, Double)](outN)
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      val an = a.length / 3; val bn = b.length / 3
+      val outN = math.min(an + bn, cap)
+      val out = new Array[Double](outN * 3)
       var i = 0; var j = 0; var k = 0
       while (k < outN) {
-        out(k) =
-          if (j >= b.length || (i < a.length && {
-            val x = a(i); val y = b(j)
-            x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)
-          })) { val t = a(i); i += 1; t }
-          else { val t = b(j); j += 1; t }
+        val takeA = j >= bn || (i < an && {
+          val ak = a(3 * i); val ai = a(3 * i + 1)
+          val bk = b(3 * j); val bi = b(3 * j + 1)
+          ak < bk || (ak == bk && ai <= bi)
+        })
+        if (takeA) { System.arraycopy(a, 3 * i, out, 3 * k, 3); i += 1 }
+        else { System.arraycopy(b, 3 * j, out, 3 * k, 3); j += 1 }
         k += 1
       }
       out
     }
-    def finish(buf: Array[(Double, Long, Double)]): Array[(Long, Double)] =
-      buf.map(t => (t._2, t._3))
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long, Double)]] =
+    def finish(buf: Array[Double]): Array[(Long, Double)] =
+      Array.tabulate(buf.length / 3)(i =>
+        (buf(3 * i + 1).toLong, buf(3 * i + 2)))
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders
-        .ExpressionEncoder[Array[(Double, Long, Double)]]()
+        .ExpressionEncoder[Array[Double]]()
     def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[Array[(Long, Double)]]()
@@ -708,7 +312,7 @@ object Similarity {
     * so the session mains raise the threshold to 1M (~400 MB/task worst
     * case) and the build streams through the map with zero sort — a
     * production deployment should carry the same setting on build jobs. */
-  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
     val agg = udaf(new TopKOrdered(k),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[(Double, Long, Double)]())
@@ -724,7 +328,7 @@ object Similarity {
   /** PQ-family ADC shortlist — per-query k smallest by (d2r asc,
     * vec_id asc) — same bounded-aggregate shape as [[rankedTopK]].
     * Input columns: (query_id, d2r, vec_id); output (query_id, vec_id). */
-  private def shortlistTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def shortlistTopK(scored: DataFrame, k: Int): DataFrame = {
     val agg = udaf(new TopKOrdered(k),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[(Double, Long, Double)]())
@@ -733,108 +337,6 @@ object Similarity {
       .agg(agg(col("d2r"), col("vec_id"), lit(0.0)).as("top"))
       .select(col("query_id"), explode(col("top")).as("p"))
       .select(col("query_id"), col("p._1").as("vec_id"))
-  }
-
-  /** IVF-PQ search over the write-time layout — identical rows to
-    * [[annIvfPq]] (same deterministic codebooks), but the corpus is
-    * never re-encoded OR shuffled: the scan reads only the probed cells'
-    * packed-code rows (partition pruning on the driver-computed
-    * probe-cell list), the ADC sum is a per-row projection against a
-    * broadcast per-(query, cell) lookup array, the shortlist is a
-    * 64-bounded partial+final aggregate ([[TopKOrdered]]), and the exact
-    * re-rank reads full vectors for 64 ids per query. */
-  def annIvfPqBucketed(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    import s.implicits._
-    val layout = buildIvfPqLayout(s, d)
-    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_coarse")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    val cbs: Array[Array[Array[Double]]] = {
-      val rows = s.read.parquet(s"${layout}_pq")
-        .orderBy("j", "code").collect()
-      Array.tabulate(PqM)(j => rows.filter(_.getInt(0) == j)
-        .map(_.getSeq[Double](2).toArray))
-    }
-    stashCodebook("ann_ivfpq_bucketed", d, cents)
-    stashPq("ann_ivfpq_bucketed", d, cbs)
-    // query vectors: a bounded collect (10 ids) so the probed-cell list
-    // becomes a LITERAL isin filter -> partition pruning at the scan
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-      .withColumn("n", sqrt(dot(col("v0"), col("v0"))))
-      .select(col("vec_id"), expr("transform(v0, x -> x / n)").as("v"))
-    val qVecs: Array[(Long, Array[Double])] =
-      e.filter(col("vec_id").isin(queryIds: _*)).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def nearestCells(v: Array[Double], nprobe: Int): Seq[Int] =
-      cents.zipWithIndex.map { case (c, i) =>
-        var d2 = 0.0; var k = 0
-        while (k < v.length) { val t = v(k) - c(k); d2 += t * t; k += 1 }
-        (d2, i)
-      }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
-    val probed: Map[Long, Seq[Int]] =
-      qVecs.map { case (id, v) => id -> nearestCells(v, IvfNProbe) }.toMap
-    val allCells = probed.values.flatten.toSeq.distinct.sorted
-    // per-(query, probed cell) ADC LOOKUP ARRAY (M x 256 = 2048 doubles),
-    // built driver-side and BROADCAST — the scored path is then a pure
-    // per-row projection over the packed codes: 8 element_at terms, no
-    // join on code rows, no groupBy, no corpus-proportional shuffle
-    // (the r7 shape shuffled 2.8 GB here at 5M vectors)
-    val lutRows: Seq[(Long, Int, Seq[Double])] = for {
-      (qid, qv) <- qVecs.toSeq
-      cell <- probed(qid)
-    } yield {
-      val cc = cents(cell)
-      val lut = new Array[Double](PqM * PqK)
-      var j = 0
-      while (j < PqM) {
-        var code = 0
-        while (code < PqK) {
-          val cb = cbs(j)(code)
-          var d2 = 0.0; var k = 0
-          while (k < PqSub) {
-            val t = (qv(j * PqSub + k) - cc(j * PqSub + k)) - cb(k)
-            d2 += t * t; k += 1
-          }
-          // HALF_UP to match Spark round() and DuckDB round() exactly
-          lut(j * PqK + code) =
-            BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          code += 1
-        }
-        j += 1
-      }
-      (qid, cell, lut.toSeq)
-    }
-    val luts = lutRows.toDF("query_id", "cell", "lut")
-    val codes = s.read.parquet(layout.toString)
-      .filter(col("cell").isin(allCells: _*))
-    // ADC sum as an 8-term projection: lut[j*256 + byte_j(codes)]
-    val adcSum = (0 until PqM).map { j =>
-      element_at(col("lut"),
-        shiftright(col("codes"), 8 * j).bitwiseAND(lit(255L)).cast("int")
-          + lit(j * PqK + 1))
-    }.reduce(_ + _)
-    val scored = codes.join(broadcast(luts), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), round(adcSum, 6).as("d2r"), col("vec_id"))
-    // per-query shortlist via the bounded partial+final aggregate: each
-    // partition keeps at most 64 (d2r, vec_id) pairs per query, so the
-    // only exchange on the scored path carries <= partitions x queries
-    // x 64 tiny structs (~KBs) — same ordering/tie-break as the r7
-    // window (round(d2,6) asc, vec_id asc), so the shortlist SET is
-    // identical and the exact re-rank below is unchanged
-    val shortlist = shortlistTopK(scored, 64)
-    val qFull = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv2"))
-    // the shortlist is 64 ids/query — BROADCAST it so the rerank is a
-    // broadcast-hash-join over the corpus scan: without the hint the
-    // planner (blind to the aggregate's output size) picks a sort-merge
-    // join and shuffles every full vector (measured 2.6 GB at 5M
-    // vectors — the true source of the r7 "2.8 GB ADC shuffle")
-    val rerank = e.join(broadcast(shortlist), "vec_id")
-      .join(broadcast(qFull), "query_id")
-      .withColumn("cos", dot(col("v"), col("qv2")))
-    rankedTopK(rerank, 5)
   }
 
   /** Sign-LSH bucketed near-duplicate PAIRS (cos >= 0.4) — the sublinear
@@ -959,7 +461,7 @@ object Similarity {
     * seed from [[planes]]). Database-friendly random projections
     * (Achlioptas 2003): ±1 entries preserve the Johnson-Lindenstrauss
     * distance guarantee while the projection is pure add/subtract. */
-  private val jlSigns: Array[Array[Double]] = Array.tabulate(16) { j =>
+  private[operators] val jlSigns: Array[Array[Double]] = Array.tabulate(16) { j =>
     var x = 0xBF58476D1CE4E5B9L * (j + 3)
     Array.fill(64) {
       x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
@@ -1051,33 +553,6 @@ object Similarity {
       .limit(20)
   }
 
-  /** k-NN GRAPH build: every vector's top-3 cosine neighbors among its
-    * sign-LSH bucket and the 8 one-bit-flip probes — the batch backbone
-    * of semantic clustering / SemDeDup-style graph methods. Unlike
-    * [[annLsh]] (tiny broadcast query set), BOTH sides here are the
-    * corpus, so the probe side is NOT broadcast: the plan is a plain
-    * shuffle equi-join on the bucket id — each bucket's candidates
-    * co-locate, candidate volume is sum over buckets of
-    * |bucket| x |probers|, never corpus^2, and the per-query top-3 is
-    * the bounded [[TopKOrdered]] aggregate (the exchange carries <= 3
-    * rows per query — output-sized). Each (query, neighbor) pair matches at
-    * most once (a vector lives in ONE bucket; the 9 probed ids are
-    * distinct), so no dedup step is needed. Interpolated plane
-    * literals make the bucketing engine-identical -> exact oracle. */
-  def annKnnGraph(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-      .withColumn("bkt", bucket(col("v")))
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("n").as("qn"), explode(probes(col("bkt"))).as("bkt"))
-    val scored = e.join(q, Seq("bkt"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    rankedTopK(scored, 3)
-  }
-
   /** Distances of every vector to each of the current centroids, as an
     * expanded-square projection (||v||² − 2 v·c + ||c||²; the v·c term
     * is one [[dot]] kernel per centroid against an array LITERAL, so
@@ -1086,7 +561,7 @@ object Similarity {
     * QUANTIZED to 6 decimals before the argmin, so both engines rank
     * identical doubles; ties break to the lowest cluster id
     * (array_position returns the FIRST minimal slot). */
-  private def kmAssign(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+  private[operators] def kmAssign(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val vv = dot(col("v"), col("v"))
     val dists = array(cents.map { c =>
       val cc = c.map(x => x * x).sum
@@ -1240,1190 +715,6 @@ object Similarity {
         ORDER BY sel_rank"""
   }
 
-  /** GRAPH-based ANN — the navigable-graph (HNSW-class) search shape,
-    * the one modern ANN family the r9 verdict listed missing. This is
-    * the deterministic single-layer variant (NSW-style): HNSW proper
-    * seeds its layer assignment from an RNG, which no exact oracle
-    * could replay, so the hierarchy is replaced by a FIXED entry set
-    * and the search by a width-W beam over a degree-M neighbor graph —
-    * the same greedy-descent mechanics, deterministic end to end.
-    *
-    *  - Graph build ([[buildGraphLayout]], UNTIMED load phase like the
-    *    LSH/IVF layouts): the [[annKnnGraph]] construction at
-    *    out-degree M = 8 over the denser 2-bit probe pool
-    *    ([[probes2]]), made undirected — bucketed, output-sized
-    *    exchanges, written once at ingest exactly as HNSW construction
-    *    is. The gate keeps the FIXED 8-plane family (exact-oracle
-    *    parity), under which per-bucket population grows with the
-    *    corpus; a production build raises the plane count so buckets
-    *    track n (the [[buildLshLayout]] write-time pattern, decade-
-    *    proved there), which the hash family supports without changing
-    *    the search. Probe policy: auditAtBase (see
-    *    PipelineScaleProbe).
-    *  - Search: entry set = vec_id < [[GraphEntryBound]] (64); L =
-    *    [[GraphL]] (4) unrolled rounds of: candidates = beam ∪
-    *    neighbors(beam), exact-cosine score, keep top-W = [[GraphW]]
-    *    (16) per query by (round(cos,6) desc, id asc). The constants
-    *    are shared vals interpolated into BOTH the Spark plan and the
-    *    DuckDB oracle (the BloomJoinM discipline) so they cannot drift
-    *    one-sided.
-    *    Each round's candidate set is ≤ |Q|·W·(M+1) rows — broadcast
-    *    against the graph and the vector table, so the per-round joins
-    *    are point-lookup-shaped, never corpus-shaped; at 100 TB the
-    *    graph is a bucketed table and beam expansion touches O(W·M)
-    *    rows per query per round (the sub-linear search HNSW exists
-    *    for), while [[annTopK]] stays the brute-force audit.
-    *
-    * Exact oracle: everything is deterministic (fixed entries, fixed
-    * rounds, quantized tie-breaks), so DuckDB replays build + L rounds
-    * as unrolled CTEs and must match bit-for-bit. Measured recall@5 vs
-    * [[annTopK]]: 0.88 at sf0.01 (PipelineOpsSpec pins a floor). */
-  /** Shared navigable-graph constants — interpolated into the Spark
-    * plan AND the DuckDB oracle, which must stay in bit-for-bit
-    * lockstep. */
-  private val GraphM = 8          // out-degree of the neighbor graph
-  private val GraphW = 16         // beam width per round
-  private val GraphL = 4          // unrolled beam-expansion rounds
-  private val GraphEntryBound = 64 // entry set: vec_id < bound
-
-  /** The navigable-graph edge build behind [[annGraphSearch]]:
-    * out-degree-M knn edges from the 2-bit-probe candidate pool, made
-    * UNDIRECTED (the NSW navigability trick — reverse links let the
-    * beam climb out of a poor entry neighborhood; 1-bit-built directed
-    * edges capped recall at 0.66, this build measures 0.88 vs the
-    * exact top-5). */
-  private def graphEdges(s: SparkSession, d: String, m: Int): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val eb = e.withColumn("bkt", bucket(col("v")))
-    val qside = eb.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("n").as("qn"), explode(probes2(col("bkt"))).as("bkt"))
-    val fwd = rankedTopK(
-      eb.join(qside, Seq("bkt"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn"))),
-      m)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-  }
-
-  /** Write-time graph layout (the HNSW-build analogue): graph
-    * construction is INGEST work, not query work — same contract as
-    * [[buildLshLayout]]/[[buildIvfLayout]] (bench/probe build it in the
-    * untimed load phase; a cold call falls back to building inline). */
-  def buildGraphLayout(s: SparkSession, d: String): java.io.File = {
-    reg(s)
-    val layout = graft.util.Layouts.dir("ann_graph", d)
-    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
-      graphEdges(s, d, GraphM)
-        .write.mode("overwrite").parquet(layout.getPath)
-    }
-    layout
-  }
-
-  /** The width-[[GraphW]] / [[GraphL]]-round beam search over an
-    * arbitrary (src, dst) neighbor graph — shared by the fixed-family
-    * gate entry and the n-scaled production build. `e` is the
-    * (vec_id, v, n) corpus frame; the beam/candidate frames stay
-    * |Q|-bounded throughout, so every join here is point-lookup-shaped
-    * regardless of corpus size. */
-  private def beamSearch(e: DataFrame, edges: DataFrame): DataFrame =
-    beamSearchAudited(e, edges)._1
-
-  /** [[beamSearch]] plus its audit frame: the DISTINCT (query_id,
-    * vec_id) pairs the search scored across all rounds — the
-    * scored-candidate budget the hierarchical variant must beat at equal
-    * beam width (PipelineOpsSpec). `rounds` widens the unrolled loop;
-    * `extraEntry` unions per-query seed rows into the fixed entry set
-    * (the scaled variant's quantizer seeding — see [[annGraphScaled]]). */
-  private[graft] def beamSearchAudited(
-      e: DataFrame, edges: DataFrame,
-      rounds: Int = GraphL,
-      extraEntry: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    val W = GraphW; val L = rounds
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"))
-    def score(cand: DataFrame): DataFrame = cand
-      .join(e.select("vec_id", "v", "n"), Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-      .select("query_id", "vec_id", "cos")
-    def topW(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy("query_id")
-        .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= W)
-        .select("query_id", "vec_id", "cos")
-    }
-    val entry0 = q.select(col("query_id"))
-      .crossJoin(e.filter(col("vec_id") < GraphEntryBound).select(col("vec_id")))
-    val entry = extraEntry
-      .map(x => entry0.unionByName(x).distinct())
-      .getOrElse(entry0)
-    var scoredSets = Seq(entry.select("query_id", "vec_id"))
-    // the beam is referenced twice per round (cand = beam ∪ neighbors,
-    // then re-rank): checkpoint the |Q|·W-row beam each round or the
-    // lineage doubles per round (2^L recompute at the scaled L)
-    var beam = topW(score(entry)).localCheckpoint(true)
-    for (_ <- 1 to L) {
-      val expand = beam.select(col("query_id"), col("vec_id").as("src"))
-        .join(edges, Seq("src"))
-        .select(col("query_id"), col("dst").as("vec_id"))
-      val cand = beam.select("query_id", "vec_id")
-        .unionByName(expand).distinct()
-      scoredSets :+= cand
-      beam = topW(score(cand)).localCheckpoint(true)
-    }
-    val w5 = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    val res = beam.withColumn("rank", row_number().over(w5).cast("int"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
-    (res, scoredSets.reduce(_ unionByName _).distinct())
-  }
-
-  def annGraphSearch(s: SparkSession, d: String): DataFrame =
-    annGraphSearchAudited(s, d)._1
-
-  private[graft] def annGraphSearchAudited(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    reg(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val layout = buildGraphLayout(s, d)
-    beamSearchAudited(e, s.read.parquet(layout.getPath))
-  }
-
-  // ---- n-scaled production graph build (r10 verdict #2) ------------------
-
-  /** Target bucket population for the scaled build's hash family. */
-  private val GraphTargetBucket = 64
-
-  /** Per-bucket candidate cap for the scaled build. The plane count
-    * holds the MEAN bucket near [[GraphTargetBucket]], but real corpora
-    * are clustered (near-duplicate embeddings share every sign bit —
-    * measured: the synthetic corpus at 500k vectors put 6 205 candidates
-    * per vector through a mean-64 family), so the bound must hold by
-    * CONSTRUCTION, not by expectation: each bucket contributes at most
-    * its [[GraphBuildCap]] lowest-vec_id members as candidates, making
-    * candidates/vector ≤ cap·(P+1) under ANY skew. vec_id order (not a
-    * hash) keeps the sample aligned with the id-ascending tie-break the
-    * exact top-k uses, so cos-tied duplicate clusters resolve to the
-    * same representatives. */
-  private val GraphBuildCap = 32
-
-  /** Plane count that tracks the corpus: P = max(3, ceil(log2(n/T)))
-    * holds per-bucket population ≈ [[GraphTargetBucket]] at any n, so
-    * candidate volume per vector is ≈ T·(P+1) — bounded by a LOG of the
-    * corpus size, where the fixed 8-plane gate family grows linearly
-    * ([[PipelineScaleProbe]] auditAtBase note: ~36B candidate pairs at
-    * 500k vectors; this build measures ~450M there). The floor is 3,
-    * not the fixed family's 8: an 8-plane floor at the 500-vector gate
-    * SFs makes 256 buckets of ~2 members — a graph built from ~18
-    * candidates per node, recall-capped at 0.56-0.60 no matter how the
-    * walk is seeded. P = 3 restores the design's own mean-bucket ≈ T
-    * at tiny n (8 buckets × ~62); production corpora (n ≥ 2^3·T = 512)
-    * are governed by the log term either way. */
-  private[graft] def scaledPlaneCount(n: Long): Int =
-    math.max(3, math.ceil(
-      math.log(math.max(n, 1).toDouble / GraphTargetBucket) / math.log(2.0)
-    ).toInt)
-
-  /** P-plane sign bucket (codegen'd — plane literals + vec_dot). */
-  private def bucketN(v: Column, pl: Array[Array[Double]]): Column =
-    pl.indices.map { p =>
-      when(dot(v, typedLit(pl(p).toSeq)) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-
-  /** Query bucket + its P 1-bit flips (the scaled family's probe set:
-    * 2-bit flips would square the probe count as P grows — the scaled
-    * build keeps P+1 probes and buys recall back with bucket granularity
-    * that TRACKS n instead). */
-  private def probes1N(b: Column, p: Int): Column =
-    array(b +: (0 until p).map(i => b.bitwiseXOR(lit(1 << i))): _*)
-
-  /** 1-bit + 2-bit flip masks of a P-plane bucket (the [[flips2]]
-    * family generalized to any P). */
-  private def masks2N(p: Int): Seq[Int] =
-    (0 until p).map(1 << _) ++
-      (for (i <- 0 until p; j <- i + 1 until p) yield (1 << i) | (1 << j))
-
-  /** Bucket + 1-bit + 2-bit flip probe set for a P-plane family —
-    * used by [[annGraphAppend]]'s candidate generation (per-BATCH-
-    * VECTOR work, O(P²) probes affordable; appended edges persist, so
-    * candidate quality is graph quality). NOT used for search SEEDING:
-    * measured at 500k vectors, 2-bit seeds REGRESSED recall@5 0.72 →
-    * 0.58 — the broad low-precision entry pool dilutes the W=16 beam
-    * with high-cos-but-poorly-connected entries — while at the gate
-    * SFs the P = 3 floor alone already lifts recall to 0.84 / 0.92.
-    * The shipped seeding stays 1-bit ([[probes1N]]). */
-  private def probes2N(b: Column, p: Int): Column =
-    array(b +: masks2N(p).map(m => b.bitwiseXOR(lit(m))): _*)
-
-  /** The skew-proof per-bucket candidate cap as a BOUNDED min-k
-    * partial+final aggregate over (bkt, vec_id) IDS ONLY — emits the
-    * ≤[[GraphBuildCap]] lowest-vec_id members of every bucket as
-    * (bkt, vec_id) rows. The r11 form — `row_number() OVER (PARTITION
-    * BY bkt ORDER BY vec_id)` — was a window: ALL members of a bucket
-    * (full 64-double vectors and norms included) land in one task and
-    * get SORTED before the `<= cap` filter drops them (measured 2.7 GB
-    * of disk spill at 500k vectors; a degenerate near-dup corpus makes
-    * the biggest bucket O(n) rows in a single-task sort that no
-    * plane-count growth fixes, since identical vectors share every
-    * sign bit at any P). Here each partition keeps at most cap ids per
-    * bucket ([[TopKOrdered]]), the one exchange carries cap-bounded
-    * ids-only partial states, and callers re-join vectors only for the
-    * capped representatives. The selected set is identical by
-    * construction (same lowest-ids-per-bucket rule; the double sort
-    * key is exact for ids < 2^53). */
-  private def cappedBucketIds(eb: DataFrame): DataFrame = {
-    val agg = udaf(new TopKOrdered(GraphBuildCap),
-      org.apache.spark.sql.catalyst.encoders
-        .ExpressionEncoder[(Double, Long, Double)]())
-    eb.select(col("bkt"), col("vec_id"))
-      .groupBy("bkt")
-      .agg(agg(col("vec_id").cast("double"), col("vec_id"), lit(0.0))
-        .as("top"))
-      .select(col("bkt"), explode(col("top")).as("p"))
-      .select(col("bkt"), col("p._1").as("vec_id"))
-  }
-
-  /** Recorded plane count per dataset dir — the [[trainedCodebooks]]
-    * convention: the oracle must interpolate the exact plane family the
-    * query derived from the corpus count. */
-  private val scaledGraphP =
-    new java.util.concurrent.ConcurrentHashMap[String, Int]()
-  @volatile private var lastScaledDir: String = null
-  // the append entry keeps its OWN last-dir slot: sharing lastScaledDir
-  // would let a cross-dir append evict the scaled entries' fallback key
-  // and silently drop their oracles from a no-arg dump (r12 review)
-  @volatile private var lastAppendDir: String = null
-
-  private def scaledPFor(s: SparkSession, d: String): Int = {
-    val p = scaledGraphP.computeIfAbsent(d,
-      _ => scaledPlaneCount(Tables.embeddings(s, d).count()))
-    lastScaledDir = d
-    p
-  }
-
-  /** The production navigable-graph BUILD: out-degree-[[GraphM]] knn
-    * edges from an n-SCALED sign-LSH candidate pool. Plan shape: one
-    * bucket-keyed shuffle of (P+1) ids+vector probe rows per vector
-    * (≈ n·(P+1) rows — linear in n with a log-n factor), candidates
-    * scored inside the joined stage by the native kernel, and the
-    * per-vector top-M taken by the BOUNDED [[TopKOrdered]] partial+final
-    * aggregate — the scored pair stream is never shuffled. Undirected
-    * closure is one ids-only exchange of n·M edges. This is the build
-    * the fixed-family gate variant's auditAtBase note promises: candidate
-    * volume per vector ≈ T·(P+1) stays ~constant-per-vector across
-    * decades (measured rows in SURVEY §8), where the fixed family's
-    * grows linearly. */
-  /** Approx-shortlist width of the scaled build's probe stage:
-    * [[GraphM]] exact edges are re-ranked out of 2·M SQ8-shortlisted
-    * candidates per vector. The asymmetric estimator (query quantized,
-    * candidate exact — the [[annSq8Packed]] direction reversed) keeps
-    * per-dim error ≤ range/510, so the exact top-M sits inside the
-    * approx top-2M wherever the rank-M→2M cosine gap exceeds the
-    * accumulated recon error — pinned exactly (edge-set equality vs
-    * the float build) in PipelineOpsSpec at both gate SFs. */
-  private val GraphShortlist = 2 * GraphM
-
-  /** The forward (directed) half of the scaled build as a PURE plan —
-    * split out so the window-free plan assertion can inspect the whole
-    * candidate-scoring subtree (the eager materialization in
-    * [[graphEdgesScaled]] would otherwise execute and hide it).
-    *
-    * SHUFFLE-BYTE DISCIPLINE (r12 verdict #2): the probe stream — the
-    * build's dominant exchange, n·(P+1) rows — carries 64 SQ8 CODE
-    * BYTES per vector instead of the 512-byte float64 array (measured
-    * 43.6 GB of shuffle at the 5M probe with float probes). Scoring
-    * against the code side is the fused `sq8_dot` decode-dot kernel
-    * (candidate side exact floats — the asymmetric estimator, half the
-    * error of code×code); the per-vector approx top-[[GraphShortlist]]
-    * is the bounded [[TopKOrdered]] aggregate, and only those ids
-    * re-join full-precision vectors (two uniform vec_id-keyed
-    * exchanges of the base table) for the exact top-[[GraphM]] rank —
-    * the `ann_sq8` rerank discipline applied to the build itself. */
-  private[graft] def graphFwdEdgesScaled(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val p = scaledPFor(s, d)
-    val pl = planesN(p)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    // per-dimension SQ8 bounds as plan literals (one 1-row bounded
-    // collect — exact min/max doubles, no FP-order dependence)
-    val bRow = sq8Bounds(e.select(col("vec_id"), col("v"))).collect()(0)
-    val qlo = typedLit(bRow.getSeq[Double](0))
-    val qhi = typedLit(bRow.getSeq[Double](1))
-    val eb = e.withColumn("bkt", bucketN(col("v"), pl))
-    // candidate side: at most GraphBuildCap lowest-id members per bucket
-    // (the skew-proof bound — see the cappedBucketIds scaladoc), vectors
-    // re-joined for the capped representatives only (one vec_id-keyed
-    // exchange of the base table — uniform unique key, no skew)
-    val capped = e.join(
-      cappedBucketIds(eb).select(col("vec_id").as("capped_id"), col("bkt")),
-      col("vec_id") === col("capped_id"))
-      .drop("capped_id")
-    val qside = eb.select(col("vec_id").as("query_id"),
-      call_function("sq8_encode", col("v"), qlo, qhi).as("qcode"),
-      col("n").as("qn"), explode(probes1N(col("bkt"), p)).as("bkt"))
-    // SHUFFLE_HASH on the capped side: the planner's default here is a
-    // sort-merge join, which SORTS the n·(P+1)-row probe stream
-    // (hundreds of MB of sorter spill per decade for rows the join
-    // could stream); hashing the ≤cap·2^P capped side per partition
-    // costs MBs and the probe stream is never sorted. The scored output
-    // feeds the bounded TopKOrdered partial aggregate map-side (see
-    // [[rankedTopK]]'s fallback note on the r12 probes).
-    val short = shortlistTopK(
-      capped.hint("shuffle_hash").join(qside, Seq("bkt"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("d2r", -round(
-          call_function("sq8_dot", col("qcode"), qlo, qhi, col("v"))
-            / (col("n") * col("qn")), 6)),
-      GraphShortlist)
-    // exact re-rank of the ids-only shortlist: re-join float vectors
-    // for BOTH ends (n·2M shortlist rows against the uniform-keyed base
-    // table; shuffle_hash — neither side needs a sort)
-    val rerank = short
-      .join(e.hint("shuffle_hash").select("vec_id", "v", "n"), Seq("vec_id"))
-      .join(e.hint("shuffle_hash").select(col("vec_id").as("query_id"),
-        col("v").as("qv"), col("n").as("qn")), Seq("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-      .select("query_id", "vec_id", "cos")
-    rankedTopK(rerank, GraphM)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-  }
-
-  /** Undirected closure of [[graphFwdEdgesScaled]]. The forward edges
-    * feed the union TWICE (fwd ∪ reverse); without the eager
-    * materialization the whole candidate-scoring subtree executes
-    * twice — measured as a full 2x on every build metric (r12 probe). */
-  private[graft] def graphEdgesScaled(s: SparkSession, d: String): DataFrame = {
-    val fwd = graphFwdEdgesScaled(s, d).localCheckpoint(true)
-    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-  }
-
-  /** `ann_graph_scaled` gate entry: the n-scaled BUILD (unconditional —
-    * the build IS what this entry times and proves; no layout cache, so
-    * every timed row measures construction, not a warm read) followed
-    * by the [[beamSearchAudited]] walk seeded from the query's own
-    * quantizer buckets (see the body comment). Exact oracle: the plane
-    * family is deterministic given the corpus count, recorded per-dir
-    * and interpolated ([[trainedCodebooks]] convention); at the
-    * 500-vector gate SFs [[scaledPlaneCount]] gives P = 3 (8 buckets ≈
-    * the design's mean-[[GraphTargetBucket]] target), and the oracle
-    * replays that exact family, probe sets, cap, and seeding. */
-  def annGraphScaled(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val p = scaledPFor(s, d)
-    val pl = planesN(p)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    // quantizer-seeded entry (the coarse-quantizer-seeds-the-graph-walk
-    // hybrid, the DiskANN/SPANN shape): each query's beam starts at the
-    // capped members of its own bucket and its P 1-bit-flip probes, in
-    // addition to the fixed global set, so the walk begins inside the
-    // right neighborhood instead of having to traverse there — a
-    // fixed-entry beam cannot cross a log-n-diameter graph (measured
-    // recall@5 at 500k vectors: 0.34 unseeded at L = 4, 0.36 unseeded
-    // even at L = P = 13 rounds, 0.52 own-bucket-seeded, 0.72 with
-    // 1-bit probe seeding; the gate's exact-oracle twin of this number
-    // is the row itself). The seed probes stay 1-BIT: the denser 2-bit
-    // set was tried in r12 and REGRESSED 500k recall to 0.58 (see
-    // [[probes2N]]'s scaladoc) — precision of the entry pool matters
-    // more than its breadth once the graph is navigable. Entry work
-    // per query is ≤ GraphEntryBound + GraphBuildCap·(P+1) rows —
-    // corpus-size-independent.
-    val eb = e.withColumn("bkt", bucketN(col("v"), pl))
-    val seed = eb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"),
-        explode(probes1N(col("bkt"), p)).as("bkt"))
-      .join(cappedBucketIds(eb), Seq("bkt"))
-      .select("query_id", "vec_id")
-    // materialize the edge table ONCE: every checkpointed beam round
-    // references `edges`, and an un-materialized build would re-execute
-    // per round (measured 65 s vs 26 s at 500k vectors)
-    val edges = graphEdgesScaled(s, d).localCheckpoint(true)
-    beamSearchAudited(e, edges, extraEntry = Some(seed))._1
-  }
-
-  /** `ann_graph_scaled_stats` gate entry: the bounded-candidates
-    * EVIDENCE row — (n_vec, n_planes, cap, n_cand_pairs, cand_per_vec)
-    * for the scaled build's capped candidate generator, computed in
-    * CLOSED FORM from the bucket histogram (pairs into bucket b =
-    * min(pop_b, cap) candidates × probes targeting b, minus each capped
-    * member's own-bucket self match) — two bucket-shaped aggregates and
-    * a bucket-keyed join, NO pair materialization, so the decade rows
-    * cost ~a corpus scan at any n while proving candidates/vector stays
-    * ≤ cap·(P+1) under the measured skew. */
-  def annGraphScaledStats(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val p = scaledPFor(s, d)
-    val pl = planesN(p)
-    val b = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), bucketN(col("v"), pl).as("bkt"))
-    val pop = b.groupBy("bkt").agg(count(lit(1)).as("pop"))
-    val phits = b.select(explode(probes1N(col("bkt"), p)).as("bkt"))
-      .groupBy("bkt").agg(count(lit(1)).as("ph"))
-    val capped = least(col("pop"), lit(GraphBuildCap.toLong))
-    pop.join(phits, Seq("bkt"))
-      .agg(sum(capped * col("ph") - capped).as("n_cand_pairs"))
-      .crossJoin(b.agg(count(lit(1)).as("n_vec")))
-      .select(col("n_vec"), lit(p).as("n_planes"),
-        lit(GraphBuildCap).as("cap"), col("n_cand_pairs"),
-        round(col("n_cand_pairs").cast("double") / col("n_vec"), 2)
-          .as("cand_per_vec"))
-  }
-
-  // ---- scalar quantization (SQ8) ANN --------------------------------------
-
-  /** `ann_sq8` gate entry: scalar-quantized search — the third classic
-    * quantization family next to IVF and PQ (FAISS's SQ8): each
-    * dimension is affinely mapped to an int in [0, 255] against its
-    * per-dimension corpus min/max; candidates are ranked by the
-    * approximate cosine of the DEQUANTIZED reconstructions (the affine
-    * map distorts relative dot products, so the raw integer dot ranks
-    * wrong — measured recall 0.4; reconstruction fixes the estimator),
-    * and the top-64 shortlist is re-ranked by exact cosine.
-    *
-    * Scale shape: the bounds are one per-dimension min/max aggregate
-    * (exact values — no FP-order dependence); encode is a map-side
-    * projection; scoring is the [[annTopK]] scan shape (query side
-    * broadcast, corpus only scanned) except each vector reads 64 BYTES
-    * + one norm instead of 256/512 — the 4-8x scan-byte cut is the
-    * reason SQ8 exists at 100 TB; the shortlist is the bounded
-    * [[TopKOrdered]] partial+final aggregate and the re-rank touches 64
-    * ids per query. Exact oracle: bounds re-derived in DuckDB (min/max
-    * of the same doubles are the same doubles), identical quantize /
-    * dequantize arithmetic, the same left-to-right dot fold both
-    * engines already agree on, 6-dp-rounded rank keys.
-    *
-    * NOTE: this gate variant is the ORACLE form — it scans the full
-    * float64 vectors AND reconstructs per row (both engines must see
-    * exact doubles), which costs ~3x the brute-force scan. The
-    * production operator is [[annSq8Packed]]: identical rows, but the
-    * scan reads the ~72 B/vector write-time layout through the fused
-    * `sq8_dot` codegen kernel — reach for that one. */
-  def annSq8(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bounds = sq8Bounds(e)
-    // quantize + dequantize in ONE native codegen kernel (sq8_recon):
-    // the chained higher-order transform lambdas are CodegenFallback —
-    // interpreted per element, measured 5x the brute-force scan cost
-    val enc = e.crossJoin(broadcast(bounds))
-      .withColumn("dq",
-        call_function("sq8_recon", col("v"), col("lo"), col("hi")))
-      .select(col("vec_id"), col("v"),
-        sqrt(dot(col("v"), col("v"))).as("n"), col("dq"))
-    val q = enc.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"), col("dq").as("qdq"))
-    val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("ascore",
-        dot(col("dq"), col("qdq")) / (col("n") * col("qn")))
-    val short = shortlistTopK(
-      scored.withColumn("d2r", -round(col("ascore"), 6)), 64)
-    // broadcast the 64-ids-per-query shortlist: a post-aggregate frame
-    // has no size stats, so the rerank join against the corpus would
-    // otherwise sort-merge-shuffle all of it (1.3 GB at 5M vectors)
-    val rerank = broadcast(short)
-      .join(enc.select("vec_id", "v", "n"), Seq("vec_id"))
-      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-      .select("query_id", "vec_id", "cos")
-    rankedTopK(rerank, 5)
-  }
-
-  /** Per-dimension (lo, hi) bounds frame shared by the SQ8 paths. */
-  private def sq8Bounds(e: DataFrame): DataFrame =
-    e.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
-      .agg(array_sort(collect_list(
-        struct(col("pos"), col("lo"), col("hi")))).as("b"))
-      .select(transform(col("b"), x => x.getField("lo")).as("lo"),
-        transform(col("b"), x => x.getField("hi")).as("hi"))
-
-  /** Write-time SQ8 layout (the production form of [[annSq8]]): the
-    * corpus stored as (vec_id, norm, 64 PACKED BYTES of codes) plus a
-    * one-row bounds table — the scan of the search path reads ~72 B
-    * per vector instead of 512 B of float64 (the 4-8x scan-byte cut
-    * SQ8 exists for, now measured rather than argued). Encode is
-    * ingest work, cached by the standard mtime marker. */
-  def buildSq8Layout(s: SparkSession, d: String): java.io.File = {
-    reg(s)
-    val layout = graft.util.Layouts.dir("ann_sq8", d)
-    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      sq8Bounds(e).coalesce(1).write.mode("overwrite")
-        .parquet(s"${layout}_bounds")
-      val bounds = s.read.parquet(s"${layout}_bounds")
-      e.crossJoin(broadcast(bounds))
-        .select(col("vec_id"),
-          sqrt(dot(col("v"), col("v"))).as("n"),
-          call_function("sq8_encode", col("v"), col("lo"), col("hi"))
-            .as("code"))
-        .write.mode("overwrite").parquet(layout.getPath)
-    }
-    layout
-  }
-
-  /** `ann_sq8_packed` gate entry: [[annSq8]]'s search over the packed
-    * write-time layout — the corpus scan reads codes + norms only (no
-    * float64 vectors), decodes with the native kernel, and only the
-    * 64-per-query re-rank ids touch the full-precision base table.
-    * Row-identical to `ann_sq8` (encode∘decode reproduces the same
-    * reconstruction bytes-for-bits), so it shares the oracle. */
-  def annSq8Packed(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val layout = buildSq8Layout(s, d)
-    val bounds = s.read.parquet(s"${layout.getPath}_bounds")
-    // codes stay PACKED through the scan; scoring decodes inline in the
-    // fused sq8_dot kernel (a per-row decode-to-array allocation made
-    // the packed path SLOWER than the full-precision scan: 4.7 s vs
-    // 2.4 s at 5M vectors)
-    val enc = s.read.parquet(layout.getPath)
-      .crossJoin(broadcast(bounds))
-      .select(col("vec_id"), col("n"), col("code"), col("lo"), col("hi"))
-    // query side reads the BASE table (10 ids, isin pushed to the scan)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .crossJoin(broadcast(bounds))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        sqrt(dot(col("v"), col("v"))).as("qn"),
-        call_function("sq8_recon", col("v"), col("lo"), col("hi"))
-          .as("qdq"))
-    val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("ascore",
-        call_function("sq8_dot", col("code"), col("lo"), col("hi"),
-          col("qdq")) / (col("n") * col("qn")))
-    val short = shortlistTopK(
-      scored.withColumn("d2r", -round(col("ascore"), 6)), 64)
-    val rerank = broadcast(short)
-      .join(e.withColumn("n", sqrt(dot(col("v"), col("v"))))
-        .select("vec_id", "v", "n"), Seq("vec_id"))
-      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-      .select("query_id", "vec_id", "cos")
-    rankedTopK(rerank, 5)
-  }
-
-  // ---- layout introspection (r11 verdict #8) ------------------------------
-
-  /** ANN-layout observability — the partitioned-dir sibling of
-    * [[graft.sqlx.MobSql.describeLayout]] (both are the repo's answer
-    * to the reference's drafted-but-disabled index pragmas,
-    * ref src/index/rtree_pragmas.cpp:214-220): one row per partition
-    * key (IVF `cell` / LSH-family `bkt`) of a built layout with its
-    * row count, file count, and vec_id extent — the bucket histogram
-    * that tells an operator whether a layout is balanced BEFORE a
-    * query stumbles on the skew. Metadata-shaped: the scan reads the
-    * partition column (from directory names), `vec_id`, and file
-    * names only. */
-  def describeAnnLayout(s: SparkSession, layoutDir: String): DataFrame = {
-    val df = s.read.parquet(layoutDir)
-    val key = Seq("cell", "bkt").find(df.columns.contains).getOrElse(
-      throw new IllegalArgumentException(
-        s"$layoutDir has no cell/bkt partition column"))
-    df.select(col(key).cast("long").as("part_key"), col("vec_id"),
-        input_file_name().as("f"))
-      .groupBy("part_key")
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("f")).as("n_files"),
-        min("vec_id").as("min_vec_id"), max("vec_id").as("max_vec_id"))
-      .orderBy("part_key")
-  }
-
-  /** `layout_describe` gate entry: [[describeAnnLayout]] over the
-    * IVF,SQ8 layout, projected to its oracle-able columns (file counts
-    * depend on the writer's task layout; the histogram does not). The
-    * DuckDB oracle replays cell assignment from the interpolated
-    * codebook and re-derives the same histogram — the introspection
-    * surface is exact-checked, not rows-only. */
-  def layoutDescribeGate(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val layout = buildIvfSq8Layout(s, d)
-    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    stashCodebook("layout_describe", d, cents)
-    describeAnnLayout(s, layout.getPath)
-      .select("part_key", "n_rows", "min_vec_id", "max_vec_id")
-  }
-
-  /** DuckDB replay of [[layoutDescribeGate]]: cell assignment from the
-    * interpolated codebook ([[ivfOracleSelect]]'s CTE), then the same
-    * per-cell histogram. */
-  private def layoutDescribeOracle(cents: Array[Array[Double]]): String = {
-    val vals = cents.zipWithIndex
-      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
-      .mkString(",\n")
-    s"""WITH cells(cell, c) AS (VALUES $vals),
-       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       dist AS (
-         SELECT e.vec_id, cl.cell,
-           list_sum(list_transform(generate_series(1, len(cl.c)),
-             i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
-         FROM emb e CROSS JOIN cells cl),
-       assigned AS (
-         SELECT vec_id, cell FROM (
-           SELECT vec_id, cell,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-           FROM dist) WHERE rk = 1)
-       SELECT CAST(cell AS BIGINT) AS part_key, count(*) AS n_rows,
-         min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
-       FROM assigned GROUP BY 1 ORDER BY 1"""
-  }
-
-  // ---- incremental graph maintenance (r11 verdict #7) ---------------------
-
-  /** Recorded base-split plane count per dir — the [[scaledGraphP]]
-    * oracle-interpolation convention for [[annGraphAppend]]. */
-  private val appendGraphP =
-    new java.util.concurrent.ConcurrentHashMap[String, Int]()
-
-  /** `ann_graph_append` gate entry: BATCH-shaped incremental maintenance
-    * for the scaled navigable graph — the streaming-corpus story the
-    * TRTREE append/compact path already has, applied to the ANN layout.
-    * A deterministic 10% batch (vec_id % 10 = 7) "arrives" against the
-    * index built over the other 90%: each new vector probes its own
-    * bucket plus the [[probes2N]] 1-/2-bit flips in the BASE corpus's
-    * capped buckets (the index's plane family is FIXED at build time —
-    * an append must not re-derive planes from the grown count, or every
-    * batch would rewrite the whole layout) and takes its top-[[GraphM]]
-    * nearest capped candidates as its adjacency. Every shuffle is
-    * BATCH-shaped: |batch|·(1+P+P(P-1)/2) probe rows in, |batch|·M edge
-    * rows out; the base side contributes only its ≤cap·2^P capped
-    * representatives and is never re-scored corpus × corpus. In production the new edges plus
-    * their reverses union into the edge table as a file append (the
-    * `dedup_incremental` shape); the gate row emits the computed
-    * adjacency (query_id = new vector, rank, neighbor_id, cos). Exact
-    * oracle: split rule, plane family (recorded per dir), capped-member
-    * rule, and both rankings replayed in SQL. */
-  def annGraphAppend(s: SparkSession, d: String): DataFrame = {
-    val (capped, p) = appendFrozenIndex(s, d)
-    val batch = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-      .filter(pmod(col("vec_id"), lit(10)) === 7)
-    appendEdgesAgainst(capped, batch, p)
-  }
-
-  /** The FROZEN index side of the append — the base (90%) split's
-    * capped bucket representatives under its recorded plane family.
-    * Split out so [[graft.streaming.StreamGate.streamGraphAppendSink]]
-    * can materialize it ONCE as load phase and probe it per
-    * micro-batch: an index's plane family and capped members are fixed
-    * at build time; arriving data must never re-derive them. */
-  private[graft] def appendFrozenIndex(s: SparkSession,
-                                       d: String): (DataFrame, Int) = {
-    reg(s)
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-      .filter(pmod(col("vec_id"), lit(10)) =!= 7)
-    val p = appendGraphP.computeIfAbsent(d,
-      _ => scaledPlaneCount(base.count()))
-    lastAppendDir = d
-    val eb = base.withColumn("bkt", bucketN(col("v"), planesN(p)))
-    val capped = base.join(
-      cappedBucketIds(eb).select(col("vec_id").as("capped_id"), col("bkt")),
-      col("vec_id") === col("capped_id"))
-      .drop("capped_id")
-    (capped, p)
-  }
-
-  /** Batch-shaped adjacency for `batch` (vec_id, v, n) against the
-    * frozen capped representatives: each arriving vector probes its own
-    * bucket plus the [[probes2N]] 1-/2-bit flips and takes its
-    * top-[[GraphM]] nearest capped candidates. Per-vector work is
-    * independent of every other arriving vector, so ANY partition of
-    * the batch — including a micro-batched stream — emits identical
-    * rows.
-    *
-    * 2-bit probe set: the append is per-BATCH-VECTOR work (the
-    * probes2N budget argument), and appended edges PERSIST — candidate
-    * quality here is graph quality forever after, so the denser set is
-    * the right spend. Measured at the gate SFs: the rank-1 edge lands
-    * in the exact top-10 for 100% of batch vectors (top-5: 0.96-0.98);
-    * exact-top-1 EQUALITY is 0.54-0.66 — bounded by the cap itself
-    * (the true NN is often not among its bucket's 32 lowest-id
-    * representatives), which is the same bound the build and the
-    * seeded search operate under. */
-  private[graft] def appendEdgesAgainst(capped: DataFrame, batch: DataFrame,
-                                        p: Int): DataFrame = {
-    val qside = batch.select(col("vec_id").as("query_id"),
-      col("v").as("qv"), col("n").as("qn"),
-      explode(probes2N(bucketN(col("v"), planesN(p)), p)).as("bkt"))
-    // base and batch are disjoint splits, so no self-match filter needed;
-    // shuffle_hash keeps the probe stream unsorted (graphFwdEdgesScaled)
-    val scored = capped.hint("shuffle_hash").join(qside, Seq("bkt"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    rankedTopK(scored, GraphM)
-  }
-
-  /** The [[annGraphAppend]] oracle keyed to a dump dir (the plane
-    * family is recorded at query time) — shared verbatim by the
-    * streaming twin, whose micro-batched union provably equals the
-    * batch append's rows. */
-  private[graft] def graphAppendOracleFor(dumpDir: Option[String])
-      : Option[String] =
-    dumpDir.orElse(Option(lastAppendDir))
-      .flatMap(d => Option(appendGraphP.get(d)))
-      .map(p => graphAppendOracle(p))
-
-  // ---- IVF × SQ8 composition (r11 verdict #4) -----------------------------
-
-  /** Write-time IVF,SQ8 layout — FAISS's canonical production index
-    * family ("IVF,SQ8"): the corpus stored as (vec_id, norm, 64 packed
-    * SQ8 code bytes) PARTITIONED BY its coarse-quantizer cell, with the
-    * k-means codebook and the global per-dimension bounds as one-file
-    * sidecars. The two halves' savings MULTIPLY: a probe reads
-    * ~nprobe/k of the corpus ([[buildIvfLayout]]'s partition pruning)
-    * and each row it reads is ~72 B instead of 512 ([[buildSq8Layout]]'s
-    * byte cut) — at nprobe/k = 6/32 that is ~2.6% of the brute-force
-    * scan bytes. Same mtime staleness rules as every layout. */
-  def buildIvfSq8Layout(s: SparkSession, d: String): java.io.File = {
-    reg(s)
-    val layout = graft.util.Layouts.dir("ann_ivfsq8", d)
-    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cents = trainCodebook(e)
-      import s.implicits._
-      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"${layout}_codebook")
-      sq8Bounds(e).coalesce(1).write.mode("overwrite")
-        .parquet(s"${layout}_bounds")
-      val bounds = s.read.parquet(s"${layout}_bounds")
-      e.crossJoin(broadcast(bounds))
-        .select(col("vec_id"),
-          sqrt(dot(col("v"), col("v"))).as("n"),
-          call_function("sq8_encode", col("v"), col("lo"), col("hi"))
-            .as("code"),
-          nearestCell(cents)(col("v")).as("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(layout.getPath)
-    }
-    layout
-  }
-
-  /** `ann_ivf_sq8` gate entry: IVF cell pruning × SQ8 packed bytes over
-    * the write-time layout. The scan reads ONLY the probed cells'
-    * packed-code rows (the probed-cell list is a driver-computed
-    * LITERAL isin filter — static partition pruning, the
-    * [[annIvfPqBucketed]] convention) and scores them with the fused
-    * `sq8_dot` decode-dot kernel; the 64-id shortlist is the bounded
-    * [[TopKOrdered]] aggregate and only those ids touch the
-    * full-precision base table for the exact re-rank. Exact oracle:
-    * codebook + bounds interpolated (the [[trainedCodebooks]]
-    * convention), DuckDB replays cell assignment, nprobe probing, the
-    * identical quantize/dequantize arithmetic, and both rankings. */
-  /** Driver-side replica of the `vec_probe_cells` kernel: the `nprobe`
-    * nearest centroids of `v`, ties (d2 asc, cell asc) — used wherever
-    * a probed-cell list must become a pruning LITERAL (bounded driver
-    * work: k×dim distance sums for one query vector). */
-  private def nearestCellsLocal(cents: Array[Array[Double]],
-                                v: Array[Double], nprobe: Int): Seq[Int] =
-    cents.zipWithIndex.map { case (c, i) =>
-      var d2 = 0.0; var k = 0
-      while (k < v.length) { val t = v(k) - c(k); d2 += t * t; k += 1 }
-      (d2, i)
-    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
-
-  def annIvfSq8(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val layout = buildIvfSq8Layout(s, d)
-    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    stashCodebook("ann_ivf_sq8", d, cents)
-    val bounds = s.read.parquet(s"${layout.getPath}_bounds")
-    val eBase = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // query vectors: a bounded collect (10 ids) so the probed-cell list
-    // becomes a LITERAL isin filter -> partition pruning at the scan
-    val qVecs: Array[(Long, Array[Double])] =
-      eBase.filter(col("vec_id").isin(queryIds: _*)).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probed: Map[Long, Seq[Int]] =
-      qVecs.map { case (id, v) =>
-        id -> nearestCellsLocal(cents, v, IvfNProbe) }.toMap
-    val allCells = probed.values.flatten.toSeq.distinct.sorted
-    // query side: reconstructed query (the symmetric estimator annSq8
-    // uses) x its nprobe cells — <= 60 rows, broadcast
-    val q = eBase.filter(col("vec_id").isin(queryIds: _*))
-      .crossJoin(broadcast(bounds))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        sqrt(dot(col("v"), col("v"))).as("qn"),
-        call_function("sq8_recon", col("v"), col("lo"), col("hi"))
-          .as("qdq"))
-    import s.implicits._
-    val qCells = probed.toSeq
-      .flatMap { case (id, cs) => cs.map(c => (id, c)) }
-      .toDF("query_id", "cell")
-    val qq = q.select("query_id", "qn", "qdq")
-      .join(broadcast(qCells), Seq("query_id"))
-    // packed scan of the probed cells only; codes stay packed through
-    // the scan and decode inside the fused kernel (annSq8Packed note)
-    val enc = s.read.parquet(layout.getPath)
-      .filter(col("cell").isin(allCells: _*))
-      .crossJoin(broadcast(bounds))
-    val scored = enc.join(broadcast(qq), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("ascore",
-        call_function("sq8_dot", col("code"), col("lo"), col("hi"),
-          col("qdq")) / (col("n") * col("qn")))
-    val short = shortlistTopK(
-      scored.withColumn("d2r", -round(col("ascore"), 6)), 64)
-    val rerank = broadcast(short)
-      .join(eBase.withColumn("n", sqrt(dot(col("v"), col("v"))))
-        .select("vec_id", "v", "n"), Seq("vec_id"))
-      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-      .select("query_id", "vec_id", "cos")
-    rankedTopK(rerank, 5)
-  }
-
-  // ---- metadata-filtered ANN (pre-filter below the cell join) -------------
-
-  /** The filtered-search predicate: `label % 3 = 0` (embeddings carry an
-    * int cluster label; ~1/3 selective on both corpora). */
-  private def filterPred(c: Column): Column = c % 3 === 0
-
-  /** Filter-aware probe widening: a ~1/3-selective predicate thins each
-    * probed cell's candidate pool by ~3x, so the filtered search keeps
-    * its effective candidate count (and recall) by probing proportionally
-    * more cells — ⌈nprobe/selectivity⌉ capped at k/2, the adaptive-nprobe
-    * rule production IVF stores apply under filters. Measured recall@5 vs
-    * the exact FILTERED brute force: 0.62 at nprobe=6, 0.84 at 16
-    * (RetrievalSpec pins the floor). */
-  private val FilteredNProbe = 16
-
-  /** Metadata-filtered ANN — "top-k neighbors AMONG rows passing a
-    * predicate", the filtered-vector-search shape every production
-    * vector store exposes (RAG collections filter by source / license /
-    * language before ranking). Reference counterpart: the TRTREE scan's
-    * residual predicates composing with the index probe
-    * (`rtree_index_scan.cpp` applies the remaining table filters on the
-    * index's candidate rows).
-    *
-    * Scale design — PRE-filter, not post-filter. The predicate sits
-    * BELOW the cell equi-join, so (a) over the cell-partitioned
-    * write-time layout it evaluates in the scan STAGE of the probed
-    * cells, before any join or shuffle (this gate predicate is
-    * arithmetic, so it filters rows as they stream off the scan; an
-    * equality/range predicate — `lang = 'en'`, `license IN (...)` —
-    * additionally reaches the parquet row-group stats as a pushed
-    * filter), and (b) top-k ranks the filtered candidate stream, so
-    * every query still returns k rows. The naive alternative — post-filtering an unfiltered
-    * top-k — returns < k (possibly zero) rows whenever the predicate is
-    * selective; RetrievalSpec pins that failure mode and a recall floor
-    * vs the exact filtered brute force. Exact-oracled via the IVF
-    * codebook-interpolation convention ([[ivfOracleSelect]]). Queries
-    * themselves are NOT filtered: any caller may search a filtered
-    * collection. */
-  def annFiltered(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        col("label"))
-    val cents = trainCodebook(e)
-    stashCodebook("ann_filtered", d, cents)
-    val withCell = e
-      .withColumn("cell", nearestCell(cents)(col("v")))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val q = withCell.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"),
-        explode(probeCells(cents, FilteredNProbe)(col("v"))).as("cell"))
-    val scored = withCell.filter(filterPred(col("label")))
-      .join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    rankedTopK(scored, 5)
-  }
-
-  /** IVF-served vector leg for the hybrid retrieval stack
-    * ([[Retrieval.hybridRrfIvf]]): cosine scores to the 1-row query-
-    * vector frame, restricted to the query's nprobe nearest cells of
-    * the write-time IVF layout — at 100 TB the leg reads ~nprobe/k of
-    * the corpus via partition pruning where [[Retrieval.hybridRrf]]'s
-    * in-memory leg scans it all. The query vector is ONE row (the PRF
-    * mean), so the bounded collect turns the probed-cell list into a
-    * literal isin → static partition pruning at the scan (the
-    * [[annIvfSq8]] convention). Returns (doc_id, r6) scored candidates;
-    * the caller ranks and fuses. Codebook stashed under the gate key so
-    * the oracle replays cell assignment + probing exactly. */
-  private[operators] def ivfVectorLeg(s: SparkSession, d: String,
-                                      qvDf: DataFrame): DataFrame = {
-    reg(s)
-    val layout = buildIvfLayout(s, d)
-    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    stashCodebook("hybrid_rrf_ivf", d, cents)
-    val qv: Array[Double] = qvDf.collect()(0).getSeq[Double](0).toArray
-    val probed: Seq[Int] = nearestCellsLocal(cents, qv, IvfNProbe)
-    // qn: sequential 64-term sum — the same IEEE result the oracle's
-    // list_dot_product produces, so the literal folds identically
-    val qn = math.sqrt(qv.map(x => x * x).sum)
-    s.read.parquet(layout.toString)
-      .filter(col("cell").isin(probed: _*))
-      .withColumn("v", col("v").cast("array<double>"))
-      .withColumn("r6", round(
-        dot(col("v"), typedLit(qv.toSeq)) / (col("n") * lit(qn)), 6))
-      .select(col("vec_id").as("doc_id"), col("r6"))
-  }
-
-  /** [[rankedTopK]] exposed to the retrieval stack: per-query top-`k`
-    * of a (query_id, vec_id, cos) scored frame as the bounded
-    * partial+final aggregate — the rank tail a query BATCH needs (a
-    * per-query row_number window would sort each query's full
-    * candidate stream in one task; this keeps k rows per query per
-    * partition and exchanges KBs). */
-  private[operators] def topKPerQuery(scored: DataFrame,
-                                      k: Int): DataFrame =
-    rankedTopK(scored, k)
-
-  /** [[ivfVectorLeg]] generalized to a query BATCH
-    * ([[graft.operators.Retrieval.hybridRrfBatch]]): `qvs` is a small
-    * (query_id, qv) frame (one PRF vector per query). The probed-cell
-    * UNION becomes the layout scan's static pruning literal — the scan
-    * reads ≤ |queries|·nprobe of the cell directories ONCE, shared by
-    * every query — and each query scores only its OWN cells' rows via
-    * the broadcast (query_id, cell) pair table, so candidate volume per
-    * query stays nprobe/k of the corpus exactly as in the single-query
-    * leg. Returns (query_id, doc_id, r6); the caller ranks and fuses.
-    * Codebook stashed under the batch gate key for oracle replay. */
-  private[operators] def ivfVectorLegBatch(s: SparkSession, d: String,
-                                           qvs: DataFrame): DataFrame = {
-    reg(s)
-    val layout = buildIvfLayout(s, d)
-    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    stashCodebook("hybrid_rrf_batch", d, cents)
-    // bounded collect: |queries| rows (the annFilteredBucketed shape) —
-    // per-query probed cells are computed against the driver-held
-    // 32-row codebook and shipped back as the pruning literal + the
-    // broadcast pair table
-    val qRows: Array[(Long, Array[Double])] = qvs.collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    import s.implicits._
-    val probedPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { case (id, v) =>
-      nearestCellsLocal(cents, v, IvfNProbe).map(c => (id, c)) }
-    val qCells = probedPairs.toDF("query_id", "cell")
-    val allCells = probedPairs.map(_._2).distinct.sorted
-    val q = qvs
-      .select(col("query_id"), col("qv"),
-        sqrt(dot(col("qv"), col("qv"))).as("qn"))
-      .join(broadcast(qCells), Seq("query_id"))
-    s.read.parquet(layout.toString)
-      .filter(col("cell").isin(allCells: _*))
-      .withColumn("v", col("v").cast("array<double>"))
-      .join(broadcast(q), Seq("cell"))
-      .withColumn("r6",
-        round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
-      .select(col("query_id"), col("vec_id").as("doc_id"), col("r6"))
-  }
-
-  /** [[annFiltered]] over the write-time IVF layout — IDENTICAL rows
-    * (same deterministic codebook, widened probe set, predicate,
-    * scoring, ranking), but the scale claim is realized at the scan:
-    * the layout carries the metadata column (`_f32l` schema), so the
-    * label predicate evaluates inside the ≤16 PRUNED cell directories —
-    * partition pruning cuts the rows to nprobe/k and the predicate cuts
-    * them again by its selectivity before any join or shuffle
-    * (plan-asserted: cell PartitionFilters + the predicate in the
-    * streamed join side). Query vectors are a bounded 10-row collect so
-    * the probed-cell union becomes the pruning literal (the
-    * [[annIvfSq8]] convention). Same oracle form as [[annFiltered]]
-    * with the layout-loaded codebook. */
-  def annFilteredBucketed(s: SparkSession, d: String): DataFrame = {
-    reg(s)
-    val layout = buildIvfLayout(s, d)
-    val cents: Array[Array[Double]] = s.read.parquet(s"${layout}_codebook")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    stashCodebook("ann_filtered_bucketed", d, cents)
-    val eBase = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val qVecs: Array[(Long, Array[Double])] =
-      eBase.filter(col("vec_id").isin(queryIds: _*)).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    import s.implicits._
-    val probedPairs: Seq[(Long, Int)] = qVecs.toSeq
-      .flatMap { case (id, v) =>
-        nearestCellsLocal(cents, v, FilteredNProbe).map(c => (id, c)) }
-    val qCells = probedPairs.toDF("query_id", "cell")
-    val allCells = probedPairs.map(_._2).distinct.sorted
-    val q = eBase.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        sqrt(dot(col("v"), col("v"))).as("qn"))
-      .join(broadcast(qCells), Seq("query_id"))
-    val e = s.read.parquet(layout.toString)
-      .filter(col("cell").isin(allCells: _*))
-      .filter(filterPred(col("label")))
-      .withColumn("v", col("v").cast("array<double>"))
-    val scored = e.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-    rankedTopK(scored, 5)
-  }
-
-  // ---- deterministic hierarchical HNSW (r10 verdict #3) ------------------
-
-  /** Layer cap, upper-layer beam width, and rounds-per-upper-layer. */
-  private val HnswLCap = 4
-  private val HnswWUp = 4
-  private val HnswRUp = 2
-
-  /** Deterministic HNSW layer assignment: `level = min(trailing_zeros(
-    * md5_lower64(vec_id)), cap)` — the geometric(1/2) level distribution
-    * HNSW draws from an RNG, made REPLAYABLE (an RNG level could never
-    * be oracled; this one is a pure function of vec_id both engines
-    * compute identically). trailing_zeros(h) = bit_count((h & -h) - 1),
-    * with h = 0 mapping to 64 and the cap clamping it. */
-  private def levelExpr: Column =
-    least(expr("bit_count((lvh & -lvh) - 1)"), lit(HnswLCap)).cast("int")
-
-  private def withLevel(e: DataFrame): DataFrame = e
-    .withColumn("lvx", md5(col("vec_id").cast("string")))
-    .withColumn("lvh", graft.util.Md5Lower64.of("lvx"))
-    .withColumn("lev", levelExpr)
-    .drop("lvx", "lvh")
-
-  /** Per-layer navigable edges: layer l contains the vectors with
-    * level >= l; its edge set is the [[graphEdges]] construction (2-bit
-    * probe pool, top-[[GraphM]], undirected) restricted to members.
-    * Build cost sums to < 2x the layer-0 build (layer sizes halve). */
-  private def hnswEdges(s: SparkSession, d: String): DataFrame = {
-    val e = withLevel(Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v")))))
-    (0 to HnswLCap).map { l =>
-      val eb = e.filter(col("lev") >= l)
-        .withColumn("bkt", bucket(col("v")))
-      val qside = eb.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"), explode(probes2(col("bkt"))).as("bkt"))
-      val fwd = rankedTopK(
-        eb.join(qside, Seq("bkt"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos",
-            dot(col("v"), col("qv")) / (col("n") * col("qn"))),
-        GraphM)
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .select(lit(l).as("lay"), col("src"), col("dst"))
-    }.reduce(_ unionByName _)
-  }
-
-  /** Write-time HNSW layout (ingest work, like [[buildGraphLayout]]). */
-  def buildHnswLayout(s: SparkSession, d: String): java.io.File = {
-    reg(s)
-    val layout = graft.util.Layouts.dir("ann_hnsw", d)
-    if (graft.util.Layouts.stale(layout, d, "embeddings")) {
-      hnswEdges(s, d).write.mode("overwrite").parquet(layout.getPath)
-    }
-    layout
-  }
-
-  /** `ann_hnsw` gate entry — hierarchical navigable-graph search with
-    * DETERMINISTIC layers (the multi-layer variant the single-layer NSW
-    * entry [[annGraphSearch]] stands in for): entry is the single
-    * (level desc, vec_id asc) apex node instead of the fixed
-    * [[GraphEntryBound]]-node set; each upper layer l = LCap..1 runs
-    * [[HnswRUp]] beam rounds at width [[HnswWUp]] over that layer's
-    * edges (the logarithmic descent — ref counterpart: the R-tree's
-    * level descent, src/index/rtree_module.cpp:49); layer 0 then runs
-    * the same [[GraphW]]/[[GraphL]] beam the NSW entry runs, seeded by
-    * the descent instead of 64 fixed entries. Equal layer-0 beam width,
-    * FEWER distinct scored candidates (PipelineOpsSpec pins both that
-    * and a recall floor). Exact oracle: every piece — levels, per-layer
-    * edges, descent, tie-breaks — is deterministic and unrolled into
-    * CTEs. */
-  def annHnsw(s: SparkSession, d: String): DataFrame =
-    annHnswAudited(s, d)._1
-
-  private[graft] def annHnswAudited(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    reg(s)
-    val e = withLevel(Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v")))))
-    val edges = s.read.parquet(buildHnswLayout(s, d).getPath)
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn"))
-    // descent scoring does NOT exclude the query itself: the apex (or a
-    // beam node) may BE the query, and its neighborhood is exactly where
-    // the search should go — self is dropped only from the final ranking
-    // (where the NSW entry never hits this: its entry set has 64 nodes)
-    def score(cand: DataFrame): DataFrame = cand
-      .join(e.select("vec_id", "v", "n"), Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("n") * col("qn")))
-      .select("query_id", "vec_id", "cos")
-    def topW(scored: DataFrame, w0: Int): DataFrame = {
-      val w = Window.partitionBy("query_id")
-        .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= w0)
-        .select("query_id", "vec_id", "cos")
-    }
-    def expandWith(beam: DataFrame, lay: Int): DataFrame = {
-      val ed = edges.filter(col("lay") === lay).select("src", "dst")
-      beam.select("query_id", "vec_id")
-        .unionByName(beam.select(col("query_id"), col("vec_id").as("src"))
-          .join(ed, Seq("src"))
-          .select(col("query_id"), col("dst").as("vec_id")))
-        .distinct()
-    }
-    // apex entry: the single (level desc, vec_id asc) node — the HNSW
-    // top-of-hierarchy start, deterministic and never empty
-    val apex = e.orderBy(col("lev").desc, col("vec_id").asc).limit(1)
-      .select(col("vec_id"))
-    val entry = q.select(col("query_id")).crossJoin(apex)
-    var scoredSets = Seq(entry)
-    // each round references the beam TWICE (cand = beam ∪ neighbors,
-    // then re-rank), so an unmaterialized 12-round descent doubles its
-    // lineage per round (~2^12 recompute). The beam is |Q|·W rows —
-    // checkpoint it EVERY round; values are unchanged (the oracle needs
-    // the VALUES deterministic, not the physical plan). A sparser
-    // cadence saves nothing measurable: the rounds are driver-latency
-    // bound, and skipped checkpoints just re-execute the prior rounds'
-    // window/distinct exchanges inside longer per-job stage chains.
-    var beam = topW(score(entry), HnswWUp).localCheckpoint(true)
-    for (l <- HnswLCap to 1 by -1; _ <- 1 to HnswRUp) {
-      val cand = expandWith(beam, l)
-      scoredSets :+= cand
-      beam = topW(score(cand), HnswWUp).localCheckpoint(true)
-    }
-    for (_ <- 1 to GraphL) {
-      val cand = expandWith(beam, 0)
-      scoredSets :+= cand
-      beam = topW(score(cand), GraphW).localCheckpoint(true)
-    }
-    val w5 = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    val res = beam.filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w5).cast("int"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), round(col("cos"), 5).as("cos"))
-      .orderBy("query_id", "rank")
-    (res, scoredSets.reduce(_ unionByName _).distinct())
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> (annGraphSearch _),
     "ann_graph_scaled" -> (annGraphScaled _),
@@ -2461,15 +752,15 @@ object Similarity {
     * the bucket id is the same sum of sign bits the Spark side
     * computes. Lets the driver hash-check the APPROXIMATE queries
     * exactly, not just rows-only. */
-  private def planeLit(p: Int): String =
+  private[operators] def planeLit(p: Int): String =
     planes(p).mkString("[", ",", "]")
 
-  private val sqlBucket: String =
+  private[operators] val sqlBucket: String =
     planes.indices.map { p =>
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
-  private val sqlProbes: String =
+  private[operators] val sqlProbes: String =
     "[bkt, " + (0 until 8).map(i => s"xor(bkt,${1 << i})").mkString(", ") + "]"
 
   private val lshOracleSelect: String =
@@ -2504,269 +795,6 @@ object Similarity {
          WHERE list_dot_product(e.v, p.vb) / (e.n * p.nb) >= 0.4)
        SELECT id_a, id_b, round(max(cos0), 5) AS cos
        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
-
-  /** IVF oracle: the codebook rides along as a VALUES literal; DuckDB
-    * independently re-derives cell assignment (sequential (v-c)^2 sum,
-    * ties to the lowest cell — the [[graft.functions.VectorKernels]]
-    * semantics), the nprobe=6 probe set, and the per-cell scoring. */
-  private def ivfOracleSelect(cents: Array[Array[Double]],
-                              candPred: String = "",
-                              nprobe: Int = IvfNProbe): String = {
-    val vals = cents.zipWithIndex
-      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
-      .mkString(",\n")
-    s"""WITH cells(cell, c) AS (VALUES $vals),
-       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
-       dist AS (
-         SELECT e.vec_id, e.v, e.label, cl.cell,
-           list_sum(list_transform(generate_series(1, len(cl.c)),
-             i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
-         FROM emb e CROSS JOIN cells cl),
-       rk AS (
-         SELECT vec_id, v, label, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-         FROM dist),
-       assigned AS (
-         SELECT r.vec_id, r.v, r.label,
-           sqrt(list_dot_product(r.v, r.v)) AS n, r.cell
-         FROM rk r WHERE r.rk = 1),
-       q AS (
-         SELECT a.vec_id AS query_id, a.v AS qv, a.n AS qn, r.cell
-         FROM assigned a JOIN rk r ON r.vec_id = a.vec_id AND r.rk <= $nprobe
-         WHERE a.vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
-       scored AS (
-         SELECT q.query_id, e.vec_id AS neighbor_id,
-           list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
-         FROM assigned e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id
-         $candPred),
-       ranked AS (
-         SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-         FROM scored)
-       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
-       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
-
-  /** DuckDB replay of [[annIvfSq8]]: the codebook rides along as a
-    * VALUES literal ([[ivfOracleSelect]]'s cell assignment + nprobe
-    * probing), bounds re-derived (exact min/max), identical
-    * quantize/dequantize arithmetic ([[sq8Oracle]]'s), candidates
-    * restricted to cell matches, (round(ascore, 6) desc, id asc)
-    * 64-shortlist, exact-cosine re-rank. */
-  private def ivfSq8OracleSelect(cents: Array[Array[Double]]): String = {
-    val vals = cents.zipWithIndex
-      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
-      .mkString(",\n")
-    s"""WITH cells(cell, c) AS (VALUES $vals),
-       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       bounds AS (
-         SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
-         FROM (SELECT pos, min(x) AS lo, max(x) AS hi FROM (
-                 SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
-                 FROM emb) GROUP BY pos)),
-       dist AS (
-         SELECT e.vec_id, e.v, cl.cell,
-           list_sum(list_transform(generate_series(1, len(cl.c)),
-             i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
-         FROM emb e CROSS JOIN cells cl),
-       crk AS MATERIALIZED (
-         SELECT vec_id, v, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-         FROM dist),
-       enc0 AS (
-         SELECT r.vec_id, r.v, r.cell,
-           sqrt(list_dot_product(r.v, r.v)) AS n, lo, hi,
-           list_transform(generate_series(1, len(r.v)), i ->
-             CASE WHEN hi[i] > lo[i] THEN
-               greatest(0, least(255, CAST(floor((r.v[i] - lo[i])
-                 / (hi[i] - lo[i]) * 255.0 + 0.5) AS INTEGER)))
-             ELSE 0 END) AS q
-         FROM crk r CROSS JOIN bounds WHERE r.rk = 1),
-       enc AS MATERIALIZED (
-         SELECT vec_id, v, cell, n,
-           list_transform(generate_series(1, len(q)), i ->
-             lo[i] + CAST(q[i] AS DOUBLE) * (hi[i] - lo[i]) / 255.0) AS dq
-         FROM enc0),
-       qs AS (
-         SELECT e.vec_id AS query_id, e.v AS qv, e.n AS qn, e.dq AS qdq,
-           r.cell
-         FROM enc e JOIN crk r ON r.vec_id = e.vec_id
-           AND r.rk <= $IvfNProbe
-         WHERE e.vec_id IN (${queryIds.mkString(", ")})),
-       scored AS (
-         SELECT qs.query_id, e.vec_id,
-           list_dot_product(e.dq, qs.qdq) / (e.n * qs.qn) AS ascore
-         FROM enc e JOIN qs ON e.cell = qs.cell
-           AND e.vec_id <> qs.query_id),
-       short AS (
-         SELECT query_id, vec_id FROM (
-           SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-             ORDER BY round(ascore, 6) DESC, vec_id ASC) AS rk
-           FROM scored) WHERE rk <= 64),
-       rerank AS (
-         SELECT s.query_id, s.vec_id AS neighbor_id,
-           list_dot_product(e.v, qe.v) / (e.n * qe.n) AS cos
-         FROM short s
-         JOIN enc e ON e.vec_id = s.vec_id
-         JOIN enc qe ON qe.vec_id = s.query_id),
-       ranked AS (
-         SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-         FROM rerank)
-       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
-       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
-
-  /** PQ oracle: the M per-subspace codebooks ride along as one VALUES
-    * literal (j, code, centroid); DuckDB re-derives code assignment
-    * (sequential fold, ties to the lowest code — the kernel semantics),
-    * the ADC lookup, and the compressed-domain ranking. */
-  private def pqOracleSelect(cbs: Array[Array[Array[Double]]]): String = {
-    val vals = cbs.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, code) =>
-        s"($j, $code, ${c.mkString("[", ",", "]")})"
-      }
-    }.mkString(",\n")
-    s"""WITH cb(j, code, c) AS (VALUES $vals),
-       emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-       emb AS (SELECT vec_id, list_transform(v0,
-           x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM emb0),
-       sub AS (
-         SELECT vec_id, js.j, v[js.j * 8 + 1 : js.j * 8 + 8] AS sv
-         FROM emb, (SELECT unnest(range(8)) AS j) js),
-       dist AS (
-         SELECT s.vec_id, s.j, cb.code,
-           list_sum(list_transform(generate_series(1, 8),
-             i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i]))) AS d2
-         FROM sub s JOIN cb ON cb.j = s.j),
-       codes AS (
-         SELECT vec_id, j, code FROM (
-           SELECT vec_id, j, code,
-             row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code)
-               AS rk
-           FROM dist) WHERE rk = 1),
-       q AS (SELECT vec_id AS query_id, j, sv FROM sub
-             WHERE vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
-       adc AS (
-         SELECT q.query_id, q.j, cb.code,
-           round(list_sum(list_transform(generate_series(1, 8),
-             i -> (q.sv[i] - cb.c[i]) * (q.sv[i] - cb.c[i]))), 6) AS dsub
-         FROM q JOIN cb ON cb.j = q.j),
-       scored AS (
-         SELECT a.query_id, c.vec_id, sum(a.dsub) AS d2
-         FROM codes c JOIN adc a ON a.j = c.j AND a.code = c.code
-         WHERE c.vec_id <> a.query_id
-         GROUP BY 1, 2),
-       shortlist AS (
-         SELECT query_id, vec_id FROM (
-           SELECT query_id, vec_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(d2, 6) ASC, vec_id ASC) AS adc_rank
-           FROM scored) WHERE adc_rank <= 64),
-       rerank AS (
-         SELECT s.query_id, s.vec_id AS neighbor_id,
-           list_dot_product(e.v, qe.v) AS cos
-         FROM shortlist s
-         JOIN emb e ON e.vec_id = s.vec_id
-         JOIN emb qe ON qe.vec_id = s.query_id),
-       ranked AS (
-         SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-         FROM rerank)
-       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
-       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
-
-  /** IVF-PQ oracle: BOTH codebooks ride along as VALUES literals; DuckDB
-    * re-derives normalization, cell assignment, residual encoding, the
-    * per-cell query-residual ADC table, the compressed shortlist, and the
-    * exact re-rank — the full two-quantizer pipeline, bit-for-bit. */
-  private def ivfPqOracleSelect(cents: Array[Array[Double]],
-                                cbs: Array[Array[Array[Double]]]): String = {
-    val cellVals = cents.zipWithIndex
-      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
-      .mkString(",\n")
-    val cbVals = cbs.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, code) =>
-        s"($j, $code, ${c.mkString("[", ",", "]")})"
-      }
-    }.mkString(",\n")
-    s"""WITH cells(cell, c) AS (VALUES $cellVals),
-       cb(j, code, cc) AS (VALUES $cbVals),
-       emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-       emb AS (SELECT vec_id, list_transform(v0,
-           x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM emb0),
-       dist AS (
-         SELECT e.vec_id, e.v, cl.cell, cl.c,
-           list_sum(list_transform(generate_series(1, len(cl.c)),
-             i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i]))) AS d2
-         FROM emb e CROSS JOIN cells cl),
-       rk AS (
-         SELECT vec_id, v, cell, c,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-         FROM dist),
-       assigned AS (
-         SELECT vec_id, v, cell,
-           list_transform(generate_series(1, len(c)),
-             i -> v[i] - c[i]) AS r
-         FROM rk WHERE rk = 1),
-       sub AS (
-         SELECT vec_id, cell, js.j, r[js.j * 8 + 1 : js.j * 8 + 8] AS sv
-         FROM assigned, (SELECT unnest(range(8)) AS j) js),
-       cdist AS (
-         SELECT s.vec_id, s.cell, s.j, cb.code,
-           list_sum(list_transform(generate_series(1, 8),
-             i -> (s.sv[i] - cb.cc[i]) * (s.sv[i] - cb.cc[i]))) AS d2
-         FROM sub s JOIN cb ON cb.j = s.j),
-       codes AS (
-         SELECT vec_id, cell, j, code FROM (
-           SELECT vec_id, cell, j, code,
-             row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code)
-               AS rk
-           FROM cdist) WHERE rk = 1),
-       q AS (
-         SELECT a.vec_id AS query_id, a.v AS qv, r.cell,
-           list_transform(generate_series(1, len(r.c)),
-             i -> a.v[i] - r.c[i]) AS qr
-         FROM assigned a JOIN rk r ON r.vec_id = a.vec_id AND r.rk <= $IvfNProbe
-         WHERE a.vec_id IN (1, 7, 42, 99, 123, 200, 256, 300, 404, 499)),
-       qsub AS (
-         SELECT query_id, cell, js.j, qr[js.j * 8 + 1 : js.j * 8 + 8] AS sv
-         FROM q, (SELECT unnest(range(8)) AS j) js),
-       adc AS (
-         SELECT s.query_id, s.cell, s.j, cb.code,
-           round(list_sum(list_transform(generate_series(1, 8),
-             i -> (s.sv[i] - cb.cc[i]) * (s.sv[i] - cb.cc[i]))), 6) AS dsub
-         FROM qsub s JOIN cb ON cb.j = s.j),
-       scored AS (
-         SELECT a.query_id, c.vec_id, sum(a.dsub) AS d2
-         FROM codes c
-         JOIN adc a ON a.cell = c.cell AND a.j = c.j AND a.code = c.code
-         WHERE c.vec_id <> a.query_id
-         GROUP BY 1, 2),
-       shortlist AS (
-         SELECT query_id, vec_id FROM (
-           SELECT query_id, vec_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(d2, 6) ASC, vec_id ASC) AS adc_rank
-           FROM scored) WHERE adc_rank <= 64),
-       rerank AS (
-         SELECT s.query_id, s.vec_id AS neighbor_id,
-           list_dot_product(e.v, qe.v) AS cos
-         FROM shortlist s
-         JOIN emb e ON e.vec_id = s.vec_id
-         JOIN emb qe ON qe.vec_id = s.query_id),
-       ranked AS (
-         SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-         FROM rerank)
-       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
-       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
 
   /** SemDeDup oracle: codebook as a VALUES literal; DuckDB re-derives
     * assignment, the centroid-distance rank, and the earlier-clustermate
@@ -2804,341 +832,6 @@ object Similarity {
        SELECT vec_id, cell, keep_id AS kept_id, round(cos, 5) AS cos
        FROM sel WHERE pr = 1 ORDER BY vec_id"""
   }
-
-  /** The k-NN-graph CTE block ([[annKnnGraph]]'s oracle body), shared
-    * with the PageRank oracle so both replay the identical edge set. */
-  private def knnGraphCtes: String =
-    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
-                 $sqlBucket AS bkt FROM emb),
-         q AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
-                 unnest($sqlProbes) AS bkt
-               FROM b),
-         scored AS (
-           SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
-           FROM b e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.query_id),
-         ranked AS (
-           SELECT query_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-           FROM scored)"""
-
-  /** Edge-build CTEs shared by the graph-ANN oracles: requires prior
-    * CTEs `gq` (query_id, qv, qn, bkt — the probe-exploded side, whose
-    * probe set is what differs between the fixed-family and scaled
-    * variants) and a candidate-side CTE (`b` for the uncapped gate
-    * family, `bc` for the scaled build's per-bucket cap) with
-    * (vec_id, v, n, bkt). Emits `gedges` (src, dst): top-[[GraphM]] by
-    * (round(cos,6) desc, id asc), made undirected. */
-  private def graphEdgeCtes(candSide: String = "b"): String =
-    s"""gscored AS (
-           SELECT gq.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(e.v, gq.qv) / (e.n * gq.qn) AS cos
-           FROM $candSide e JOIN gq ON e.bkt = gq.bkt
-             AND e.vec_id <> gq.query_id),
-         granked AS (
-           SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-           FROM gscored),
-         gedges AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT query_id AS src, neighbor_id AS dst
-             FROM granked WHERE rank <= $GraphM
-             UNION ALL
-             SELECT neighbor_id AS src, query_id AS dst
-             FROM granked WHERE rank <= $GraphM))"""
-
-  /** Unrolled beam-search CTE tail shared by the graph-ANN oracles:
-    * requires prior CTEs `emb` (vec_id, v), `b` (vec_id, v, n, ...) and
-    * `gedges` (src, dst). `nRounds` rounds (the gate's [[GraphL]], or
-    * the scaled variant's recorded log-n count) of candidates =
-    * beam ∪ neighbors(beam), exact-cosine score, top-[[GraphW]] by
-    * (round(cos,6) desc, id asc) — the same deterministic mechanics the
-    * Spark [[beamSearch]] loop runs. b$i is referenced twice by the
-    * next candidate union, so it is MATERIALIZED (DuckDB's default CTE
-    * inlining doubles the plan per round — the emb_kcenter lesson). */
-  private def beamSearchSqlTail(nRounds: Int = GraphL,
-                                extraEntrySql: Option[String] = None): String = {
-    def roundCtes(i: Int): String = {
-      val src = if (i == 0) "entry" else s"c$i"
-      s"""s$i AS (
-           SELECT c.query_id, c.vec_id,
-             list_dot_product(e.v, qq.qv) / (e.n * qq.qn) AS cos
-           FROM $src c JOIN b e USING (vec_id) JOIN qq USING (query_id)
-           WHERE c.vec_id <> c.query_id),
-         b$i AS MATERIALIZED (
-           SELECT query_id, vec_id, cos FROM (
-             SELECT s$i.*, row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, vec_id ASC) AS rk FROM s$i)
-           WHERE rk <= $GraphW)"""
-    }
-    def candCte(i: Int): String =
-      s"""c$i AS (
-           SELECT DISTINCT query_id, vec_id FROM (
-             SELECT query_id, vec_id FROM b${i - 1}
-             UNION ALL
-             SELECT p.query_id, g.dst AS vec_id
-             FROM b${i - 1} p JOIN gedges g ON g.src = p.vec_id))"""
-    val rounds = (roundCtes(0) +: (1 to nRounds).flatMap(i =>
-      Seq(candCte(i), roundCtes(i)))).mkString(",\n         ")
-    val entryCte = extraEntrySql match {
-      case None =>
-        s"""entry AS (SELECT qq.query_id, e.vec_id
-                   FROM qq CROSS JOIN emb e WHERE e.vec_id < $GraphEntryBound)"""
-      case Some(x) =>
-        s"""entry AS (SELECT qq.query_id, e.vec_id
-                   FROM qq CROSS JOIN emb e WHERE e.vec_id < $GraphEntryBound
-                   UNION
-                   $x)"""
-    }
-    s"""qq AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM b
-                WHERE vec_id IN (${queryIds.mkString(", ")})),
-         $entryCte,
-         $rounds
-         SELECT query_id, rk AS rank, vec_id AS neighbor_id,
-           round(cos, 5) AS cos
-         FROM (
-           SELECT b$nRounds.*, CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rk
-           FROM b$nRounds)
-         WHERE rk <= 5 ORDER BY query_id, rank"""
-  }
-
-  /** DuckDB bucket expression for the first `p` planes of the scaled
-    * family (generalizes [[sqlBucket]]). */
-  private def sqlBucketN(p: Int): String = {
-    val pl = planesN(p)
-    pl.indices.map { i =>
-      s"(CASE WHEN list_dot_product(v, ${pl(i).mkString("[", ",", "]")}) > 0" +
-        s" THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
-  }
-
-  /** Oracle for [[annGraphScaled]] given the recorded plane count:
-    * same edge-build + beam-search CTEs as the fixed-family oracle, but
-    * the bucket uses the P-plane family and the probe set is the 1-bit
-    * flip family the scaled build runs. */
-  private def graphScaledOracle(p: Int): String = {
-    val probes1 =
-      "[bkt, " + (0 until p).map(i => s"xor(bkt,${1 << i})").mkString(", ") + "]"
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         b AS MATERIALIZED (
-               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
-                 ${sqlBucketN(p)} AS bkt FROM emb),
-         bc AS (SELECT vec_id, v, n, bkt FROM (
-                  SELECT b.*, row_number() OVER (PARTITION BY bkt
-                    ORDER BY vec_id ASC) AS brk FROM b)
-                WHERE brk <= $GraphBuildCap),
-         gq AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
-                  unnest($probes1) AS bkt FROM b),
-         ${graphEdgeCtes("bc")},
-         ${beamSearchSqlTail(GraphL, Some(
-           s"""SELECT qb.query_id, bc.vec_id
-               FROM (SELECT vec_id AS query_id, unnest($probes1) AS bkt
-                     FROM b
-                     WHERE vec_id IN (${queryIds.mkString(", ")})) qb
-               JOIN bc USING (bkt)"""))}"""
-  }
-
-  /** DuckDB replay of [[annGraphAppend]]: the 90/10 split rule, the
-    * base corpus's P-plane family and lowest-ids-per-bucket cap, the
-    * batch's 2-bit probe set (the denser family the append deliberately
-    * spends on — see the annGraphAppend body), and the top-M ranking. */
-  private def graphAppendOracle(p: Int): String = {
-    val probes2 =
-      "[bkt, " + masks2N(p).map(m => s"xor(bkt,$m)").mkString(", ") + "]"
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         b AS MATERIALIZED (
-               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
-                 ${sqlBucketN(p)} AS bkt FROM emb WHERE vec_id % 10 <> 7),
-         bc AS (SELECT vec_id, v, n, bkt FROM (
-                  SELECT b.*, row_number() OVER (PARTITION BY bkt
-                    ORDER BY vec_id ASC) AS brk FROM b)
-                WHERE brk <= $GraphBuildCap),
-         nb0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
-                 ${sqlBucketN(p)} AS bkt FROM emb WHERE vec_id % 10 = 7),
-         nb AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
-                 unnest($probes2) AS bkt FROM nb0),
-         scored AS (
-           SELECT nb.query_id, bc.vec_id AS neighbor_id,
-             list_dot_product(bc.v, nb.qv) / (bc.n * nb.qn) AS cos
-           FROM bc JOIN nb USING (bkt)),
-         ranked AS (
-           SELECT query_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-           FROM scored)
-       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
-       FROM ranked WHERE rank <= $GraphM ORDER BY query_id, rank"""
-  }
-
-  /** Oracle for [[annGraphScaledStats]]: the identical closed-form
-    * bucket-histogram computation over the P-plane 1-bit-probe family
-    * and per-bucket cap. */
-  private def graphScaledStatsOracle(p: Int): String = {
-    val probes1 =
-      "[bkt, " + (0 until p).map(i => s"xor(bkt,${1 << i})").mkString(", ") + "]"
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         b AS (SELECT vec_id, ${sqlBucketN(p)} AS bkt FROM emb),
-         pop AS (SELECT bkt, count(*) AS pop FROM b GROUP BY 1),
-         phits AS (SELECT bkt, count(*) AS ph FROM (
-             SELECT unnest($probes1) AS bkt FROM b) GROUP BY 1),
-         cand AS (SELECT CAST(sum(least(pop, $GraphBuildCap) * ph
-                    - least(pop, $GraphBuildCap)) AS BIGINT) AS n_cand_pairs
-                  FROM pop JOIN phits USING (bkt)),
-         nv AS (SELECT count(*) AS n_vec FROM b)
-       SELECT nv.n_vec, $p AS n_planes, $GraphBuildCap AS cap,
-         cand.n_cand_pairs,
-         round(CAST(cand.n_cand_pairs AS DOUBLE) / nv.n_vec, 2)
-           AS cand_per_vec
-       FROM cand CROSS JOIN nv"""
-  }
-
-  /** Unrolled DuckDB replay of [[annHnsw]]: deterministic levels
-    * (bit_count trailing-zeros of the portable md5 hash), per-layer
-    * member-restricted edge builds, the apex descent, and the layer-0
-    * beam — every CTE in bit-for-bit lockstep with the Spark loop. */
-  private def hnswOracle: String = {
-    val sqlProbes2 =
-      "[bkt, " + flips2.map(m => s"xor(bkt,$m)").mkString(", ") + "]"
-    val layerCtes = (0 to HnswLCap).map { l =>
-      s"""gq$l AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
-                  unnest($sqlProbes2) AS bkt FROM b WHERE lev >= $l),
-         gs$l AS (
-           SELECT gq$l.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(e.v, gq$l.qv) / (e.n * gq$l.qn) AS cos
-           FROM b e JOIN gq$l ON e.bkt = gq$l.bkt
-             AND e.vec_id <> gq$l.query_id
-           WHERE e.lev >= $l),
-         gr$l AS (
-           SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-           FROM gs$l),
-         ge$l AS MATERIALIZED (
-           SELECT DISTINCT src, dst FROM (
-             SELECT query_id AS src, neighbor_id AS dst
-             FROM gr$l WHERE rank <= $GraphM
-             UNION ALL
-             SELECT neighbor_id AS src, query_id AS dst
-             FROM gr$l WHERE rank <= $GraphM))"""
-    }.mkString(",\n         ")
-    // hb$i is referenced TWICE by the next round's candidate union —
-    // without MATERIALIZED, DuckDB's default CTE inlining doubles the
-    // plan per round (2^12 scans over 12 rounds: "Too many open files",
-    // the emb_kcenter lesson). Same for the shared b/qq/ge tables.
-    def sCte(i: Int, src: String, w: Int): String =
-      s"""hs$i AS (
-           SELECT c.query_id, c.vec_id,
-             list_dot_product(e.v, qq.qv) / (e.n * qq.qn) AS cos
-           FROM $src c JOIN b e USING (vec_id) JOIN qq USING (query_id)),
-         hb$i AS MATERIALIZED (
-           SELECT query_id, vec_id, cos FROM (
-             SELECT hs$i.*, row_number() OVER (PARTITION BY query_id
-               ORDER BY round(cos, 6) DESC, vec_id ASC) AS rk FROM hs$i)
-           WHERE rk <= $w)"""
-    def cCte(i: Int, lay: Int): String =
-      s"""hc$i AS (
-           SELECT DISTINCT query_id, vec_id FROM (
-             SELECT query_id, vec_id FROM hb${i - 1}
-             UNION ALL
-             SELECT p.query_id, g.dst AS vec_id
-             FROM hb${i - 1} p JOIN ge$lay g ON g.src = p.vec_id))"""
-    // round schedule mirrors the Spark loop: apex, then RUp rounds per
-    // upper layer LCap..1 at width WUp, then GraphL rounds at layer 0
-    // at width GraphW
-    val sched =
-      (HnswLCap to 1 by -1).flatMap(l => Seq.fill(HnswRUp)((l, HnswWUp))) ++
-        Seq.fill(GraphL)((0, GraphW))
-    val rounds = (sCte(0, "e0", HnswWUp) +: sched.zipWithIndex.flatMap {
-      case ((lay, w), k) => Seq(cCte(k + 1, lay), sCte(k + 1, s"hc${k + 1}", w))
-    }).mkString(",\n         ")
-    val last = sched.length
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         b0v AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
-                 $sqlBucket AS bkt,
-                 CAST(md5_number_lower(CAST(vec_id AS VARCHAR))
-                   & 9223372036854775807 AS BIGINT) AS lvh
-               FROM emb),
-         b AS MATERIALIZED (SELECT vec_id, v, n, bkt,
-                 CAST(least(bit_count((lvh & -lvh) - 1), $HnswLCap)
-                   AS INTEGER) AS lev
-               FROM b0v),
-         $layerCtes,
-         qq AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, n AS qn
-                FROM b
-                WHERE vec_id IN (${queryIds.mkString(", ")})),
-         apex AS (SELECT vec_id FROM b
-                  ORDER BY lev DESC, vec_id ASC LIMIT 1),
-         e0 AS (SELECT qq.query_id, apex.vec_id FROM qq CROSS JOIN apex),
-         $rounds
-         SELECT query_id, rk AS rank, vec_id AS neighbor_id,
-           round(cos, 5) AS cos
-         FROM (
-           SELECT hb$last.*, CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rk
-           FROM hb$last WHERE vec_id <> query_id)
-         WHERE rk <= 5 ORDER BY query_id, rank"""
-  }
-
-  /** DuckDB replay of [[annSq8]]: bounds re-derived (exact min/max),
-    * identical quantize/dequantize arithmetic, candidates ranked by the
-    * dequantized-reconstruction cosine ((round(ascore, 6) desc, id asc)
-    * shortlist — the raw integer dot ranks wrong, see [[annSq8]]),
-    * exact-cosine re-rank of the 64-id shortlist. */
-  private val sq8Oracle: String =
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
-       bounds AS (
-         SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
-         FROM (SELECT pos, min(x) AS lo, max(x) AS hi FROM (
-                 SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
-                 FROM emb) GROUP BY pos)),
-       enc0 AS (
-         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n, lo, hi,
-           list_transform(generate_series(1, len(v)), i ->
-             CASE WHEN hi[i] > lo[i] THEN
-               greatest(0, least(255, CAST(floor((v[i] - lo[i])
-                 / (hi[i] - lo[i]) * 255.0 + 0.5) AS INTEGER)))
-             ELSE 0 END) AS q
-         FROM emb CROSS JOIN bounds),
-       enc AS (
-         SELECT vec_id, v, n,
-           list_transform(generate_series(1, len(q)), i ->
-             lo[i] + CAST(q[i] AS DOUBLE) * (hi[i] - lo[i]) / 255.0) AS dq
-         FROM enc0),
-       qs AS (SELECT vec_id AS query_id, v AS qv, n AS qn, dq AS qdq
-              FROM enc WHERE vec_id IN (${queryIds.mkString(", ")})),
-       scored AS (
-         SELECT qs.query_id, e.vec_id,
-           list_dot_product(e.dq, qs.qdq) / (e.n * qs.qn) AS ascore
-         FROM enc e CROSS JOIN qs WHERE e.vec_id <> qs.query_id),
-       short AS (
-         SELECT query_id, vec_id FROM (
-           SELECT query_id, vec_id, row_number() OVER (
-             PARTITION BY query_id
-             ORDER BY round(ascore, 6) DESC, vec_id ASC) AS rk
-           FROM scored) WHERE rk <= 64),
-       rerank AS (
-         SELECT s.query_id, s.vec_id AS neighbor_id,
-           list_dot_product(e.v, q.qv) / (e.n * q.qn) AS cos
-         FROM short s
-         JOIN enc e ON e.vec_id = s.vec_id
-         JOIN qs q ON q.query_id = s.query_id),
-       ranked AS (
-         SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
-         FROM rerank)
-       SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos
-       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** One PageRank iteration's CTE in FIXED-POINT arithmetic: ranks are
     * 1e-9-scaled BIGINTs, each edge contributes `ri // deg` (floor

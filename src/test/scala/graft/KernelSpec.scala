@@ -43,6 +43,38 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("f32_pack / f32_dot: lossless on float-sourced doubles — packed " +
+       "dot is BIT-identical to vec_dot (codegen path)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    // float-SOURCED doubles (the embeddings-table invariant): every
+    // component is double(float32(x)), so the pack must lose nothing
+    val cases = (0 until 40).map { i =>
+      def vec(n: Int) =
+        Array.fill(n)((rnd.nextFloat() * 2e3f - 1e3f).toDouble)
+      val n = rnd.nextInt(80) + 1
+      (i.toLong, vec(n), vec(n))
+    }
+    val rows = cases.toDF("i", "a", "b")
+      .selectExpr("i",
+        "f32_dot(f32_pack(a), f32_pack(b)) AS packed",
+        "vec_dot(a, b) AS direct")
+      .collect()
+    rows.foreach { r =>
+      // BIT-identical, not approximately equal: the pack is lossless
+      // and the fused kernel folds left-to-right like vec_dot
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"case ${r.getLong(0)}: packed ${r.getDouble(1)} != " +
+          s"direct ${r.getDouble(2)}")
+    }
+    // pack width: 4 bytes per dimension
+    val w = Seq((1L, Array(1.5, -2.25, 3.0))).toDF("i", "a")
+      .selectExpr("length(f32_pack(a)) AS len").collect()(0).getInt(0)
+    assert(w == 12, s"pack width $w")
+  }
+
   test("nfc_normalize / strip_accents kernels: composition, accent strip, " +
        "java.text.Normalizer agreement (codegen path)") {
     val sp = spark

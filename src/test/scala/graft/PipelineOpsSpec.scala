@@ -1232,16 +1232,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scaled build plan contains ${windows.size} window node(s)")
   }
 
-  test("graphFwdEdgesScaled: the SQ8-shortlisted build emits the EXACT " +
-       "float edge set (shortlist margin holds at the gate SF)") {
+  test("graphFwdEdgesScaled: the f32-packed build emits the EXACT " +
+       "float edge set (lossless pack, bit-identical scores)") {
     import graft.operators.Similarity
     // independent float-exact replay of the forward build — deterministic
     // splitmix planes, 1-bit probes, 32-per-bucket lowest-id cap, exact
     // cosine top-8 by (round(cos,6) desc, id asc) — computed in plain
     // Scala from the raw parquet, no Similarity internals. The build's
-    // SQ8 probe quantization is a pure shuffle-byte optimization ONLY if
-    // the exact top-M survives the approx top-2M shortlist; this pin
-    // fails the suite the moment it doesn't.
+    // f32 packing is a pure shuffle-byte optimization ONLY if
+    // double(float32(x)) == x for every embedding component (the tables
+    // store float parquet); this pin fails the suite the moment the
+    // packed dot diverges from the float64 dot.
     val rows = Tables.embeddings(spark, d).select("vec_id", "embedding")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))

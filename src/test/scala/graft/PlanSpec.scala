@@ -569,7 +569,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //   Quality/Multilingual: fixed 2000-doc training samples
     //   Sketches: 512-word bloom vocabulary; Dedup: 20-row CDC sample
     val expected = Map(
-      "operators/Similarity.scala" -> 20,
+      // r13 family split: Similarity's 20 audited sites now live across
+      // the base object + the three family traits (same call sites)
+      // (the r13 SQ8-bounds collect in graphFwdEdgesScaled was removed
+      // with the shortlist design — the f32-packed build collects
+      // nothing)
+      "operators/Similarity.scala" -> 4,
+      "operators/SimilarityQuant.scala" -> 6,
+      "operators/SimilarityIvf.scala" -> 9,
       "operators/Retrieval.scala" -> 2,
       "streaming/StreamGate.scala" -> 4,
       "operators/TextAnalysis.scala" -> 2,
