@@ -112,7 +112,8 @@ object Bench {
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     def aggThreshold(name: String): String =
       if (name.startsWith("ann_") || name.startsWith("hybrid_") ||
-          name.startsWith("retrieval_") || name.startsWith("stream_ann"))
+          name.startsWith("retrieval_") || name.startsWith("stream_ann") ||
+          name.startsWith("stream_graph"))
         "65536"
       else "128"
     def timed(work: Seq[(String, () => Unit)], clear: Boolean = true,

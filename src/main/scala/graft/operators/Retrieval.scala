@@ -316,6 +316,11 @@ object Retrieval {
       .groupBy("query_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
         " p -> p.m)").as("qv"))
+      // bounded (12 rows); ivfVectorLegBatch collects it for the
+      // probed-cell literals AND embeds it in the returned plan — the
+      // checkpoint keeps the corpus-wide PRF derivation from running
+      // twice (the same r12-advice class as lexB/vecLeg)
+      .localCheckpoint(true)
     val vecB = Similarity.topKPerQuery(
       Similarity.ivfVectorLegBatch(s, d, qvs)
         .select(col("query_id"), col("doc_id").as("vec_id"),

@@ -194,14 +194,19 @@ object MobSql {
     // permanently by capturing each other's "prev" (r12 advice). The
     // analyzed plan is re-bound because temp views are session-scoped.
     val writer = spark.newSession()
+    // clones start from the SparkContext conf, NOT the parent's runtime
+    // conf — copy the parent's settable SQL conf wholesale so the
+    // layout write behaves like every other write in the caller's
+    // session (codec, timezone, partition count, ...), then override
+    // only the write-path knobs below. Non-settable/static entries are
+    // skipped (they are identical across sessions by construction).
+    spark.conf.getAll.foreach { case (k, v) =>
+      try writer.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     writer.conf.set(
       "spark.sql.execution.rangeExchange.sampleSizePerPartition",
       (1 << 20).toString)
-    // clones start from the SparkContext conf, not the parent's runtime
-    // conf — pin the partition count so layout bounds can't drift with
-    // how the parent session was built
-    writer.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.get("spark.sql.shuffle.partitions"))
     // AQE must not coalesce the range exchange: a numPartitions-less
     // repartitionByRange is coalescing-eligible, and tiny builds would
     // collapse to ONE file — one min/max envelope, zero row-group

@@ -84,7 +84,13 @@ object StreamGate {
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverseIterator
         .foreach(f => Files.deleteIfExists(f))
-  } catch { case _: java.io.IOException => () }
+  } catch {
+    // Files.walk wraps mid-iteration I/O errors (e.g. a Spark shutdown
+    // thread concurrently removing a checkpoint temp file) in
+    // UncheckedIOException — a RuntimeException; cleanup must never
+    // fail a gate entry whose result is already materialized
+    case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+  }
 
   /** Run `body` (which starts and awaits a streaming query) with the
     * session's state-store provider set per [[stateStoreProvider]],
@@ -201,7 +207,7 @@ object StreamGate {
     // Jaccard >= 0.5 on the candidate pairs, same aliases and ordering
     val docSh = graft.operators.Dedup.shingleHashes(s, d)
       .groupBy("doc_id").agg(sort_array(collect_list("h")).as("shs"))
-    sunk.select("id_a", "id_b").distinct()
+    val res = sunk.select("id_a", "id_b").distinct()
       .join(docSh.select(col("doc_id").as("id_a"), col("shs").as("sha")),
         "id_a")
       .join(docSh.select(col("doc_id").as("id_b"), col("shs").as("shb")),
@@ -213,6 +219,12 @@ object StreamGate {
       .filter(col("j") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jac"))
       .orderBy("id_a", "id_b")
+      // materialize (bounded: candidate pairs) so the per-invocation
+      // temp root can be removed — the r13 cleanup, applied to every
+      // sink (this one previously leaked staging + checkpoint + sink)
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    res
   }
 
   /** `stream_sessions_sink` gate entry: the events table replayed as a
@@ -259,7 +271,7 @@ object StreamGate {
         .start()
         .awaitTermination()
     }
-    s.read
+    val res = s.read
       .schema(StructType(Seq(
         StructField("user_id", LongType),
         StructField("start", TimestampType), StructField("end", TimestampType),
@@ -272,6 +284,9 @@ object StreamGate {
         round((sum(unix_micros(col("end")) - unix_micros(col("start"))) /
           1000000.0), 6).as("total_s"))
       .orderBy("user_id")
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    res
   }
 
   /** `stream_hll_sink` gate entry: the events table replayed as a
@@ -341,7 +356,7 @@ object StreamGate {
     val exact = Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count_distinct(col("user_id")).as("exact_distinct"))
-    state.join(exact, "day")
+    val res = state.join(exact, "day")
       .withColumn("hll_estimate",
         Hll.estimate(col("v_empty"),
           Hll.sScaled(col("v_empty"), col("s_ne"))))
@@ -350,6 +365,9 @@ object StreamGate {
         round(lit(100.0) * (col("hll_estimate") - col("exact_distinct"))
           / col("exact_distinct"), 2).as("rel_err_pct"))
       .orderBy("day")
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    res
   }
 
   /** `stream_countmin_sink` gate entry: per-day COUNT-MIN counters over
@@ -424,13 +442,16 @@ object StreamGate {
       .select(col("day"), col("user_id"), col("exact_cnt"), positions.as("rp"))
       .select(col("day"), col("user_id"), col("exact_cnt"),
         col("rp.i").as("i"), col("rp.p").as("p"))
-    probes.join(sunk, Seq("day", "i", "p"))
+    val res = probes.join(sunk, Seq("day", "i", "p"))
       .groupBy("day", "user_id", "exact_cnt")
       .agg(min("c").as("cm_estimate"))
       .select(col("day"), col("user_id"), col("exact_cnt"),
         col("cm_estimate"),
         (col("cm_estimate") - col("exact_cnt")).as("overcount"))
       .orderBy("day", "user_id")
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    res
   }
 
   /** `stream_join_sink` gate entry: the watermarked stream-stream
@@ -502,7 +523,7 @@ object StreamGate {
           .awaitTermination()
       }
     } finally s.conf.set(spKey, prevSp)
-    s.read
+    val res = s.read
       .schema(StructType(Seq(
         StructField("user_id", LongType), StructField("pts", TimestampType),
         StructField("ts", TimestampType),
@@ -517,6 +538,9 @@ object StreamGate {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_matches"), sum("cents").as("sum_cents"))
       .orderBy("user_id")
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    res
   }
 
   /** `stream_ann_topk_sink` gate entry — CONTINUOUS ANN serving: the
