@@ -54,6 +54,9 @@ object GraftFunctions {
     "mindistance", "st_point", "st_transform", "st_x", "st_y",
     "st_geomfromtext",
     "st_intersects", "st_contains", "st_distance", "st_collect",
+    // r13 spatial-measure tier (duckdb-spatial subset — r12 missing #3)
+    "st_area", "st_perimeter", "st_length", "st_npoints", "st_isvalid",
+    "st_centroid", "st_envelope", "st_buffer", "st_makepolygon",
     "set_elements",
     // the reference benchmark q5's _gs spellings (aliased in MobRuntime)
     "collect_gs", "trajectory_gs", "distance_gs",

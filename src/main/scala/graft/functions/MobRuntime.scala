@@ -158,6 +158,13 @@ object MobRuntime {
       case "st_intersects" | "st_contains" => BooleanType
       case "st_distance" => DoubleType
       case "st_collect" => BinaryType
+      // r13 spatial-measure tier (the duckdb-spatial subset r12's
+      // verdict missing #3 names; union/clipping documented out)
+      case "st_area" | "st_perimeter" | "st_length" => DoubleType
+      case "st_npoints" => IntegerType
+      case "st_isvalid" => BooleanType
+      case "st_centroid" | "st_envelope" | "st_buffer" |
+           "st_makepolygon" => BinaryType
       // elements formatted as text (sqllogictest-compatible rendering)
       case "set_elements" => ArrayType(StringType, containsNull = false)
       // ---- topological ops ----
@@ -1252,6 +1259,68 @@ object MobRuntime {
         case _ => bad(name, args)
       }
       case "st_geomfromtext" => Wkb.fromText(str0)
+      // ---- r13 spatial measures (single-ring polygons; PostGIS
+      // dimension semantics: area/perimeter are 0 for points/lines,
+      // length is 0 for points/polygons) ----
+      case "st_area" =>
+        val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        if (gt == Wkb.PolygonType) Geo.ringArea(pts) else 0.0
+      case "st_perimeter" =>
+        val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        if (gt == Wkb.PolygonType) Geo.ringPerimeter(pts) else 0.0
+      case "st_length" =>
+        val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        if (gt == Wkb.LineStringType) Geo.ringPerimeter(pts) else 0.0
+      case "st_npoints" =>
+        Wkb.read(a0.asInstanceOf[Array[Byte]])._2.length
+      case "st_isvalid" =>
+        val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        if (gt == Wkb.PolygonType) Geo.ringIsValid(pts) else true
+      case "st_centroid" =>
+        val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        gt match {
+          case Wkb.PolygonType =>
+            val (cx, cy) = Geo.ringCentroid(pts)
+            Wkb.writePoint(cx, cy)
+          case Wkb.LineStringType =>
+            // length-weighted midpoint (the PostGIS linestring centroid)
+            var len = 0.0; var sx = 0.0; var sy = 0.0
+            for (i <- 0 until pts.length - 1) {
+              val (x0, y0) = pts(i); val (x1, y1) = pts(i + 1)
+              val l = math.hypot(x1 - x0, y1 - y0)
+              len += l; sx += l * (x0 + x1) / 2; sy += l * (y0 + y1) / 2
+            }
+            if (len == 0.0) Wkb.writePoint(pts(0)._1, pts(0)._2)
+            else Wkb.writePoint(sx / len, sy / len)
+          case _ => Wkb.writePoint(pts(0)._1, pts(0)._2)
+        }
+      case "st_envelope" =>
+        val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        if (gt == Wkb.PointType) Wkb.writePoint(pts(0)._1, pts(0)._2)
+        else {
+          val xs = pts.map(_._1); val ys = pts.map(_._2)
+          val (x0, x1) = (xs.min, xs.max); val (y0, y1) = (ys.min, ys.max)
+          Wkb.writePolygon(Array(
+            (x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)))
+        }
+      case "st_buffer" =>
+        val (gt, pts) = Wkb.read(a0.asInstanceOf[Array[Byte]])
+        require(gt == Wkb.PointType,
+          "st_buffer: only point buffers are implemented")
+        val nseg = if (args.length >= 3) asLong(args(2)).toInt else 8
+        Wkb.writePolygon(
+          Geo.pointBuffer(pts(0)._1, pts(0)._2, asDouble(a1), nseg))
+      case "st_makepolygon" =>
+        def darr(a: Any): Array[Double] = a match {
+          case d: Array[Double] => d
+          case ad: ArrayData => ad.toDoubleArray()
+          case s: IndexedSeq[_] => s.map(asDouble).toArray
+          case _ => bad(name, args)
+        }
+        val xs = darr(a0); val ys = darr(a1)
+        require(xs.length == ys.length && xs.length >= 4,
+          "st_makepolygon: need matched xs/ys with a closed ring (>= 4)")
+        Wkb.writePolygon(xs.zip(ys))
       case "set_elements" => a0 match {
         case VSet(vs, d) => vs.map(v => d match {
           case Dom.Date => TimeFmt.printDate(v)

@@ -213,6 +213,64 @@ object MobilityOps {
       .orderBy("id")
   }
 
+  /** The irregular-hexagon vertex offsets of [[q10PolygonOps]] — exact
+    * binary fractions, so both engines build bit-identical vertices
+    * from (cx, cy, r). Listed CCW; a simple (non-self-intersecting)
+    * ring by construction. */
+  private val PolyOffsets: Seq[(Double, Double)] = Seq(
+    (2.0, 0.0), (1.0, 1.5), (-1.0, 2.0),
+    (-2.0, 0.5), (-1.0, -1.0), (0.5, -1.5))
+
+  /** `geo_polygon_ops` gate entry — the r13 spatial-measure tier
+    * (duckdb-spatial subset, r12 verdict missing #3): per user, build
+    * an irregular hexagon at (user_id % 10, user_id % 7) scaled by a
+    * value-derived radius, and measure it with the new kernels —
+    * st_makepolygon / st_npoints / st_isvalid / st_area / st_perimeter
+    * / st_centroid / st_envelope, plus an exact nseg=1 point buffer
+    * (the rotated square: no trig, so the oracle replays it
+    * bit-for-bit). All vertex arithmetic is exact binary fractions;
+    * the DuckDB oracle recomputes every measure from the same vertex
+    * formulas with the same left-to-right shoelace/edge sums —
+    * geometry never crosses the engine boundary. Plan shape: one
+    * events aggregate + a map-side projection; nothing corpus-shaped
+    * beyond the per-user avg. */
+  def q10PolygonOps(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ring = PolyOffsets :+ PolyOffsets.head
+    val xs = array(ring.map { case (ox, _) =>
+      col("cx") + col("r") * lit(ox) }: _*)
+    val ys = array(ring.map { case (_, oy) =>
+      col("cy") + col("r") * lit(oy) }: _*)
+    val poly = cf("st_makepolygon", xs, ys)
+    val cen = cf("st_centroid", poly)
+    Tables.events(s, d)
+      .groupBy("user_id").agg(round(avg("value"), 2).as("r0"))
+      // the sqrt(2) factor is load-bearing: a finite-decimal radius
+      // puts the measures' exact decimal expansions ON 6dp rounding
+      // half-boundaries for whole residue classes (2r² with r = 1 +
+      // k·1e-4 lands exactly on .5 for every k ≡ 5 mod 10), where
+      // Spark's BigDecimal HALF_UP and DuckDB's float round disagree
+      // within an ulp; the irrational scale gives every derived value
+      // full-mantissa distance from the boundaries (measured min
+      // margin 2.5e-9 across both gate SFs, vs ~1e-13 fp noise)
+      .withColumn("r",
+        col("r0") / lit(100.0) * sqrt(lit(2.0)) + lit(1.0))
+      .withColumn("cx", (col("user_id") % 10).cast("double"))
+      .withColumn("cy", (col("user_id") % 7).cast("double"))
+      .select(col("user_id"),
+        cf("st_npoints", poly).as("n_pts"),
+        cf("st_isvalid", poly).as("valid"),
+        round(cf("st_area", poly), 6).as("area"),
+        round(cf("st_perimeter", poly), 6).as("perim"),
+        round(cf("st_x", cen), 6).as("cen_x"),
+        round(cf("st_y", cen), 6).as("cen_y"),
+        round(cf("st_area", cf("st_envelope", poly)), 6).as("env_area"),
+        round(cf("st_area", cf("st_buffer",
+          cf("st_point", col("cx"), col("cy")), col("r"), lit(1))), 6)
+          .as("buf_area"))
+      .orderBy("user_id")
+  }
+
   /** Oracle SQL (DuckDB) — all wrapped in a micros-truncation CTE so both
     * engines see identical timestamps (Spark reads the nanos parquet
     * truncated to micros). */
@@ -317,6 +375,76 @@ object MobilityOps {
          ORDER BY p.user_id, p.gts""",
     // closed form of the synthetic grid's bilinear shift field — bilinear
     // interpolation of a bilinear function is the function (SynthNtv2)
+    // every measure recomputed from the same exact-fraction vertex
+    // formulas with ordered left-to-right shoelace/edge sums — the
+    // geometry itself never crosses the engine boundary
+    "geo_polygon_ops" ->
+      """WITH u AS (
+           SELECT user_id,
+             round(avg(value), 2) / 100.0 * sqrt(2.0) + 1.0 AS r,
+             CAST(user_id % 10 AS DOUBLE) AS cx,
+             CAST(user_id % 7 AS DOUBLE) AS cy
+           FROM events GROUP BY user_id),
+         offs(k, ox, oy) AS (VALUES
+           (0, 2.0, 0.0), (1, 1.0, 1.5), (2, -1.0, 2.0),
+           (3, -2.0, 0.5), (4, -1.0, -1.0), (5, 0.5, -1.5),
+           (6, 2.0, 0.0)),
+         ring AS (
+           SELECT u.user_id, o.k,
+             u.cx + u.r * o.ox AS x, u.cy + u.r * o.oy AS y
+           FROM u CROSS JOIN offs o),
+         edges AS (
+           SELECT a.user_id, a.k, a.x AS x0, a.y AS y0,
+             b.x AS x1, b.y AS y1
+           FROM ring a JOIN ring b
+             ON b.user_id = a.user_id AND b.k = a.k + 1),
+         -- ORDERED folds (list_sum over list(... ORDER BY k)): the Spark
+         -- kernels fold edges left-to-right, and ~10% of the buffer rows
+         -- sit EXACTLY on a 6dp half-boundary (2r² with r = 1 + k/1e4
+         -- resonates), so an unordered SUM's reassociation dust would
+         -- flip the rounding — both engines must compute the identical
+         -- double, not merely a close one
+         m AS (
+           SELECT user_id,
+             list_sum(list(x0 * y1 - x1 * y0 ORDER BY k)) AS s2a,
+             list_sum(list(sqrt((x1 - x0) * (x1 - x0)
+               + (y1 - y0) * (y1 - y0)) ORDER BY k)) AS perim,
+             list_sum(list((x0 + x1) * (x0 * y1 - x1 * y0) ORDER BY k))
+               AS sx,
+             list_sum(list((y0 + y1) * (x0 * y1 - x1 * y0) ORDER BY k))
+               AS sy
+           FROM edges GROUP BY user_id),
+         ext AS (
+           SELECT user_id, min(x) AS xmin, max(x) AS xmax,
+             min(y) AS ymin, max(y) AS ymax
+           FROM ring GROUP BY user_id),
+         boffs(k, bx, by) AS (VALUES
+           (0, 1.0, 0.0), (1, 0.0, 1.0), (2, -1.0, 0.0),
+           (3, 0.0, -1.0), (4, 1.0, 0.0)),
+         bring AS (
+           SELECT u.user_id, b.k,
+             u.cx + u.r * b.bx AS x, u.cy + u.r * b.by AS y
+           FROM u CROSS JOIN boffs b),
+         bedges AS (
+           SELECT a.user_id, a.k, a.x AS x0, a.y AS y0,
+             b.x AS x1, b.y AS y1
+           FROM bring a JOIN bring b
+             ON b.user_id = a.user_id AND b.k = a.k + 1),
+         bm AS (
+           SELECT user_id,
+             list_sum(list(x0 * y1 - x1 * y0 ORDER BY k)) AS s2a
+           FROM bedges GROUP BY user_id)
+         SELECT u.user_id, 7 AS n_pts, TRUE AS valid,
+           round(abs(m.s2a) / 2.0, 6) AS area,
+           round(m.perim, 6) AS perim,
+           round(m.sx / (3.0 * m.s2a), 6) AS cen_x,
+           round(m.sy / (3.0 * m.s2a), 6) AS cen_y,
+           round(abs((ext.xmax - ext.xmin) * (ext.ymax - ext.ymin)), 6)
+             AS env_area,
+           round(abs(bm.s2a) / 2.0, 6) AS buf_area
+         FROM u JOIN m USING (user_id) JOIN ext USING (user_id)
+           JOIN bm USING (user_id)
+         ORDER BY u.user_id""",
     "geo_gridshift" ->
       """WITH pts AS (
            SELECT i AS id,
@@ -339,5 +467,6 @@ object MobilityOps {
     "mob_q6_stbox_filter" -> (q6StboxFilter _),
     "mob_q7_when_true" -> (q7WhenTrue _),
     "mob_q8_asof_join" -> (q8AsofJoin _),
-    "geo_gridshift" -> (q9GridShift _))
+    "geo_gridshift" -> (q9GridShift _),
+    "geo_polygon_ops" -> (q10PolygonOps _))
 }

@@ -107,6 +107,49 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).isNullAt(0))
   }
 
+  test("spatial-measure tier: area/perimeter/centroid/envelope/validity/" +
+       "buffer over polygons (r13 duckdb-spatial subset)") {
+    // unit square: closed-form everything
+    val sq = "st_geomfromtext('POLYGON((0 0, 4 0, 4 2, 0 2, 0 0))')"
+    val r = spark.sql(
+      s"""SELECT st_area($sq) AS a, st_perimeter($sq) AS p,
+            st_npoints($sq) AS n, st_isvalid($sq) AS v,
+            st_x(st_centroid($sq)) AS cx, st_y(st_centroid($sq)) AS cy,
+            st_area(st_envelope($sq)) AS ea""").collect()(0)
+    assert(r.getDouble(0) == 8.0 && r.getDouble(1) == 12.0)
+    assert(r.getInt(2) == 5 && r.getBoolean(3))
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == 8.0)
+    // a self-intersecting bowtie is invalid; the square's ring reversed
+    // (CW) is still valid (validity is orientation-agnostic here)
+    val bow = "st_geomfromtext('POLYGON((0 0, 2 2, 2 0, 0 2, 0 0))')"
+    val cw = "st_geomfromtext('POLYGON((0 0, 0 2, 4 2, 4 0, 0 0))')"
+    val r2 = spark.sql(
+      s"SELECT st_isvalid($bow) AS b, st_isvalid($cw) AS c, " +
+        s"st_area($cw) AS a").collect()(0)
+    assert(!r2.getBoolean(0) && r2.getBoolean(1) && r2.getDouble(2) == 8.0)
+    // point buffer: nseg=1 is the exact rotated square (area 2r²);
+    // nseg=8 (32-gon) approximates the disc within 1%
+    val r3 = spark.sql(
+      """SELECT st_area(st_buffer(st_point(3.0, -1.0), 2.0, 1)) AS sq,
+           st_area(st_buffer(st_point(3.0, -1.0), 2.0, 8)) AS disc,
+           st_npoints(st_buffer(st_point(3.0, -1.0), 2.0, 8)) AS n,
+           st_contains(st_buffer(st_point(3.0, -1.0), 2.0, 8),
+             st_point(3.5, -1.2)) AS inside""").collect()(0)
+    assert(r3.getDouble(0) == 8.0, s"diamond area ${r3.getDouble(0)}")
+    assert(math.abs(r3.getDouble(1) - math.Pi * 4.0) < 0.01 * math.Pi * 4.0,
+      s"32-gon area ${r3.getDouble(1)}")
+    assert(r3.getInt(2) == 33 && r3.getBoolean(3))
+    // line measures: length-weighted centroid, zero area
+    val ln = "st_geomfromtext('LINESTRING(0 0, 2 0, 2 2)')"
+    val r4 = spark.sql(
+      s"""SELECT st_length($ln) AS l, st_area($ln) AS a,
+            st_x(st_centroid($ln)) AS cx, st_y(st_centroid($ln)) AS cy""")
+      .collect()(0)
+    assert(r4.getDouble(0) == 4.0 && r4.getDouble(1) == 0.0)
+    assert(r4.getDouble(2) == 1.5 && r4.getDouble(3) == 0.5)
+  }
+
   test("tbox constructor overloads") {
     assert(q1("SELECT asText(tbox(10, TIMESTAMP '2000-01-01'))") ==
       "TBOXINT XT([10, 11),[2000-01-01 00:00:00+00, 2000-01-01 00:00:00+00])")
